@@ -1,24 +1,54 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark: runs the headline queries at SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line. `value` is the wall-clock total over the headline
+  * set; `docs_per_sec` reports the flagship spatial-join throughput
+  * (events-points assigned to zones per second) — the BASELINE metric.
+  */
 object Bench {
+  // headline set: flagship spatial ops + the heaviest pipeline operators
+  val headline: Seq[String] = Seq(
+    "q_pip_join", "q_zone_count", "q_knn_nearest", "q_radius_join",
+    "q_cell_assign", "q_multi_join", "q_agg_parts", "q_window_argmin",
+    "q_dedup_minhash", "q_dedup_simhash", "q_jaccard_pairs", "q_nn_exact",
+    "q_ann_topk", "q_word_freq", "q_event_windows", "q_clean_polygons")
+
+  def makeSession(cpus: String): SparkSession = SparkSession.builder()
+    .master(s"local[$cpus]")
+    .config("spark.sql.shuffle.partitions", cpus)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = makeSession(cpus)
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // warm the JVM/codegen paths once on the smallest sf
+    SparkEntry.queries("q_zone_count")(spark, "/root/testdata/sf0.001").count()
+
+    var nPoints = 0L
+    val results = headline.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val t0 = System.nanoTime()
+        try {
+          val n = fn(spark, sfDir).count()
+          if (name == "q_pip_join") nPoints = n
+        } catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val pipSec = results.toMap.getOrElse("q_pip_join", Double.NaN)
+    val docsPerSec = if (pipSec > 0) (nPoints / pipSec).round else 0L
+    println(
+      s"""{"metric":"headline_total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"docs_per_sec":$docsPerSec,"cpus":"$cpus","sf":"$sfDir"}""")
     spark.stop()
   }
 }

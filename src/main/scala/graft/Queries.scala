@@ -1,0 +1,452 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.geom.{Geom, Pt}
+import graft.sim.Similarity
+import graft.spatial.{CellGrid, IdPoint, SpatialJoin, SynthGeo}
+import graft.text.TextFns
+import graft.clean.PolygonClean
+
+/** The engine's operator inventory exposed as driver-checkable queries.
+  * Each entry pairs a Spark implementation with (where SQL-expressible) an
+  * equivalent DuckDB oracle over the same parquet tables. Column names and
+  * row ordering match exactly — the driver hash-compares values after
+  * sorting columns by name.
+  */
+object Queries {
+  final case class Q(fn: (SparkSession, String) => DataFrame, oracle: Option[String])
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ---- shared synthetic-geo SQL fragments -------------------------------
+  private val ptsCte = s"WITH pts AS (${SynthGeo.pointsSql})"
+  private val zonesValues = SynthGeo.zonesSql
+  private val sitesValues = SynthGeo.sitesSql
+
+  // grid used by the cell-assignment query: origin 0, 10-unit cells, row
+  // width 1000 so the oracle is floor(y/10)*1000 + floor(x/10)
+  private val coarse = CellGrid(10.0, origin = 0.0, rowWidth = 1000L)
+  // grid used for PIP candidates (zone diamonds are 9-19 units wide)
+  private val pipGrid = CellGrid(8.0, origin = 0.0, rowWidth = 1L << 20)
+  private val knnGrid = CellGrid(12.0, origin = 0.0, rowWidth = 1L << 20)
+  private val radGrid = CellGrid(6.5, origin = 0.0, rowWidth = 1L << 20)
+
+  val all: Map[String, Q] = Map(
+    // ================= relational core (SURVEY §2.2) ====================
+    // filtered scan + projection (BaseLayer.append(query=...), base.py:157-199)
+    "q_filter_project" -> Q(
+      (s, d) => t(s, d, "orders")
+        .filter(col("o_orderstatus") === "O" && col("o_totalprice") > 50000)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+              WHERE o_orderstatus = 'O' AND o_totalprice > 50000
+              ORDER BY o_orderkey""")),
+
+    // regex xlink resolve (AddressLayer.resolve, address.py:42-46)
+    "q_regex_resolve" -> Q(
+      (s, d) => t(s, d, "events")
+        .select(col("event_id"),
+          regexp_extract(col("props"), "[0-9]+", 0).as("k_val"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, regexp_extract(props, '[0-9]+', 0) AS k_val
+              FROM events ORDER BY event_id""")),
+
+    // hash equi-join denormalization (BaseLayer.join_field, base.py:238-298)
+    "q_join_field" -> Q(
+      (s, d) => t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"), "left")
+        .select("o_orderkey", "c_name", "c_mktsegment")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, c_name, c_mktsegment FROM orders
+              LEFT JOIN customer ON o_custkey = c_custkey
+              ORDER BY o_orderkey""")),
+
+    // semi join (ParcelLayer.delete_void_parcels, parcel.py:44-54)
+    "q_semi_join" -> Q(
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+              WHERE c_custkey IN (SELECT o_custkey FROM orders)
+              ORDER BY c_custkey""")),
+
+    // anti join (AddressLayer.conflate delete branch, address.py:69-93)
+    "q_anti_join" -> Q(
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_totalprice") > 350000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+              WHERE c_custkey NOT IN
+                (SELECT o_custkey FROM orders WHERE o_totalprice > 350000)
+              ORDER BY c_custkey""")),
+
+    // dict translate + drop-missing (BaseLayer.translate_field, base.py:300-329)
+    "q_translate_field" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val dict = Seq(("1-URGENT", "urgent"), ("2-HIGH", "high"), ("3-MEDIUM", "medium"))
+          .toDF("k", "v")
+        t(s, d, "orders")
+          .join(broadcast(dict), col("o_orderpriority") === col("k"))
+          .select(col("o_orderkey"), col("v").as("priority"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, t.v AS priority FROM orders
+              JOIN (VALUES ('1-URGENT','urgent'), ('2-HIGH','high'),
+                    ('3-MEDIUM','medium')) AS t(k, v)
+              ON o_orderpriority = t.k
+              ORDER BY o_orderkey""")),
+
+    // grouped counts (report counters, report.py:190-260)
+    "q_count_by" -> Q(
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem
+              GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // grouped max/min/sum (ConsLayer.get_parts, cons.py:175-192)
+    "q_agg_parts" -> Q(
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(max("l_quantity").as("max_qty"), min("l_quantity").as("min_qty"),
+          sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_parts"))
+        .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey, max(l_quantity) AS max_qty,
+              min(l_quantity) AS min_qty, sum(l_quantity) AS sum_qty,
+              count(*) AS n_parts FROM lineitem
+              GROUP BY l_orderkey ORDER BY l_orderkey""")),
+
+    // per-group argmin via window (cdau.conflate nearest-update, cdau.py:212-278)
+    "q_window_argmin" -> Q(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_orderkey")
+          .orderBy(col("l_extendedprice"), col("l_linenumber"))
+        t(s, d, "lineitem")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("l_orderkey", "l_linenumber", "l_extendedprice")
+          .orderBy("l_orderkey")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM (
+                SELECT l_orderkey, l_linenumber, l_extendedprice,
+                  row_number() OVER (PARTITION BY l_orderkey
+                    ORDER BY l_extendedprice, l_linenumber) AS rn
+                FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey""")),
+
+    // exact distinct counts (BaseLayer.count(unique=...), base.py:475-486)
+    "q_count_distinct" -> Q(
+      (s, d) => t(s, d, "orders")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+          count(lit(1)).as("n_orders")),
+      Some("SELECT count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders FROM orders")),
+
+    // multi-way join + agg (task stats shape, app.py:310-361)
+    "q_multi_join" -> Q(
+      (s, d) => t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name"),
+      Some("""SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+              count(*) AS n_items
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY n_name ORDER BY n_name""")),
+
+    // ================= spatial engine (SURVEY §2.3, north star) =========
+    // UDF-free cell encoding + per-cell counts
+    "q_cell_assign" -> Q(
+      (s, d) => {
+        val p = SynthGeo.points(s, d)
+        p.toDF()
+          .withColumn("cell", coarse.cellCol(col("x"), col("y")))
+          .groupBy("cell").agg(count(lit(1)).as("n"))
+          .orderBy("cell")
+      },
+      Some(s"""$ptsCte
+              SELECT CAST(floor(y/10.0) AS BIGINT)*1000 + CAST(floor(x/10.0) AS BIGINT) AS cell,
+              count(*) AS n FROM pts GROUP BY 1 ORDER BY cell""")),
+
+    // flagship: cell-join + exact ray-casting PIP (set_zones, parcel.py:91-114)
+    "q_pip_join" -> Q(
+      (s, d) => SpatialJoin
+        .pipJoinBroadcast(SynthGeo.points(s, d), SynthGeo.zones, pipGrid)
+        .orderBy("id", "zone_id"),
+      Some(s"""$ptsCte
+              SELECT p.id, z.zone_id FROM pts p
+              JOIN $zonesValues ON abs(p.x - z.cx) + abs(p.y - z.cy) < z.r
+              ORDER BY p.id, z.zone_id""")),
+
+    // pages-per-zone-tile (the BASELINE throughput metric's query shape)
+    "q_zone_count" -> Q(
+      (s, d) => SpatialJoin
+        .pipJoinBroadcast(SynthGeo.points(s, d), SynthGeo.zones, pipGrid)
+        .groupBy("zone_id").agg(count(lit(1)).as("n"))
+        .orderBy("zone_id"),
+      Some(s"""$ptsCte
+              SELECT z.zone_id, count(*) AS n FROM pts p
+              JOIN $zonesValues ON abs(p.x - z.cx) + abs(p.y - z.cy) < z.r
+              GROUP BY z.zone_id ORDER BY z.zone_id""")),
+
+    // cell-local kNN (move_address nearest-edge, cons.py:428-490)
+    "q_knn_nearest" -> Q(
+      (s, d) => SpatialJoin
+        .nearestSiteJoin(SynthGeo.points(s, d), SynthGeo.sites, knnGrid)
+        .orderBy("id"),
+      Some(s"""$ptsCte
+              SELECT id, site_id FROM (
+                SELECT p.id, s.site_id, row_number() OVER (PARTITION BY p.id
+                  ORDER BY (p.x-s.sx)*(p.x-s.sx) + (p.y-s.sy)*(p.y-s.sy), s.site_id) AS rn
+                FROM pts p CROSS JOIN $sitesValues) WHERE rn = 1
+              ORDER BY id""")),
+
+    // radius probe join (cdau 5m R-tree probe, cdau.py:241-243)
+    "q_radius_join" -> Q(
+      (s, d) => SpatialJoin
+        .radiusJoin(SynthGeo.points(s, d), SynthGeo.sites, radGrid, 6.5)
+        .orderBy("id", "site_id"),
+      Some(s"""$ptsCte
+              SELECT p.id, s.site_id FROM pts p
+              JOIN $sitesValues
+              ON (p.x-s.sx)*(p.x-s.sx) + (p.y-s.sy)*(p.y-s.sy) <= 42.25
+              ORDER BY p.id, s.site_id""")),
+
+    // shoelace area per zone (BaseLayer.get_area, polygon.py:33-35)
+    "q_zone_area" -> Q(
+      (s, d) => {
+        import s.implicits._
+        SynthGeo.zones
+          .map(z => (z.zone_id, BigDecimal(Geom.area(z.geometry))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          .toDF("zone_id", "area")
+          .orderBy("zone_id")
+          .as("zone_areas")
+      },
+      Some(s"""SELECT zone_id, round(2*r*r, 6) AS area FROM $zonesValues
+              ORDER BY zone_id""")),
+
+    // cleanup pipeline golden check: noisy polygons -> dedupe+simplify
+    // (PolygonLayer.clean, polygon.py:598-607); expected counts are golden
+    // values: 12 noisy vertices (4 corners + 4 near-dups + 4 midpoints)
+    // reduce to exactly the 4 corners.
+    "q_clean_polygons" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val noisy = SynthGeo.zones.map { z =>
+          val ring = z.geometry.head.head
+          val n = ring.length
+          val withNoise = ring.zipWithIndex.flatMap { case (v, i) =>
+            val nxt = ring((i + 1) % n)
+            val dx = nxt.x - v.x; val dy = nxt.y - v.y
+            val len = math.sqrt(dx * dx + dy * dy)
+            Seq(
+              v,
+              Pt(v.x + dx / len * 0.005, v.y + dy / len * 0.005), // near-dup
+              Pt(v.x + dx / 2, v.y + dy / 2))                     // straight midpoint
+          }
+          (z.zone_id, withNoise)
+        }
+        s.createDataset(noisy)
+          .map { case (zid, ring) =>
+            val cleaned = PolygonClean.simplifyRing(
+              PolygonClean.mergeCloseVertices(ring))
+            (zid, ring.length.toLong, cleaned.length.toLong)
+          }
+          .toDF("zone_id", "n_before", "n_after")
+          .orderBy("zone_id")
+      },
+      Some(SynthGeo.zoneParams
+        .map { case (k, _, _, _) => s"($k, 12, 4)" }
+        .mkString("SELECT * FROM (VALUES ", ", ",
+          ") AS t(zone_id, n_before, n_after) ORDER BY zone_id"))),
+
+    // ================= text / training-data pipeline ====================
+    "q_token_count" -> Q(
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), TextFns.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+              FROM documents ORDER BY doc_id""")),
+
+    "q_word_freq" -> Q(
+      (s, d) => t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .orderBy("w"),
+      Some("""SELECT w, count(*) AS n FROM (
+                SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+              GROUP BY w ORDER BY w""")),
+
+    // quality scoring: length + stopword counts (deterministic ratios)
+    "q_quality" -> Q(
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          TextFns.charLen(col("text")).as("n_chars_m"),
+          TextFns.wordOccurrences(col("text"), "the").as("n_the"),
+          TextFns.wordOccurrences(col("text"), "a").as("n_a"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, length(text) AS n_chars_m,
+              (length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ' ')))/4 AS n_the,
+              (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ' ')))/2 AS n_a
+              FROM documents ORDER BY doc_id""")),
+
+    "q_lang_profile" -> Q(
+      (s, d) => t(s, d, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("total_chars"))
+        .orderBy("lang"),
+      Some("""SELECT lang, count(*) AS n, sum(n_chars) AS total_chars
+              FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // exact dedup by canonical key (Osm.merge_duplicated, osm.py:87-104)
+    "q_dedup_exact" -> Q(
+      (s, d) => Dedup.exactDedup(
+        t(s, d, "documents"), substring(col("text"), 1, 30), col("doc_id"))
+        .orderBy("k"),
+      Some("""SELECT substr(text, 1, 30) AS k, min(doc_id) AS keep_id,
+              count(*) AS n_dups FROM documents GROUP BY 1 ORDER BY k""")),
+
+    // distinct-word overlap of consecutive doc pairs (set-join shape)
+    "q_word_overlap" -> Q(
+      (s, d) => {
+        val words = t(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .distinct()
+        words.as("a").join(words.as("b"),
+            col("b.doc_id") === col("a.doc_id") + 1 && col("b.w") === col("a.w"))
+          .groupBy(col("a.doc_id").as("id_a"))
+          .agg(count(lit(1)).as("overlap"))
+          .orderBy("id_a")
+      },
+      Some("""WITH w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents)
+              SELECT a.doc_id AS id_a, count(*) AS overlap
+              FROM w a JOIN w b ON b.doc_id = a.doc_id + 1 AND b.w = a.w
+              GROUP BY a.doc_id ORDER BY id_a""")),
+
+    // exact n-gram Jaccard near-dup pairs (shuffle-native explode/join/agg)
+    "q_jaccard_pairs" -> Q(
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val sh = t(s, d, "documents")
+          .select(col("doc_id"),
+            explode(array_distinct(Dedup.shingles(toks, 3))).as("sh"))
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val inter = sh.as("a").join(sh.as("b"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+          .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+          .withColumn("jaccard",
+            round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6))
+          .filter(col("jaccard") >= 0.6)
+          .select("id_a", "id_b", "jaccard")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              x AS (SELECT doc_id, w, unnest(range(1, greatest(len(w)-1, 2))) AS i FROM t),
+              g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh FROM x),
+              n AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+              c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                    FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+              SELECT id_a, id_b,
+                round(inter*1.0/(na.sz + nb.sz - inter), 6) AS jaccard
+              FROM c JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
+              WHERE inter*1.0/(na.sz + nb.sz - inter) >= 0.6
+              ORDER BY id_a, id_b""")),
+
+    // MinHash+LSH near-dup (scale path; recall<1 by design -> rows-only)
+    "q_dedup_minhash" -> Q(
+      (s, d) => Dedup.minhashNearDups(t(s, d, "documents"), "doc_id", "text",
+        shingleN = 3, threshold = 0.6)
+        .orderBy("id_a", "id_b"),
+      None),
+
+    // SimHash near-dup (rows-only)
+    "q_dedup_simhash" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .as[(Long, Seq[String])]
+        Dedup.simhashNearDups(docs, maxDist = 8).orderBy("id_a", "id_b")
+      },
+      None),
+
+    // exact brute-force nearest neighbors over embeddings (cosine)
+    "q_nn_exact" -> Q(
+      (s, d) => Similarity
+        .bruteForceTopK(t(s, d, "embeddings"), "vec_id", "embedding", 3)
+        .orderBy("vec_id", "rank"),
+      Some("""SELECT vec_id, rank, nbr_id FROM (
+                SELECT a.vec_id, b.vec_id AS nbr_id,
+                  row_number() OVER (PARTITION BY a.vec_id
+                    ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                             b.vec_id) AS rank
+                FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id)
+              WHERE rank <= 3 ORDER BY vec_id, rank""")),
+
+    // LSH-bucketed ANN (approximate -> rows-only)
+    "q_ann_topk" -> Q(
+      (s, d) => Similarity
+        .annTopK(t(s, d, "embeddings"), "vec_id", "embedding", 3)
+        .orderBy("vec_id", "rank"),
+      None),
+
+    // heuristic language id (classifier -> rows-only)
+    "q_lang_id" -> Q(
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextFns.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id"),
+      None),
+
+    // rolling-hash fingerprint dedup groups (rows-only)
+    "q_fingerprint" -> Q(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "documents")
+          .select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .map { case (id, txt) => (id, TextFns.fingerprint64(txt)) }
+          .toDF("doc_id", "fp")
+          .orderBy("doc_id")
+      },
+      None),
+
+    // tumbling-window event aggregation (batch form of the streaming op)
+    "q_event_windows" -> Q(
+      (s, d) => t(s, d, "events")
+        // ts is TIMESTAMP_NTZ in the parquet; treat as UTC instant
+        .groupBy(expr("unix_micros(cast(ts as timestamp)) div 300000000").as("bucket"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("bucket", "event_type"),
+      Some("""SELECT epoch_us(ts)//300000000 AS bucket, event_type,
+              count(*) AS n, round(sum(value), 2) AS sum_value
+              FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""")))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (k, q) => (k, q.fn) }
+
+  val oracleSql: Map[String, String] =
+    all.collect { case (k, Q(_, Some(sql))) => (k, sql.linesIterator.map(_.trim).mkString(" ")) }
+}

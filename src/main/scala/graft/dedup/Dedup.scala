@@ -1,0 +1,159 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the documents/pages table.
+  *
+  * The reference's dedup is Osm.merge_duplicated — group elements by a
+  * canonical geometry key and keep one representative (catatom2osm/osm.py:
+  * 87-104, 410-418). Generalized here to web-corpus dedup: exact (canonical
+  * key groupBy), MinHash+LSH banding, SimHash, and n-gram Jaccard — the
+  * standard training-data pipeline suite.
+  *
+  * Scale notes: everything is expressed as Catalyst column math + explode +
+  * shuffle-on-key. MinHash signatures are computed with higher-order array
+  * functions (transform/aggregate), NOT per-permutation UDF calls, so the
+  * whole signature stage stays in codegen. The LSH band join shuffles only
+  * (band_id, band_hash, doc_id) pairs — constant width regardless of doc
+  * size — and the candidate self-join is per-bucket, so hot buckets (boiler-
+  * plate shingles) are the skew risk: cap bucket width upstream via a
+  * count filter (maxBucket) exactly like salting would.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical key -> min(id) representative + group size. */
+  def exactDedup(df: DataFrame, key: Column, id: Column): DataFrame =
+    df.groupBy(key.as("k"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Word shingles (n-grams) as an array column, from a token array. */
+  def shingles(toks: Column, n: Int): Column =
+    transform(
+      sequence(lit(0), greatest(size(toks) - lit(n), lit(0))),
+      i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))
+
+  /** 64-permutation MinHash signature of a shingle array column.
+    * Permutation j: h_j(s) = (a_j * xxhash64(s) + b_j) mod p, min over
+    * shingles. Affine params derive from j deterministically. */
+  def minhashSignature(sh: Column, nPerm: Int = 64): Column = {
+    val p = lit(2305843009213693951L) // 2^61 - 1
+    val hashes = transform(sh, s => xxhash64(s))
+    val perms = (0 until nPerm).map { j =>
+      val a = lit(2L * j + 1)
+      val b = lit(0x9E3779B97F4A7C15L + j * 0x6C62272E07BB0142L)
+      aggregate(
+        hashes,
+        lit(Long.MaxValue),
+        (acc, h) => least(acc, pmod(a * h + b, p)))
+    }
+    array(perms: _*)
+  }
+
+  /** LSH banding: explode signature into (band_id, band_hash) rows. */
+  def lshBands(sig: Column, bands: Int, rows: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => struct(
+        b.as("band_id"),
+        xxhash64(concat_ws(",", slice(sig, b * lit(rows) + lit(1), lit(rows)))).as("band_hash")))
+
+  /** Full MinHash-LSH near-dup pipeline: doc (id, text) -> candidate pairs
+    * with exact Jaccard >= threshold. Candidates from band-bucket self-join;
+    * exact verification via distinct-shingle set overlap. */
+  def minhashNearDups(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, nPerm: Int = 64, bands: Int = 16,
+      threshold: Double = 0.6, maxBucket: Int = 64): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val withSig = docs
+      .select(
+        col(idCol).as("id"),
+        array_distinct(shingles(toks, shingleN)).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), nPerm))
+    val bandRows = withSig
+      .select(col("id"), explode(lshBands(col("sig"), bands, nPerm / bands)).as("b"))
+      .select(col("id"), col("b.band_id"), col("b.band_hash"))
+    // skew guard: drop degenerate buckets wider than maxBucket
+    val bucketed = bandRows
+      .withColumn("w", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band_id", "band_hash")))
+      .filter(col("w") <= maxBucket)
+    val cand = bucketed.as("l")
+      .join(bucketed.as("r"),
+        col("l.band_id") === col("r.band_id") &&
+          col("l.band_hash") === col("r.band_hash") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    val sets = withSig.select(col("id"), col("sh"))
+    cand
+      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", round(col("inter") / col("uni"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** splitmix64 of FNV-1a — deterministic 64-bit string hash, pure Scala. */
+  def hash64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h ^= h >>> 30; h *= 0xbf58476d1ce4e5b9L
+    h ^= h >>> 27; h *= 0x94d049bb133111ebL
+    h ^ (h >>> 31)
+  }
+
+  /** 64-bit SimHash of a token seq (per-token hash64, bitwise vote).
+    * Implemented as a plain Scala scalar for use in typed map — bit loops
+    * aren't Catalyst-friendly and this is a per-row O(tokens) pass. */
+  def simhash64(tokens: Seq[String]): Long = {
+    val votes = new Array[Int](64)
+    tokens.foreach { t =>
+      val h = hash64(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Hamming distance between two simhashes. */
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** SimHash near-dup candidates: docs whose simhash agrees on all 4
+    * 16-bit blocks with at most `maxDist` differing bits overall; block
+    * equality join generates candidates (any pair within Hamming distance 3
+    * shares at least one of 4 blocks by pigeonhole). */
+  def simhashNearDups(docs: Dataset[(Long, Seq[String])], maxDist: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sigs = docs.map { case (id, toks) => (id, simhash64(toks)) }.toDF("id", "sig")
+    val blocks = sigs.select(
+      col("id"), col("sig"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("blk"),
+          shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("blk_val"))
+      }: _*)).as("b"))
+      .select(col("id"), col("sig"), col("b.blk"), col("b.blk_val"))
+    blocks.as("l").join(blocks.as("r"),
+        col("l.blk") === col("r.blk") && col("l.blk_val") === col("r.blk_val") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
+      .distinct()
+      .filter(udfHamming(col("sig_a"), col("sig_b")) <= maxDist)
+      .select("id_a", "id_b")
+  }
+
+  private val udfHamming =
+    org.apache.spark.sql.functions.udf((a: Long, b: Long) => hamming(a, b))
+}

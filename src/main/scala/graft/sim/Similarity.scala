@@ -1,0 +1,94 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (Array[Float]).
+  *
+  * Brute-force cosine top-k is the exact baseline (O(n²) pair dot products,
+  * all in Catalyst higher-order functions → whole-stage codegen, no UDF).
+  * The scale path is random-hyperplane LSH: a deterministic signature
+  * restricts candidate pairs to shared buckets, turning the cross join into
+  * a bucket equi-join — the same candidates-then-refine shape as the
+  * spatial cell join.
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns, accumulated left-to-right in
+    * double (deterministic order → reproducible bits). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force top-k cosine neighbors for every vector.
+    * Output: (vec_id, rank, nbr_id). Blocked nested loop: Spark plans the
+    * id-inequality cross join as BroadcastNestedLoopJoin when one side is
+    * small; at scale, pre-bucket with lshBuckets and join on bucket. */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val l = emb.select(col(idCol).as("vec_id"), col(vecCol).as("va"))
+    val r = emb.select(col(idCol).as("nbr_id"), col(vecCol).as("vb"))
+    val pairs = l.join(r, col("vec_id") =!= col("nbr_id"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cos").desc, col("nbr_id"))
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("vec_id", "rank", "nbr_id")
+  }
+
+  /** Deterministic random hyperplanes: nBits × dim, seeded (pure function of
+    * (seed, bit, component) via splitmix — no RNG state). */
+  def hyperplanes(nBits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] =
+    Array.tabulate(nBits, dim) { (b, d) =>
+      var z = seed + b.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xBF58476D1CE4E5B9L
+      z ^= z >>> 30; z *= 0xBF58476D1CE4E5B9L
+      z ^= z >>> 27; z *= 0x94D049BB133111EBL
+      z ^= z >>> 31
+      // (z >>> 11) is uniform in [0, 2^53); divide by 2^52 for [0, 2) - 1 = [-1, 1)
+      (z >>> 11).toDouble / (1L << 52).toDouble - 1.0
+    }
+
+  /** Sign-bit LSH bucket id from the hyperplane dots — Catalyst-only:
+    * per-plane dot via aggregate over zip_with against an array literal. */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(vec, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** IVF-style ANN: bucket by LSH signature, brute-force within bucket plus
+    * neighbor buckets at Hamming distance 1 (probe lists). Returns candidate
+    * top-k per vector; recall < 1 by construction (approximate path). */
+  def annTopK(
+      emb: DataFrame, idCol: String, vecCol: String, k: Int, nBits: Int = 4): DataFrame = {
+    val dim = emb.select(size(col(vecCol))).first().getInt(0)
+    val planes = hyperplanes(nBits, dim)
+    val withB = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .withColumn("b", lshBucket(col("v"), planes))
+    // multiprobe: each vector also probes buckets at Hamming distance 1
+    // (mask 0 = own bucket, mask 1<<i = flip bit i)
+    val masks = array((0L +: (0 until nBits).map(i => 1L << i)).map(lit): _*)
+    val probes = withB.select(
+      col("vec_id"), col("v"), col("b"), explode(masks).as("mask"))
+      .withColumn("pb", col("b").bitwiseXOR(col("mask")))
+      .select(col("vec_id"), col("v"), col("pb"))
+    val base = withB.select(col("vec_id").as("nbr_id"), col("v").as("vb"), col("b").as("pb"))
+    val pairs = probes.join(base, Seq("pb"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .withColumn("cos", cosine(col("v"), col("vb")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cos").desc, col("nbr_id"))
+    pairs
+      .select("vec_id", "nbr_id", "cos").distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("vec_id", "rank", "nbr_id")
+  }
+}

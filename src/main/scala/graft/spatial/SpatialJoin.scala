@@ -1,0 +1,163 @@
+package graft.spatial
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.geom.{Geom, Pt}
+
+/** Admin-zone polygon (the reference's ZoningLayer row,
+  * catatom2osm/geo/layer/zoning.py:31-40, re-hosted as a typed Dataset row).
+  * `geometry` is a multipolygon of OPEN rings. */
+final case class Zone(zone_id: Long, label: String, level: String, geometry: Array[Array[Array[Pt]]])
+
+/** A site for kNN joins (the "building edge / highway" side of the
+  * reference's nearest-feature probes). */
+final case class Site(site_id: Long, x: Double, y: Double)
+
+/** Point with its row id (the page/document side of the spatial join). */
+final case class IdPoint(id: Long, x: Double, y: Double)
+
+/** Spatial join operators — the engine's flagship.
+  *
+  * Re-creates the reference's R-tree candidates + exact predicate pattern
+  * (ParcelLayer.set_zones, catatom2osm/geo/layer/parcel.py:91-114): here the
+  * candidate stage is a cell equi-join (CellGrid) that Catalyst plans as a
+  * hash join with the small side broadcast, and the refinement is exact
+  * ray-casting PIP in a mapPartitions island.
+  *
+  * Two physical modes, chosen by the zone side's size (the analog of
+  * Catalyst's broadcast-vs-shuffle choice):
+  *  - broadcast: zones collected + indexed per cell on the driver, broadcast,
+  *    probed per partition — zero shuffle of the big point side.
+  *  - partitioned: both sides keyed by covering cell and equi-joined — used
+  *    when zones don't fit in one executor; the point side is salted on hot
+  *    cells upstream if skewed.
+  */
+object SpatialJoin {
+
+  /** Driver-side cell index over zones: cell id -> zones whose bbox covers it. */
+  def buildZoneIndex(zones: Seq[Zone], grid: CellGrid): Map[Long, Array[Zone]] =
+    zones
+      .flatMap(z => grid.coverPolygon(z.geometry).map(c => (c, z)))
+      .groupBy(_._1)
+      .map { case (c, zs) => (c, zs.map(_._2).sortBy(_.zone_id).toArray) }
+
+  /** Broadcast PIP join: (id, x, y) points -> (id, zone_id) pairs, one row per
+    * containing zone (overlapping zones produce multiple rows). */
+  def pipJoinBroadcast(
+      points: Dataset[IdPoint], zones: Seq[Zone], grid: CellGrid): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val index = spark.sparkContext.broadcast(buildZoneIndex(zones, grid))
+    points
+      .mapPartitions { it =>
+        val idx = index.value
+        it.flatMap { p =>
+          idx.getOrElse(grid.cellOf(p.x, p.y), Array.empty[Zone]).iterator
+            .filter(z => Geom.pointInMultiPolygon(Pt(p.x, p.y), z.geometry))
+            .map(z => (p.id, z.zone_id))
+        }
+      }
+      .toDF("id", "zone_id")
+  }
+
+  /** Partitioned PIP join: both sides exploded/keyed on covering cell and
+    * equi-joined, then refined. Scales to zone sides too large to broadcast;
+    * candidate pairs never exceed points × zones-overlapping-their-cell. */
+  def pipJoinPartitioned(
+      points: Dataset[IdPoint], zones: Dataset[Zone], grid: CellGrid): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val zoneCells = zones
+      .flatMap(z => grid.coverPolygon(z.geometry).map(c => (c, z)))
+      .toDF("cell", "zone")
+    val ptCells = points
+      .map(p => (grid.cellOf(p.x, p.y), p))
+      .toDF("cell", "pt")
+    ptCells
+      .join(zoneCells, "cell")
+      .select($"pt".as[IdPoint], $"zone".as[Zone])
+      .filter { t: (IdPoint, Zone) =>
+        Geom.pointInMultiPolygon(Pt(t._1.x, t._1.y), t._2.geometry)
+      }
+      .map(t => (t._1.id, t._2.zone_id))
+      .toDF("id", "zone_id")
+  }
+
+  /** Nearest-site join (the reference's closest-segment probe generalized:
+    * cons.py:428-490 move_address nearest building edge; cdau.py:241-243
+    * 5 m radius probe). Exact global nearest via ring-expanding cell search:
+    * a site in a ring at Chebyshev distance k is at least (k-1)*cellSize away,
+    * so the scan stops as soon as best <= (k-1)*cellSize. */
+  def nearestSiteJoin(
+      points: Dataset[IdPoint], sites: Seq[Site], grid: CellGrid): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    require(sites.nonEmpty, "nearestSiteJoin needs at least one site")
+    val byCell: Map[(Long, Long), Array[Site]] = sites
+      .groupBy(s => (grid.cellX(s.x), grid.cellY(s.y)))
+      .map { case (c, ss) => (c, ss.sortBy(_.site_id).toArray) }
+    val maxRing: Long = { // upper bound on rings ever needed
+      val xs = sites.map(s => grid.cellX(s.x)); val ys = sites.map(s => grid.cellY(s.y))
+      math.max(xs.max - xs.min, ys.max - ys.min) + 2
+    }
+    val bc = spark.sparkContext.broadcast(byCell)
+    points
+      .mapPartitions { it =>
+        val idx = bc.value
+        it.map { p =>
+          val cx = grid.cellX(p.x); val cy = grid.cellY(p.y)
+          var bestD2 = Double.MaxValue
+          var bestId = Long.MaxValue
+          var k = 0L
+          var done = false
+          while (!done) {
+            val bound = (k - 1).toDouble * grid.cellSize
+            if (k > 0 && bound > 0 && bestD2 <= bound * bound) done = true
+            else if (k > maxRing + 1) done = true
+            else {
+              for ((rcx, rcy) <- grid.ringCells(cx, cy, k);
+                   ss <- idx.get((rcx, rcy)); s <- ss) {
+                val dx = p.x - s.x; val dy = p.y - s.y
+                val d2 = dx * dx + dy * dy
+                if (d2 < bestD2 || (d2 == bestD2 && s.site_id < bestId)) {
+                  bestD2 = d2; bestId = s.site_id
+                }
+              }
+              k += 1
+            }
+          }
+          (p.id, bestId)
+        }
+      }
+      .toDF("id", "site_id")
+  }
+
+  /** Radius join: all (point, site) pairs within `radius`. Requires
+    * grid.cellSize >= radius so the 3×3 neighborhood covers the disc
+    * (the reference's Point.boundingBox + R-tree probe, geo/point.py:21-25). */
+  def radiusJoin(
+      points: Dataset[IdPoint], sites: Seq[Site], grid: CellGrid, radius: Double): DataFrame = {
+    require(grid.cellSize >= radius, "cellSize must be >= radius for 3x3 probe")
+    val spark = points.sparkSession
+    import spark.implicits._
+    val byCell: Map[Long, Array[Site]] = sites
+      .groupBy(s => grid.cellOf(s.x, s.y))
+      .map { case (c, ss) => (c, ss.sortBy(_.site_id).toArray) }
+    val bc = spark.sparkContext.broadcast(byCell)
+    val r2 = radius * radius
+    points
+      .mapPartitions { it =>
+        val idx = bc.value
+        it.flatMap { p =>
+          grid.neighborhood(p.x, p.y).iterator
+            .flatMap(c => idx.getOrElse(c, Array.empty[Site]).iterator)
+            .filter { s =>
+              val dx = p.x - s.x; val dy = p.y - s.y
+              dx * dx + dy * dy <= r2
+            }
+            .map(s => (p.id, s.site_id))
+        }
+      }
+      .toDF("id", "site_id")
+  }
+}

@@ -1,0 +1,75 @@
+package graft.spatial
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.geom.Pt
+
+/** Deterministic synthetic geo layer over the driver's `events` table.
+  *
+  * The graft input is a web-pages table with per-page geotags; this module
+  * derives the geotags deterministically (pure integer arithmetic on
+  * event_id, identical in Spark and ANSI SQL, so the DuckDB oracle can
+  * reproduce them bit-for-bit) and synthesizes the polygon side (admin zones
+  * as diamonds = convex 4-gons) and the site side (kNN targets).
+  *
+  * All literals are emitted into oracle SQL via Double.toString (shortest
+  * round-trip), so both engines parse the exact same binary64 values; all
+  * shapes keep points >= 0.003 away from zone boundaries (coords have 2
+  * decimals, zone params 3), so PIP classification is fp-robust.
+  */
+object SynthGeo {
+  val FieldMax = 100.0 // points live in [0, 100) x [0, 100)
+
+  /** Points from events: x = ((event_id*7919) % 10000)/100. */
+  def points(spark: SparkSession, sfDir: String): Dataset[IdPoint] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .select(
+        col("event_id").as("id"),
+        (col("event_id") * lit(7919L) % lit(10000L) / lit(100.0)).as("x"),
+        (col("event_id") * lit(104729L) % lit(10000L) / lit(100.0)).as("y"))
+      .as[IdPoint]
+  }
+
+  /** SQL fragment computing the same points in DuckDB. */
+  val pointsSql: String =
+    "SELECT event_id AS id, ((event_id*7919)%10000)/100.0 AS x, " +
+      "((event_id*104729)%10000)/100.0 AS y FROM events"
+
+  /** Diamond zone parameters (zone_id, cx, cy, r). */
+  val zoneParams: Seq[(Long, Double, Double, Double)] =
+    (0L until 12L).map { k =>
+      val cx = 12.505 + (k % 4) * 25.0
+      val cy = 16.505 + (k / 4) * 33.0
+      val r = 9.003 + (k % 5) * 2.4
+      (k, cx, cy, r)
+    }
+
+  /** Diamond ring (open, CCW): the generic-polygon form the engine consumes
+    * — the engine never special-cases diamonds; only the oracle does. */
+  def diamond(cx: Double, cy: Double, r: Double): Array[Array[Array[Pt]]] =
+    Array(Array(Array(Pt(cx + r, cy), Pt(cx, cy + r), Pt(cx - r, cy), Pt(cx, cy - r))))
+
+  def zones: Seq[Zone] = zoneParams.map { case (k, cx, cy, r) =>
+    Zone(k, f"$k%05d", if (k % 3 == 0) "P" else "M", diamond(cx, cy, r))
+  }
+
+  /** DuckDB VALUES table for the zones. */
+  val zonesSql: String = zoneParams
+    .map { case (k, cx, cy, r) => s"($k, $cx, $cy, $r)" }
+    .mkString("(VALUES ", ", ", ") AS z(zone_id, cx, cy, r)")
+
+  /** kNN sites. */
+  val siteParams: Seq[(Long, Double, Double)] =
+    (0L until 20L).map { k =>
+      val sx = (k * 37 % 97) + 0.515 + 0.013 * k
+      val sy = (k * 59 % 89) + 0.525 + 0.017 * k
+      (k, sx, sy)
+    }
+
+  def sites: Seq[Site] = siteParams.map { case (k, x, y) => Site(k, x, y) }
+
+  val sitesSql: String = siteParams
+    .map { case (k, x, y) => s"($k, $x, $y)" }
+    .mkString("(VALUES ", ", ", ") AS s(site_id, sx, sy)")
+}

@@ -1,0 +1,102 @@
+package graft.spatial
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.geom.{Geom, Pt}
+
+class CellGridSpec extends AnyFunSuite {
+  val grid = CellGrid(10.0, origin = 0.0, rowWidth = 1000L)
+
+  test("Scala cellOf mirrors the Catalyst cellCol exactly") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val pts = SynthGeo.points(spark, TestSpark.sf001)
+    val viaCol = pts.toDF().withColumn("cell", grid.cellCol(col("x"), col("y")))
+      .select("id", "cell").as[(Long, Long)].collect().toMap
+    val viaScala = pts.collect().map(p => (p.id, grid.cellOf(p.x, p.y))).toMap
+    assert(viaCol === viaScala)
+  }
+
+  test("bbox cover enumerates the rectangle of cells") {
+    val cells = grid.cover(Geom.BBox(5, 5, 25, 15))
+    assert(cells.size === 6) // x cells 0,1,2 × y cells 0,1
+    assert(cells.contains(grid.pack(0, 0)) && cells.contains(grid.pack(2, 1)))
+  }
+
+  test("ring cells: k=0 is self, k=1 is the 8 neighbors") {
+    assert(grid.ringCells(5, 5, 0) === Seq((5L, 5L)))
+    val r1 = grid.ringCells(5, 5, 1)
+    assert(r1.size === 8 && !r1.contains((5L, 5L)))
+    assert(grid.ringCells(5, 5, 2).size === 16)
+  }
+}
+
+class SpatialJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val pipGrid = CellGrid(8.0, origin = 0.0, rowWidth = 1L << 20)
+
+  test("broadcast and partitioned PIP joins agree") {
+    import spark.implicits._
+    val pts = SynthGeo.points(spark, TestSpark.sf001)
+    val zonesDs = spark.createDataset(SynthGeo.zones)
+    val a = SpatialJoin.pipJoinBroadcast(pts, SynthGeo.zones, pipGrid)
+      .as[(Long, Long)].collect().toSet
+    val b = SpatialJoin.pipJoinPartitioned(pts, zonesDs, pipGrid)
+      .as[(Long, Long)].collect().toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
+  test("PIP join matches brute-force ray casting") {
+    import spark.implicits._
+    val pts = SynthGeo.points(spark, TestSpark.sf001).collect()
+    val expected = (for {
+      p <- pts
+      z <- SynthGeo.zones
+      if Geom.pointInMultiPolygon(Pt(p.x, p.y), z.geometry)
+    } yield (p.id, z.zone_id)).toSet
+    val got = SpatialJoin
+      .pipJoinBroadcast(SynthGeo.points(spark, TestSpark.sf001), SynthGeo.zones, pipGrid)
+      .as[(Long, Long)].collect().toSet
+    assert(got === expected)
+  }
+
+  test("nearestSiteJoin matches brute-force argmin") {
+    import spark.implicits._
+    val grid = CellGrid(12.0, origin = 0.0, rowWidth = 1L << 20)
+    val pts = SynthGeo.points(spark, TestSpark.sf001).collect()
+    val expected = pts.map { p =>
+      val best = SynthGeo.sites.minBy(s => ((p.x - s.x) * (p.x - s.x) + (p.y - s.y) * (p.y - s.y), s.site_id))
+      (p.id, best.site_id)
+    }.toMap
+    val got = SpatialJoin
+      .nearestSiteJoin(SynthGeo.points(spark, TestSpark.sf001), SynthGeo.sites, grid)
+      .as[(Long, Long)].collect().toMap
+    assert(got === expected)
+  }
+
+  test("radiusJoin matches brute-force disc probe") {
+    import spark.implicits._
+    val grid = CellGrid(6.5, origin = 0.0, rowWidth = 1L << 20)
+    val pts = SynthGeo.points(spark, TestSpark.sf001).collect()
+    val r2 = 6.5 * 6.5
+    val expected = (for {
+      p <- pts; s <- SynthGeo.sites
+      if (p.x - s.x) * (p.x - s.x) + (p.y - s.y) * (p.y - s.y) <= r2
+    } yield (p.id, s.site_id)).toSet
+    val got = SpatialJoin
+      .radiusJoin(SynthGeo.points(spark, TestSpark.sf001), SynthGeo.sites, grid, 6.5)
+      .as[(Long, Long)].collect().toSet
+    assert(got === expected)
+  }
+
+  test("zone index covers every zone's own centroid cell") {
+    val idx = SpatialJoin.buildZoneIndex(SynthGeo.zones, pipGrid)
+    for (z <- SynthGeo.zones) {
+      val c = Geom.centroid(z.geometry)
+      val zs = idx.getOrElse(pipGrid.cellOf(c.x, c.y), Array.empty)
+      assert(zs.exists(_.zone_id == z.zone_id))
+    }
+  }
+}
