@@ -183,9 +183,11 @@ object Queries {
               count(*) AS n FROM pts GROUP BY 1 ORDER BY cell""")),
 
     // flagship: cell-join + exact ray-casting PIP (set_zones, parcel.py:91-114)
+    // — the codegen path: broadcast hash join on cell id + native
+    // PointInPolygonExpr refinement, all in one WholeStageCodegen stage
     "q_pip_join" -> Q(
       (s, d) => SpatialJoin
-        .pipJoinBroadcast(SynthGeo.points(s, d), SynthGeo.zones, pipGrid)
+        .pipJoinCodegen(SynthGeo.points(s, d).toDF(), "id", "x", "y", SynthGeo.zones, pipGrid)
         .orderBy("id", "zone_id"),
       Some(s"""$ptsCte
               SELECT p.id, z.zone_id FROM pts p
@@ -195,7 +197,7 @@ object Queries {
     // pages-per-zone-tile (the BASELINE throughput metric's query shape)
     "q_zone_count" -> Q(
       (s, d) => SpatialJoin
-        .pipJoinBroadcast(SynthGeo.points(s, d), SynthGeo.zones, pipGrid)
+        .pipJoinCodegen(SynthGeo.points(s, d).toDF(), "id", "x", "y", SynthGeo.zones, pipGrid)
         .groupBy("zone_id").agg(count(lit(1)).as("n"))
         .orderBy("zone_id"),
       Some(s"""$ptsCte

@@ -83,6 +83,48 @@ object SpatialJoin {
       .toDF("id", "zone_id")
   }
 
+  /** One flattened edge of a zone, for the codegen PIP expression. */
+  final case class Edge(ax: Double, ay: Double, bx: Double, by: Double)
+  /** Zone exploded per covering cell with pre-flattened edges. */
+  final case class ZoneCellEdges(cell: Long, zone_id: Long, edges: Array[Edge])
+
+  /** Pre-flatten all ring edges of a zone (even-odd handles holes/parts). */
+  def zoneEdges(z: Zone): Array[Edge] = {
+    val out = scala.collection.mutable.ArrayBuffer[Edge]()
+    for (poly <- z.geometry; ring <- poly) {
+      val n = ring.length
+      var i = 0
+      while (i < n) {
+        val a = ring(i); val b = ring((i + 1) % n)
+        out += Edge(a.x, a.y, b.x, b.y)
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** Fully-codegen broadcast PIP join: the point side never leaves Catalyst.
+    * Candidate prune = broadcast hash join on the UDF-free cell column;
+    * refinement = the native PointInPolygonExpr (doGenCode) — the whole
+    * scan→join→filter pipeline stays inside whole-stage codegen with zero
+    * object Encoders on the 10^12-row side. Preferred physical mode. */
+  def pipJoinCodegen(
+      points: DataFrame, idCol: String, xCol: String, yCol: String,
+      zones: Seq[Zone], grid: CellGrid): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val zoneSide = spark.createDataset(
+      zones.flatMap(z => grid.coverPolygon(z.geometry)
+        .map(c => ZoneCellEdges(c, z.zone_id, zoneEdges(z)))))
+      .toDF("cell", "zone_id", "edges")
+    points
+      .withColumn("cell", grid.cellCol(col(xCol), col(yCol)))
+      .join(broadcast(zoneSide), "cell")
+      .where(graft.functions.PointInPolygonExpr.pointInPolygon(
+        col(xCol), col(yCol), col("edges")))
+      .select(col(idCol).as("id"), col("zone_id"))
+  }
+
   /** Nearest-site join (the reference's closest-segment probe generalized:
     * cons.py:428-490 move_address nearest building edge; cdau.py:241-243
     * 5 m radius probe). Exact global nearest via ring-expanding cell search:

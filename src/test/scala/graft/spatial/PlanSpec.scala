@@ -1,0 +1,30 @@
+package graft.spatial
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Plan-shape guards: the flagship join must stay broadcast + codegen. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val grid = CellGrid(8.0, origin = 0.0, rowWidth = 1L << 20)
+
+  test("codegen PIP plan: broadcast hash join, WholeStageCodegen, no shuffle on point side") {
+    val pts = SynthGeo.points(spark, TestSpark.sf001).toDF()
+    val joined = SpatialJoin.pipJoinCodegen(pts, "id", "x", "y", SynthGeo.zones, grid)
+    joined.collect() // finalize the adaptive plan
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    // "*(1)" is the WholeStageCodegen stage marker in the compact plan string;
+    // the join itself must carry it (scan→filter→join→project in one stage)
+    assert(plan.contains("*(1) BroadcastHashJoin"), s"expected codegen join:\n$plan")
+    assert(plan.contains("point_in_polygon"), s"expected native PIP predicate:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
+  }
+
+  test("parquet scan prunes columns for the PIP query") {
+    val pts = SynthGeo.points(spark, TestSpark.sf001).toDF()
+    val plan = pts.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<event_id:bigint>"),
+      s"expected pruned scan (event_id only):\n$plan")
+  }
+}

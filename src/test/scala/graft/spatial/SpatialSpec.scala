@@ -48,6 +48,17 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(a.nonEmpty)
   }
 
+  test("codegen PIP join agrees with the typed broadcast join") {
+    import spark.implicits._
+    val pts = SynthGeo.points(spark, TestSpark.sf001)
+    val a = SpatialJoin.pipJoinBroadcast(pts, SynthGeo.zones, pipGrid)
+      .as[(Long, Long)].collect().toSet
+    val c = SpatialJoin.pipJoinCodegen(pts.toDF(), "id", "x", "y", SynthGeo.zones, pipGrid)
+      .as[(Long, Long)].collect().toSet
+    assert(c === a)
+    assert(c.nonEmpty)
+  }
+
   test("PIP join matches brute-force ray casting") {
     import spark.implicits._
     val pts = SynthGeo.points(spark, TestSpark.sf001).collect()
