@@ -277,6 +277,98 @@ object Queries {
         .mkString("SELECT * FROM (VALUES ", ", ",
           ") AS t(zone_id, n_before, n_after) ORDER BY zone_id"))),
 
+    // ============ building/parcel domain (SURVEY §2.5-2.6) ==============
+    // shared-segment adjacency -> connected components
+    // (get_adjacents_and_geometries + merge_groups, polygon.py:134-159)
+    "q_adjacency_components" -> Q(
+      (s, d) => graft.ops.Adjacency.components(
+        graft.layers.SynthCadastre.buildings(s, d))
+        .orderBy("bid"),
+      Some(s"""WITH u AS (SELECT event_id AS id FROM events
+              WHERE event_id < (SELECT count(*)//100 FROM events)*5),
+              b AS (SELECT id AS bid FROM u WHERE id%5 < (id//5)%4 + 2)
+              SELECT bid, (bid//5)*5 AS comp FROM b ORDER BY bid""")),
+
+    // geometry union per component: interior-edge cancellation + chaining
+    // (merge_geometries / merge_adjacents, polygon.py:526-574)
+    "q_union_geoms" -> Q(
+      (s, d) => graft.ops.Adjacency.unionByComponent(
+        graft.layers.SynthCadastre.buildings(s, d))
+        .orderBy("comp"),
+      Some(s"""WITH u AS (SELECT event_id AS id FROM events
+              WHERE event_id < (SELECT count(*)//100 FROM events)*5),
+              ks AS (SELECT DISTINCT id//5 AS k FROM u WHERE id%5 < (id//5)%4 + 2)
+              SELECT k*5 AS comp, k%4+2 AS n_buildings,
+                CAST((k%4+2)*100 AS DOUBLE) AS union_area,
+                CAST(4 AS BIGINT) AS n_vertices
+              FROM ks ORDER BY comp""")),
+
+    // greedy parts-count packing per zone (merge_by_parts_count,
+    // parcel.py:214-264); parts=1 makes the closed form oracle-expressible
+    "q_tile_pack" -> Q(
+      (s, d) => graft.ops.Adjacency.greedyPack(
+        graft.layers.SynthCadastre.parcels(s, d))
+        .orderBy("parcel_id"),
+      Some(s"""WITH u AS (SELECT event_id AS id FROM events
+              WHERE event_id < (SELECT count(*)//100 FROM events)*5),
+              p AS (SELECT id AS parcel_id, (id//5)//10 AS zone FROM u
+                    WHERE id%5 < (id//5)%4 + 2)
+              SELECT parcel_id, zone,
+                (row_number() OVER (PARTITION BY zone ORDER BY parcel_id)-1)//20 AS tile
+              FROM p ORDER BY parcel_id""")),
+
+    // address -> nearest building edge conjoin (move_address, cons.py:428-490)
+    "q_move_address" -> Q(
+      (s, d) => graft.ops.Conjoin.moveAddress(
+        graft.layers.SynthCadastre.addresses(s, d),
+        graft.layers.SynthCadastre.buildings(s, d))
+        .orderBy("bid"),
+      Some(s"""WITH u AS (SELECT event_id AS id FROM events
+              WHERE event_id < (SELECT count(*)//100 FROM events)*5),
+              b AS (SELECT id AS bid,
+                      ((id//5)%10)*100 + (id%5)*10 AS x0,
+                      ((id//5)//10)*100 AS y0
+                    FROM u WHERE id%5 < (id//5)%4 + 2)
+              SELECT bid, round(CAST(x0 AS DOUBLE), 6) AS proj_x,
+                round(y0 + 4.13, 6) AS proj_y,
+                round(3.37*3.37, 6) AS d2
+              FROM b ORDER BY bid""")),
+
+    // byte-identical text-extraction invariant (input_hint; the reference's
+    // fix_encoding discipline, catatom.py:178-202)
+    "q_extract_text" -> Q(
+      (s, d) => graft.sources.Pages.invariantCheck(
+        graft.sources.Pages.fromDocuments(s, d)),
+      Some("SELECT count(*) AS n_total, count(*) AS n_match FROM documents")),
+
+    // fuzzy street-name matching: token-sorted levenshtein argmin
+    // (hgwnames.match/dsmatch, hgwnames.py:49-96)
+    "q_fuzzy_match" -> Q(
+      (s, d) => {
+        def key(c: org.apache.spark.sql.Column) =
+          concat_ws(" ", array_sort(split(lower(c), " ")))
+        val cust = t(s, d, "customer").select("c_name")
+        val supp = t(s, d, "supplier").select("s_name")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("c_name").orderBy(col("d"), col("s_name"))
+        cust.crossJoin(broadcast(supp))
+          .withColumn("d", levenshtein(key(col("c_name")), key(col("s_name"))).cast("long"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("c_name"), col("s_name").as("best"), col("d"))
+          .orderBy("c_name")
+      },
+      Some("""SELECT c_name, s_name AS best, d FROM (
+                SELECT c_name, s_name,
+                  levenshtein(array_to_string(list_sort(string_split(lower(c_name),' ')),' '),
+                              array_to_string(list_sort(string_split(lower(s_name),' ')),' ')) AS d,
+                  row_number() OVER (PARTITION BY c_name ORDER BY
+                    levenshtein(array_to_string(list_sort(string_split(lower(c_name),' ')),' '),
+                                array_to_string(list_sort(string_split(lower(s_name),' ')),' ')),
+                    s_name) AS rn
+                FROM customer CROSS JOIN supplier)
+              WHERE rn = 1 ORDER BY c_name""")),
+
     // ================= text / training-data pipeline ====================
     "q_token_count" -> Q(
       (s, d) => t(s, d, "documents")

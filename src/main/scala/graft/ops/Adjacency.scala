@@ -1,0 +1,166 @@
+package graft.ops
+
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.geom.{Geom, Pt}
+import graft.layers.Building
+
+/** Shared-segment adjacency + connected components + polygon union —
+  * the reference's get_adjacents_and_geometries / merge_groups /
+  * merge_geometries pipeline (catatom2osm/geo/layer/polygon.py:134-159,
+  * 526-574; geo/tools.py:26-41), re-expressed as shuffles:
+  *
+  *  1. every ring edge is emitted under a canonical (undirected) segment key
+  *     — the "shared-vertex shuffle" of SURVEY §2.5;
+  *  2. segment keys with ≥2 owners become adjacency edges;
+  *  3. components form by iterative min-label propagation (join + groupBy
+  *     per round; rounds = component diameter, tiny for wall-sharing
+  *     buildings, and each round is a plain shuffle — scales to any count);
+  *  4. union per component = interior-edge cancellation (adjacent CCW rings
+  *     traverse a shared wall in opposite directions → the pair cancels)
+  *     followed by per-component boundary chaining.
+  */
+object Adjacency {
+
+  /** Directed edges of every building ring: (bid, ax, ay, bx, by). */
+  def directedEdges(bs: Dataset[Building]): DataFrame = {
+    val spark = bs.sparkSession
+    import spark.implicits._
+    bs.flatMap { b =>
+      val n = b.ring.length
+      (0 until n).map { i =>
+        val a = b.ring(i); val c = b.ring((i + 1) % n)
+        (b.bid, a.x, a.y, c.x, c.y)
+      }
+    }.toDF("bid", "ax", "ay", "bx", "by")
+  }
+
+  /** Canonical segment key columns (order-independent endpoint sort). */
+  private def withSegKey(edges: DataFrame): DataFrame =
+    edges.withColumn("seg",
+      when(struct(col("ax"), col("ay")) < struct(col("bx"), col("by")),
+        concat_ws(":", col("ax"), col("ay"), col("bx"), col("by")))
+        .otherwise(concat_ws(":", col("bx"), col("by"), col("ax"), col("ay"))))
+
+  /** Adjacency pairs: buildings sharing a full segment
+    * (is_shared_segment, polygon.py:86-97). */
+  def adjacentPairs(bs: Dataset[Building]): DataFrame = {
+    val e = withSegKey(directedEdges(bs)).select("seg", "bid")
+    e.as("l").join(e.as("r"),
+        col("l.seg") === col("r.seg") && col("l.bid") < col("r.bid"))
+      .select(col("l.bid").as("a"), col("r.bid").as("b"))
+      .distinct()
+  }
+
+  /** Connected components by min-label propagation. Returns (bid, comp)
+    * where comp = min bid of the component. */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    val spark = vertices.sparkSession
+    var labels = vertices.select(col("bid"), col("bid").as("comp"))
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .cache()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val nbrMin = sym.join(labels, sym("b") === labels("bid"))
+        .groupBy(sym("a").as("bid")).agg(min("comp").as("nbr_comp"))
+      val next = labels.join(nbrMin, Seq("bid"), "left")
+        .select(col("bid"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("comp", "old"), "bid")
+        .filter(col("comp") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    labels
+  }
+
+  def components(bs: Dataset[Building]): DataFrame = {
+    import bs.sparkSession.implicits._
+    connectedComponents(
+      bs.map(b => b.bid).toDF("bid"),
+      adjacentPairs(bs))
+  }
+
+  /** Chain a set of boundary directed edges into closed ring(s). */
+  def assembleRings(edges: Seq[(Pt, Pt)]): Seq[Array[Pt]] = {
+    val next = mutable.Map[Pt, Pt]()
+    edges.foreach { case (a, b) => next(a) = b }
+    val visited = mutable.Set[Pt]()
+    val rings = mutable.ArrayBuffer[Array[Pt]]()
+    // deterministic chain starts (min vertex first) so ring vertex order is
+    // reproducible at any parallelism — SURVEY §7.4 order-sensitivity rule
+    for (start <- next.keys.toSeq.sortBy(p => (p.x, p.y)) if !visited(start)) {
+      val ring = mutable.ArrayBuffer[Pt]()
+      var cur = start
+      var guard = 0
+      while (!visited(cur) && guard <= edges.size) {
+        visited += cur
+        ring += cur
+        cur = next(cur)
+        guard += 1
+      }
+      if (ring.size >= 3) rings += ring.toArray
+    }
+    rings.toSeq
+  }
+
+  /** Union geometries per component: interior-edge cancellation + chaining
+    * + collinear-vertex simplification. Returns
+    * (comp, n_buildings, union_area, n_vertices). */
+  def unionByComponent(bs: Dataset[Building]): DataFrame = {
+    val spark = bs.sparkSession
+    import spark.implicits._
+    val comps = components(bs)
+    val edges = directedEdges(bs).join(comps, "bid")
+    // interior walls: the same undirected segment owned by 2 buildings of
+    // one component -> drop both directions; boundary edges survive alone
+    val boundary = withSegKey(edges)
+      .withColumn("cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("comp", "seg")))
+      .filter(col("cnt") === 1)
+      .select(col("comp"), col("ax"), col("ay"), col("bx"), col("by"))
+    val nPer = comps.groupBy("comp").agg(count(lit(1)).as("n_buildings"))
+    boundary
+      .as[(Long, Double, Double, Double, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (comp, it) =>
+        val es = it.map(t => (Pt(t._2, t._3), Pt(t._4, t._5))).toSeq
+        val rings = assembleRings(es)
+          .map(r => graft.clean.PolygonClean.simplifyRing(r))
+        val area = rings.map(Geom.ringArea).sum
+        val nVerts = rings.map(_.length).sum
+        (comp, area, nVerts.toLong)
+      }
+      .toDF("comp", "union_area", "n_vertices")
+      .join(nPer, "comp")
+      .select("comp", "n_buildings", "union_area", "n_vertices")
+  }
+
+  /** Greedy parts-count packing per zone (merge_by_parts_count semantics,
+    * parcel.py:214-264): zones are independent (parallel); within a zone the
+    * greedy walk is sequential in deterministic parcel_id order — exactly
+    * the order-sensitivity contract of SURVEY §7.4. */
+  def greedyPack(parcels: DataFrame, cap: Long = 20L): DataFrame = {
+    val spark = parcels.sparkSession
+    import spark.implicits._
+    parcels.select(col("parcel_id").cast("long"), col("zone").cast("long"), col("parts").cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroups { (zone, it) =>
+        val sorted = it.toSeq.sortBy(_._1)
+        var tile = 0L
+        var acc = 0L
+        sorted.map { case (pid, _, parts) =>
+          if (acc + parts > cap && acc > 0) { tile += 1; acc = 0L }
+          acc += parts
+          (pid, zone, tile)
+        }
+      }
+      .toDF("parcel_id", "zone", "tile")
+  }
+}

@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming face of the engine. The reference is batch-only
+  * (SURVEY §2.8), so streaming here covers the graft's ingest shape: a
+  * watermarked tumbling-window aggregation over the events table that is
+  * provably equivalent to the batch q_event_windows query — the streaming
+  * and batch plans share the same grouping semantics, so a pipeline can
+  * switch between backfill (batch) and live (stream) with identical results.
+  */
+object EventStream {
+
+  /** Tumbling 5-minute windowed counts/sums, streaming flavor. */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("ets", col("ts").cast("timestamp"))
+      .withWatermark("ets", "10 minutes")
+      .groupBy(window(col("ets"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(
+        (unix_micros(col("window.start")) / lit(300000000L)).cast("long").as("bucket"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Run the streaming agg over the parquet events of `sfDir` synchronously
+    * (memory sink, complete mode) and return the result as a DataFrame. */
+  def runOnce(spark: SparkSession, sfDir: String, queryName: String): DataFrame = {
+    val schema: StructType = spark.read
+      .parquet(s"$sfDir/events.parquet").schema
+    // FileStreamSource needs a directory; the testdata table is a single
+    // file, so scope the directory scan with a glob filter
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    val q = windowedAgg(stream).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+}
