@@ -369,6 +369,34 @@ object Queries {
                 FROM customer CROSS JOIN supplier)
               WHERE rn = 1 ORDER BY c_name""")),
 
+    // multimodal plumbing: binary payload + typed metadata through the
+    // batched per-partition decode (codec STUBBED — container has no libs;
+    // the oracle gates the metadata pass-through and batch shape)
+    "q_media_meta" -> Q(
+      (s, d) => graft.multimodal.Media.decodeFeatures(
+        graft.multimodal.Media.synth(s, d))
+        .select("doc_id", "kind", "n_bytes")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+              CASE WHEN doc_id % 3 = 0 THEN 'image' ELSE 'audio' END AS kind,
+              128 + n_chars % 256 AS n_bytes
+              FROM documents ORDER BY doc_id""")),
+
+    // OSM output model: deterministic negative-id assignment over total key
+    // order (osm.py id discipline re-expressed as two-phase global rank)
+    "q_osm_ids" -> Q(
+      (s, d) => graft.sources.OsmOut.addressNodes(
+        graft.layers.SynthCadastre.addresses(s, d),
+        "bid", "px", "py", Map("addr:housenumber" -> "bid"))
+        .select("key", "osm_id")
+        .orderBy("key"),
+      Some("""WITH u AS (SELECT event_id AS id FROM events
+              WHERE event_id < (SELECT count(*)//100 FROM events)*5),
+              b AS (SELECT id AS bid FROM u WHERE id%5 < (id//5)%4 + 2)
+              SELECT bid AS key,
+                -(row_number() OVER (ORDER BY bid)) AS osm_id
+              FROM b ORDER BY key""")),
+
     // ================= text / training-data pipeline ====================
     "q_token_count" -> Q(
       (s, d) => t(s, d, "documents")

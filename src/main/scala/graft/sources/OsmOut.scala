@@ -1,0 +1,99 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** OSM output element model (reference osm.py:9-57,254,318 + osmxml.py):
+  * nodes/ways with tag maps and deterministic NEGATIVE id assignment —
+  * new OSM elements carry negative ids before upload; the reference assigns
+  * them by insertion order, which is not reproducible under parallelism, so
+  * here ids come from row_number over a total key order (SURVEY §1.4):
+  * identical output at any partitioning.
+  */
+object OsmOut {
+
+  /** Deterministic global rank (1-based) by key WITHOUT collapsing to one
+    * partition: range-repartition + sort-within + zipWithIndex (two-phase
+    * per-partition offsets). The rank is a pure function of the key's total
+    * order — identical at any parallelism — unlike a global Window.orderBy,
+    * which would funnel 10^12 rows through a single partition. */
+  def withGlobalRank(df: DataFrame, keyCol: String, rankCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(col(keyCol)).sortWithinPartitions(keyCol)
+    val schema = sorted.schema
+    val withIdx = sorted.rdd.zipWithIndex.map { case (row, idx) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (idx + 1L))
+    }
+    spark.createDataFrame(withIdx,
+      schema.add(rankCol, org.apache.spark.sql.types.LongType, nullable = false))
+  }
+
+  /** Address points -> OSM nodes: osm_id = -rank over sorted key. */
+  def addressNodes(addresses: DataFrame, keyCol: String, xCol: String, yCol: String,
+      tagCols: Map[String, String]): DataFrame = {
+    val tags = map(
+      tagCols.toSeq.sortBy(_._1).flatMap { case (k, c) =>
+        Seq(lit(k), col(c).cast("string"))
+      }: _*)
+    withGlobalRank(addresses, keyCol, "rank")
+      .withColumn("osm_id", -col("rank"))
+      .withColumn("tags", tags)
+      .select(col(keyCol).as("key"), col("osm_id"), col(xCol).as("x"),
+        col(yCol).as("y"), col("tags"))
+  }
+
+  /** Serialize one task's nodes to OSM XML (osmxml.serialize semantics,
+    * osmxml.py:16-41): deterministic element order by osm_id desc. */
+  def nodesToXml(nodes: Seq[(Long, Double, Double, Map[String, String])]): String = {
+    val sb = new StringBuilder
+    sb ++= "<?xml version='1.0' encoding='UTF-8'?>\n"
+    sb ++= "<osm version='0.6' generator='graft'>\n"
+    nodes.sortBy(-_._1).foreach { case (id, x, y, tags) =>
+      sb ++= s"  <node id='$id' lon='$x' lat='$y'"
+      if (tags.isEmpty) sb ++= " />\n"
+      else {
+        sb ++= ">\n"
+        tags.toSeq.sortBy(_._1).foreach { case (k, v) =>
+          sb ++= s"    <tag k='${escape(k)}' v='${escape(v)}' />\n"
+        }
+        sb ++= "  </node>\n"
+      }
+    }
+    sb ++= "</osm>\n"
+    sb.toString
+  }
+
+  private def escape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;").replace("'", "&apos;")
+
+  /** Minimal deserialize for round-trip checks (osmxml.deserialize analog,
+    * osmxml.py:44-126): parse node elements back. */
+  def xmlToNodes(xml: String): Seq[(Long, Double, Double, Map[String, String])] = {
+    val nodeRe = "(?s)<node id='(-?\\d+)' lon='([^']+)' lat='([^']+)'( />|>(.*?)</node>)".r
+    val tagRe = "<tag k='([^']*)' v='([^']*)' />".r
+    nodeRe.findAllMatchIn(xml).map { m =>
+      val tags = Option(m.group(5)).map { body =>
+        tagRe.findAllMatchIn(body).map(t => (unescape(t.group(1)), unescape(t.group(2)))).toMap
+      }.getOrElse(Map.empty[String, String])
+      (m.group(1).toLong, m.group(2).toDouble, m.group(3).toDouble, tags)
+    }.toSeq
+  }
+
+  private def unescape(s: String): String =
+    s.replace("&apos;", "'").replace("&gt;", ">").replace("&lt;", "<").replace("&amp;", "&")
+
+  /** One .osm XML document per task (process_tasks, app.py:310-389):
+    * groupByKey(task) -> serialize per group — one file per tile. */
+  def perTaskXml(nodes: DataFrame, taskCol: String): Dataset[(Long, String)] = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    nodes
+      .select(col(taskCol).cast("long"), col("osm_id"), col("x"), col("y"), col("tags"))
+      .as[(Long, Long, Double, Double, Map[String, String])]
+      .groupByKey(_._1)
+      .mapGroups { (task, it) =>
+        (task, nodesToXml(it.map(t => (t._2, t._3, t._4, t._5)).toSeq))
+      }
+  }
+}

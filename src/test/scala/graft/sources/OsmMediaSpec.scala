@@ -1,0 +1,67 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class OsmOutSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("negative ids are a pure function of key order, at any parallelism") {
+    import spark.implicits._
+    val addr = graft.layers.SynthCadastre.addresses(spark, TestSpark.sf001)
+    val a = OsmOut.addressNodes(addr, "bid", "px", "py", Map.empty)
+      .select("key", "osm_id").as[(Long, Long)].collect().toMap
+    val b = OsmOut.addressNodes(addr.repartition(7), "bid", "px", "py", Map.empty)
+      .select("key", "osm_id").as[(Long, Long)].collect().toMap
+    assert(a === b)
+    assert(a.values.min === -a.size.toLong && a.values.max === -1L)
+  }
+
+  test("XML serialize/deserialize round-trips nodes with tags") {
+    val nodes = Seq(
+      (-1L, 1.5, 2.5, Map("addr:street" -> "Calle O'Hara & <Co>", "ref" -> "7")),
+      (-2L, 3.25, 4.75, Map.empty[String, String]))
+    val xml = OsmOut.nodesToXml(nodes)
+    assert(OsmOut.xmlToNodes(xml).toSet === nodes.toSet)
+  }
+
+  test("perTaskXml emits one document per task with that task's nodes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val addr = graft.layers.SynthCadastre.addresses(spark, TestSpark.sf001)
+    val nodes = OsmOut.addressNodes(addr, "bid", "px", "py", Map("ref" -> "bid"))
+      .withColumn("task", pmod(col("key"), lit(3)))
+    val perTask = OsmOut.perTaskXml(nodes, "task").collect().toMap
+    assert(perTask.size === 3)
+    val total = perTask.values.map(x => OsmOut.xmlToNodes(x).size).sum
+    assert(total === addr.count())
+  }
+}
+
+class MediaSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("decodeFeatures preserves rows, metadata, and emits normalized features") {
+    import spark.implicits._
+    val media = graft.multimodal.Media.synth(spark, TestSpark.sf001)
+    val feats = graft.multimodal.Media.decodeFeatures(media)
+      .as[graft.multimodal.Media.MediaFeatures].collect()
+    assert(feats.length === media.count())
+    feats.foreach { f =>
+      assert(f.features.length === 8)
+      assert(math.abs(f.features.map(_.toDouble).sum - 1.0) < 1e-5) // histogram sums to 1
+    }
+  }
+
+  test("decode is deterministic across partitionings (no shuffle dependence)") {
+    import spark.implicits._
+    val media = graft.multimodal.Media.synth(spark, TestSpark.sf001)
+    val a = graft.multimodal.Media.decodeFeatures(media)
+      .as[graft.multimodal.Media.MediaFeatures].collect()
+      .map(f => (f.doc_id, f.features.toSeq)).toMap
+    val b = graft.multimodal.Media.decodeFeatures(media.repartition(5))
+      .as[graft.multimodal.Media.MediaFeatures].collect()
+      .map(f => (f.doc_id, f.features.toSeq)).toMap
+    assert(a === b)
+  }
+}
