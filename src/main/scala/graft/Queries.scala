@@ -349,13 +349,14 @@ object Queries {
           concat_ws(" ", array_sort(split(lower(c), " ")))
         val cust = t(s, d, "customer").select("c_name")
         val supp = t(s, d, "supplier").select("s_name")
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("c_name").orderBy(col("d"), col("s_name"))
+        // argmin via min(struct(d, name)): partial-aggregates map-side, no
+        // per-group sort — the grouped-match rewrite the reference measured
+        // at 127x (test/benchmark.py.old:166-174), Spark-shaped
         cust.crossJoin(broadcast(supp))
           .withColumn("d", levenshtein(key(col("c_name")), key(col("s_name"))).cast("long"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("c_name"), col("s_name").as("best"), col("d"))
+          .groupBy("c_name")
+          .agg(min(struct(col("d"), col("s_name"))).as("m"))
+          .select(col("c_name"), col("m.s_name").as("best"), col("m.d").as("d"))
           .orderBy("c_name")
       },
       Some("""SELECT c_name, s_name AS best, d FROM (

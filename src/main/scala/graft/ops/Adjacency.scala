@@ -56,11 +56,13 @@ object Adjacency {
   /** Connected components by min-label propagation. Returns (bid, comp)
     * where comp = min bid of the component. */
   def connectedComponents(vertices: DataFrame, edges: DataFrame, maxIter: Int = 30): DataFrame = {
-    val spark = vertices.sparkSession
-    var labels = vertices.select(col("bid"), col("bid").as("comp"))
+    // localCheckpoint (eager) per round truncates the lineage — without it
+    // every convergence check replays all previous rounds, turning an
+    // O(diameter) loop into O(diameter²) plan growth
+    var labels = vertices.select(col("bid"), col("bid").as("comp")).localCheckpoint()
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
-      .cache()
+      .localCheckpoint()
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -69,7 +71,7 @@ object Adjacency {
       val next = labels.join(nbrMin, Seq("bid"), "left")
         .select(col("bid"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-        .cache()
+        .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("comp", "old"), "bid")
         .filter(col("comp") =!= col("old")).limit(1).count()
       labels = next

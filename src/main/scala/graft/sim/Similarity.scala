@@ -15,8 +15,14 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Dot product of two float-array columns, accumulated left-to-right in
-    * double (deterministic order → reproducible bits). */
+    * double (deterministic order → reproducible bits). Native codegen
+    * expression — the HOF formulation (aggregate∘zip_with) is semantically
+    * identical but interpreted per element (CodegenFallback). */
   def dot(a: Column, b: Column): Column =
+    graft.functions.DotF32Expr.dotF32(a, b)
+
+  /** The HOF formulation, kept for cross-checking the native expression. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
@@ -57,7 +63,8 @@ object Similarity {
     * per-plane dot via aggregate over zip_with against an array literal. */
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (p, i) =>
-      val planeCol = array(p.map(lit): _*)
+      // float literals so the native dot_f32 kernel applies on both sides
+      val planeCol = array(p.map(v => lit(v.toFloat)): _*)
       when(dot(vec, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)

@@ -121,3 +121,21 @@ class SimilaritySpec extends AnyFunSuite {
       Similarity.hyperplanes(4, 8).map(_.toSeq).toSeq)
   }
 }
+
+class DotExprSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+
+  test("native dot_f32 is bit-identical to the HOF formulation") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"${graft.TestSpark.sf001}/embeddings.parquet")
+    val l = emb.select(col("vec_id").as("a"), col("embedding").as("va"))
+    val r = emb.select(col("vec_id").as("b"), col("embedding").as("vb"))
+    val pairs = l.join(r, col("a") < col("b")).limit(20000)
+    val diffs = pairs
+      .select(Similarity.dot(col("va"), col("vb")).as("x"),
+        Similarity.dotHof(col("va"), col("vb")).as("y"))
+      .filter(col("x") =!= col("y"))
+      .count()
+    assert(diffs === 0)
+  }
+}
