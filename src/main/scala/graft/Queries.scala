@@ -289,6 +289,31 @@ object Queries {
               b AS (SELECT id AS bid FROM u WHERE id%5 < (id//5)%4 + 2)
               SELECT bid, (bid//5)*5 AS comp FROM b ORDER BY bid""")),
 
+    // cross-feature vertex snap (topology(dup_thr), polygon.py:161-272):
+    // shared corners perturbed below dupThr must snap back so adjacency
+    // components recover the exact closed-form clusters
+    "q_topology_snap" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val perturbed = graft.layers.SynthCadastre.buildings(s, d)
+          .map { b =>
+            if (b.bid % 5 == 0) graft.clean.Feature(b.bid, b.ring)
+            else {
+              val r = b.ring.clone()
+              r(0) = graft.geom.Pt(r(0).x + 0.004, r(0).y + 0.003) // bottom-left
+              r(3) = graft.geom.Pt(r(3).x - 0.003, r(3).y - 0.002) // top-left
+              graft.clean.Feature(b.bid, r)
+            }
+          }
+        val snapped = graft.clean.Topology.snapVertices(perturbed)
+          .map(f => graft.layers.Building(f.fid, 0L, 0L, f.ring))
+        graft.ops.Adjacency.components(snapped).orderBy("bid")
+      },
+      Some(s"""WITH u AS (SELECT event_id AS id FROM events
+              WHERE event_id < (SELECT count(*)//100 FROM events)*5),
+              b AS (SELECT id AS bid FROM u WHERE id%5 < (id//5)%4 + 2)
+              SELECT bid, (bid//5)*5 AS comp FROM b ORDER BY bid""")),
+
     // geometry union per component: interior-edge cancellation + chaining
     // (merge_geometries / merge_adjacents, polygon.py:526-574)
     "q_union_geoms" -> Q(

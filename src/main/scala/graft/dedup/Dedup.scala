@@ -33,10 +33,16 @@ object Dedup {
       sequence(lit(0), greatest(size(toks) - lit(n), lit(0))),
       i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))
 
-  /** 64-permutation MinHash signature of a shingle array column.
-    * Permutation j: h_j(s) = (a_j * xxhash64(s) + b_j) mod p, min over
-    * shingles. Affine params derive from j deterministically. */
-  def minhashSignature(sh: Column, nPerm: Int = 64): Column = {
+  /** 64-permutation MinHash signature of a shingle array column — native
+    * codegen expression (graft.functions.MinHashSigExpr): one primitive
+    * pass computes all permutation minima. */
+  def minhashSignature(sh: Column, nPerm: Int = 64): Column =
+    graft.functions.MinHashSigExpr.minhashSig(sh, nPerm)
+
+  /** Interpreted HOF formulation, kept for reference/benchmark contrast:
+    * nPerm aggregates over xxhash64-transformed shingles (CodegenFallback,
+    * evaluated per element per permutation). */
+  def minhashSignatureHof(sh: Column, nPerm: Int = 64): Column = {
     val p = lit(2305843009213693951L) // 2^61 - 1
     val hashes = transform(sh, s => xxhash64(s))
     val perms = (0 until nPerm).map { j =>

@@ -83,6 +83,31 @@ object SpatialJoin {
       .toDF("id", "zone_id")
   }
 
+  /** Salted partitioned PIP join — the skew lever for hot cells when the
+    * zone side is too large to broadcast (north rule: "salted repartitioning
+    * for hot-cell skew"). The big point side gets salt = pmod(hash(id),
+    * nSalt) appended to its cell key; the zone side is exploded ×nSalt — so
+    * a hot cell's candidate pairs spread over nSalt reducers instead of one.
+    * Semantically identical to pipJoinPartitioned (set-equality tested). */
+  def pipJoinPartitionedSalted(
+      points: DataFrame, idCol: String, xCol: String, yCol: String,
+      zones: Dataset[Zone], grid: CellGrid, nSalt: Int = 8): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val zoneSide = zones
+      .flatMap(z => grid.coverPolygon(z.geometry).flatMap(c =>
+        (0 until nSalt).map(s => ZoneCellEdges(c * nSalt + s, z.zone_id, zoneEdges(z)))))
+      .toDF("cellSalt", "zone_id", "edges")
+    points
+      .withColumn("cellSalt",
+        grid.cellCol(col(xCol), col(yCol)) * nSalt +
+          pmod(hash(col(idCol)), lit(nSalt)).cast("long"))
+      .join(zoneSide, "cellSalt")
+      .where(graft.functions.PointInPolygonExpr.pointInPolygon(
+        col(xCol), col(yCol), col("edges")))
+      .select(col(idCol).as("id"), col("zone_id"))
+  }
+
   /** One flattened edge of a zone, for the codegen PIP expression. */
   final case class Edge(ax: Double, ay: Double, bx: Double, by: Double)
   /** Zone exploded per covering cell with pre-flattened edges. */

@@ -111,3 +111,39 @@ class SpatialJoinSpec extends AnyFunSuite {
     }
   }
 }
+
+class SaltedJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val grid = CellGrid(8.0, origin = 0.0, rowWidth = 1L << 20)
+
+  test("salted partitioned PIP join equals the broadcast join") {
+    import spark.implicits._
+    val pts = SynthGeo.points(spark, TestSpark.sf001)
+    val expected = SpatialJoin.pipJoinBroadcast(pts, SynthGeo.zones, grid)
+      .as[(Long, Long)].collect().toSet
+    val salted = SpatialJoin.pipJoinPartitionedSalted(
+      pts.toDF(), "id", "x", "y", spark.createDataset(SynthGeo.zones), grid, nSalt = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(salted === expected)
+  }
+}
+
+class MinHashExprSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("native minhash signature: deterministic, right arity, sensitive to content") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, Seq("a b c", "b c d", "c d e")),
+      (2L, Seq("a b c", "b c d", "c d e")),
+      (3L, Seq("x y z"))).toDF("id", "sh")
+    val sigs = df.select(col("id"),
+        graft.dedup.Dedup.minhashSignature(col("sh"), 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(1L).length === 16)
+    assert(sigs(1L) === sigs(2L))       // identical shingles -> identical sig
+    assert(sigs(1L) !== sigs(3L))
+    assert(sigs.values.flatten.forall(_ >= 0))
+  }
+}
