@@ -277,7 +277,88 @@ object Queries {
         .mkString("SELECT * FROM (VALUES ", ", ",
           ") AS t(zone_id, n_before, n_after) ORDER BY zone_id"))),
 
+    // grouped collect (index_of_parts / get_parts lists, cons.py:93-124):
+    // deterministic via sort_array before join to string
+    "q_group_parts" -> Q(
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(concat_ws(",", sort_array(collect_list(col("l_linenumber")))).as("parts"),
+          count(lit(1)).as("n"))
+        .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey,
+              string_agg(l_linenumber, ',' ORDER BY l_linenumber) AS parts,
+              count(*) AS n
+              FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""")),
+
+    // label formatting + level decode + image-link templating
+    // (ZoningLayer.format_label/check_zone zoning.py:51-73;
+    //  AddressLayer.get_image_links address.py:144-150)
+    "q_format_label" -> Q(
+      (s, d) => t(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          format_string("%05d", col("o_orderkey") % 100000).as("label"),
+          when(col("o_orderstatus") === "O", "M").otherwise("P").as("level"),
+          concat(lit("https://catastro.example/ref/"),
+            substring(format_string("%09d", col("o_orderkey")), -6, 6)).as("image"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+              printf('%05d', o_orderkey % 100000) AS label,
+              CASE WHEN o_orderstatus = 'O' THEN 'M' ELSE 'P' END AS level,
+              'https://catastro.example/ref/' ||
+                substr(printf('%09d', o_orderkey), -6, 6) AS image
+              FROM orders ORDER BY o_orderkey""")),
+
+    // composite-key conflation (AddressLayer.conflate, address.py:69-93:
+    // drop rows whose street+number key exists in the current OSM set)
+    "q_addr_conflate" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val existing = docs.filter(col("doc_id") % 7 === 0)
+          .select(concat_ws(":", col("lang"), col("source")).as("k")).distinct()
+        docs
+          .withColumn("k", concat_ws(":", col("lang"), col("source")))
+          .join(broadcast(existing), Seq("k"), "left_anti")
+          .select("doc_id", "k")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang || ':' || source AS k FROM documents
+              WHERE lang || ':' || source NOT IN
+                (SELECT DISTINCT lang || ':' || source FROM documents
+                 WHERE doc_id % 7 = 0)
+              ORDER BY doc_id""")),
+
     // ============ building/parcel domain (SURVEY §2.5-2.6) ==============
+    // explode multipolygon parts (explode_multi_parts, polygon.py:51-84)
+    "q_explode_parts" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val k = graft.layers.SynthCadastre.nClusters(s, d)
+        s.range(0L, k)
+          .as[Long]
+          .map { fid =>
+            // feature fid owns (fid % 3) + 1 disjoint 10x10 squares
+            val parts = (0 until (fid % 3 + 1).toInt).map { j =>
+              val x0 = fid * 50.0 + j * 20.0
+              Array(Array(graft.geom.Pt(x0, 0), graft.geom.Pt(x0 + 10, 0),
+                graft.geom.Pt(x0 + 10, 10), graft.geom.Pt(x0, 10)))
+            }.toArray
+            (fid, parts)
+          }
+          .flatMap { case (fid, mp) =>
+            graft.clean.PolygonClean.explodeParts(mp).zipWithIndex.map {
+              case (part, i) => (fid, i.toLong, graft.geom.Geom.area(part))
+            }
+          }
+          .toDF("fid", "part_idx", "area")
+          .orderBy("fid", "part_idx")
+      },
+      Some("""WITH f AS (SELECT event_id AS fid FROM events
+                WHERE event_id < (SELECT count(*)//100 FROM events)),
+              e AS (SELECT fid, unnest(range(0, fid % 3 + 1)) AS part_idx FROM f)
+              SELECT fid, part_idx, CAST(100 AS DOUBLE) AS area
+              FROM e ORDER BY fid, part_idx""")),
+
     // shared-segment adjacency -> connected components
     // (get_adjacents_and_geometries + merge_groups, polygon.py:134-159)
     "q_adjacency_components" -> Q(
@@ -358,6 +439,31 @@ object Queries {
                 round(y0 + 4.13, 6) AS proj_y,
                 round(3.37*3.37, 6) AS d2
               FROM b ORDER BY bid""")),
+
+    // polygon->zone assignment by the >=50%-area rule (set_zones +
+    // is_inside_area; exact convex clipping — brute-force-verified in
+    // AreaAssignSpec, no closed-form SQL for diamond∩square -> rows-only)
+    "q_zone_assign_area" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val parcels = graft.layers.SynthCadastre.buildings(s, d)
+          .map { b =>
+            // site a 4x4 parcel square near zone (bid%12) so overlaps vary
+            // from fully-inside to straddling to outside
+            val z = graft.spatial.SynthGeo.zoneParams((b.bid % 12).toInt)
+            val x0 = z._2 - 12.0 + (b.bid % 7) * 3.5
+            val y0 = z._3 - 12.0 + (b.bid % 11) * 2.5
+            val ring = Array(
+              graft.geom.Pt(x0, y0), graft.geom.Pt(x0 + 4, y0),
+              graft.geom.Pt(x0 + 4, y0 + 4), graft.geom.Pt(x0, y0 + 4))
+            (b.bid, ring)
+          }
+        graft.spatial.SpatialJoin.assignZonesByArea(
+          parcels, graft.spatial.SynthGeo.zones,
+          graft.spatial.CellGrid(8.0, origin = -100.0, rowWidth = 1L << 20))
+          .orderBy("id", "zone_id")
+      },
+      None),
 
     // byte-identical text-extraction invariant (input_hint; the reference's
     // fix_encoding discipline, catatom.py:178-202)

@@ -1,0 +1,46 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.spatial.Zone
+
+/** Tab-delimited K/V persistence + GeoJSON export — the reference's
+  * csvtools (highway_names.csv / tasks.csv, csvtools.py:10-91) and
+  * BaseLayer.export GeoJSON path (base.py:372-400).
+  */
+object CsvGeoJson {
+
+  /** Write a key→value dict as tab-separated csv (csvtools.dict2csv). */
+  def writeDict(spark: SparkSession, dict: Map[String, String], path: String): Unit = {
+    import spark.implicits._
+    dict.toSeq.sortBy(_._1).toDF("k", "v")
+      .coalesce(1)
+      .write.mode("overwrite").option("sep", "\t").csv(path)
+  }
+
+  /** Read it back (csvtools.csv2dict). */
+  def readDict(spark: SparkSession, path: String): Map[String, String] = {
+    import spark.implicits._
+    spark.read.option("sep", "\t").csv(path)
+      .select(col("_c0"), col("_c1"))
+      .as[(String, String)].collect().toMap
+  }
+
+  /** Zones -> GeoJSON FeatureCollection lines (one Feature per row), via
+    * to_json over nested structs — no hand-built strings. */
+  def zonesToGeoJson(spark: SparkSession, zones: Seq[Zone]): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(zones)
+      .map { z =>
+        val coords = z.geometry.map(poly => poly.map(ring =>
+          (ring :+ ring.head).map(p => Array(p.x, p.y)))) // closed rings
+        (z.zone_id, z.label, z.level, coords)
+      }
+      .toDF("zone_id", "label", "level", "coordinates")
+      .select(to_json(struct(
+        lit("Feature").as("type"),
+        struct(col("zone_id"), col("label"), col("level")).as("properties"),
+        struct(lit("MultiPolygon").as("type"), col("coordinates")).as("geometry")))
+        .as("feature"))
+  }
+}

@@ -150,6 +150,34 @@ object SpatialJoin {
       .select(col(idCol).as("id"), col("zone_id"))
   }
 
+  /** Polygon→zone assignment by the ≥50%-area rule (ParcelLayer.set_zones +
+    * is_inside_area, parcel.py:91-114 / geo/tools.py:11-19): a feature
+    * belongs to a zone if fully contained or if ≥ half its area overlaps.
+    * Candidates via the feature's bbox covering cells against the broadcast
+    * zone index; exact overlap via convex clipping (zones are convex).
+    * Multi-zone overlap can assign a feature to at most two zones at 50/50 —
+    * ties resolved by emitting both, as the reference's two-pass does. */
+  def assignZonesByArea(
+      features: Dataset[(Long, Array[graft.geom.Pt])],
+      zones: Seq[Zone], grid: CellGrid): DataFrame = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    val index = spark.sparkContext.broadcast(buildZoneIndex(zones, grid))
+    features
+      .mapPartitions { it =>
+        val idx = index.value
+        it.flatMap { case (id, ring) =>
+          val cand = grid.cover(Geom.bbox(Array(Array(ring))))
+            .flatMap(c => idx.getOrElse(c, Array.empty[Zone]))
+            .distinct
+          cand.iterator
+            .filter(z => Geom.isInsideAreaConvex(ring, z.geometry.head.head))
+            .map(z => (id, z.zone_id))
+        }
+      }
+      .toDF("id", "zone_id")
+  }
+
   /** Nearest-site join (the reference's closest-segment probe generalized:
     * cons.py:428-490 move_address nearest building edge; cdau.py:241-243
     * 5 m radius probe). Exact global nearest via ring-expanding cell search:

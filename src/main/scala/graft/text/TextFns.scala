@@ -107,6 +107,44 @@ object TextFns {
     }
   }
 
+  /** Street-name normalization (reference hgwnames.parse,
+    * catatom2osm/hgwnames.py:15-46): expand the leading way-type
+    * abbreviation via the dictionary, drop excluded types entirely,
+    * Title-Case the rest with articles lowercased (except when first),
+    * preserving apostrophe prefixes (l'Eixample) per the reference's rules. */
+  def parseStreetName(
+      name: String,
+      abbrevs: Map[String, String] = StreetAbbrevs,
+      articles: Set[String] = Articles,
+      excluded: Set[String] = ExcludedTypes): String = {
+    val words = name.trim.split("\\s+").filter(_.nonEmpty)
+    if (words.isEmpty) return ""
+    val typ = words.head.toUpperCase.stripSuffix(".")
+    if (excluded.contains(typ)) return ""
+    val expanded = abbrevs.getOrElse(typ, words.head)
+    val rest = words.tail.map(_.toLowerCase)
+    def caseWord(w: String, first: Boolean): String =
+      if (!first && articles.contains(w)) w
+      else if (w.contains("'") && w.indexOf('\'') <= 2) {
+        // apostrophe prefix: l'eixample -> l'Eixample
+        val i = w.indexOf('\'') + 1
+        w.substring(0, i) + w.substring(i).capitalize
+      } else w.capitalize
+    (titleCase(expanded) +: rest.zipWithIndex.map { case (w, i) => caseWord(w, first = false) })
+      .mkString(" ")
+  }
+
+  private def titleCase(s: String): String =
+    s.toLowerCase.split(" ").map(_.capitalize).mkString(" ")
+
+  /** A representative slice of the reference's dictionaries
+    * (config.py:94-416 has the full Spanish set). */
+  val StreetAbbrevs: Map[String, String] = Map(
+    "CL" -> "Calle", "AV" -> "Avenida", "PZ" -> "Plaza", "CR" -> "Carretera",
+    "CM" -> "Camino", "PS" -> "Paseo", "TR" -> "Travesía", "RD" -> "Ronda")
+  val Articles: Set[String] = Set("de", "del", "la", "las", "el", "los", "y", "al", "en")
+  val ExcludedTypes: Set[String] = Set("DS", "ER", "EX") // diseminados etc.
+
   def levenshteinDist(a: String, b: String): Int = {
     val dp = Array.tabulate(b.length + 1)(identity)
     for (i <- 1 to a.length) {

@@ -139,3 +139,22 @@ class DotExprSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(diffs === 0)
   }
 }
+
+class StreetNameSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.text.TextFns._
+
+  test("parseStreetName expands abbreviations and title-cases with articles") {
+    assert(parseStreetName("CL MAYOR") === "Calle Mayor")
+    assert(parseStreetName("AV DE LA CONSTITUCION") === "Avenida de la Constitucion")
+    assert(parseStreetName("PZ DEL SOL") === "Plaza del Sol")
+  }
+
+  test("parseStreetName keeps apostrophe prefixes and drops excluded types") {
+    assert(parseStreetName("CL L'EIXAMPLE") === "Calle l'Eixample")
+    assert(parseStreetName("DS DISEMINADO") === "")
+  }
+
+  test("unknown type word passes through title-cased") {
+    assert(parseStreetName("GRAN VIA") === "Gran Via")
+  }
+}
