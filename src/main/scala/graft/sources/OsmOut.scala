@@ -83,6 +83,49 @@ object OsmOut {
   private def unescape(s: String): String =
     s.replace("&apos;", "'").replace("&gt;", ">").replace("&lt;", "<").replace("&amp;", "&")
 
+  /** Merge duplicated elements before write (Osm.merge_duplicated,
+    * osm.py:87-104: group by canonical geometry, merge tags, keep one id).
+    * Canonical key = exact coordinates; tag conflict -> the tag of the
+    * smallest id wins (deterministic; map_concat keeps the first key). */
+  def mergeDuplicated(nodes: DataFrame): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    nodes
+      .select(col("osm_id"), col("x"), col("y"), col("tags"))
+      .as[(Long, Double, Double, Map[String, String])]
+      .groupByKey(t => (t._2, t._3))
+      .mapGroups { (key: (Double, Double), it: Iterator[(Long, Double, Double, Map[String, String])]) =>
+        val rows = it.toSeq.sortBy(-_._1) // ids negative: -1 > -2 -> min |id| first
+        val tags = rows.foldLeft(Map.empty[String, String]) { (acc, r) =>
+          r._4 ++ acc // earlier (kept) rows override later ones
+        }
+        (rows.head._1, key._1, key._2, tags)
+      }
+      .toDF("osm_id", "x", "y", "tags")
+  }
+
+  /** Resolve way geometry from node refs by join (osmxml.deserialize's
+    * ref resolution, osmxml.py:44-126, as two relational joins instead of a
+    * streaming parser): ways(way_id, nd_refs array) × nodes -> ordered
+    * coordinate arrays; dangling refs are dropped with a count, mirroring
+    * the reference's silent-drop behavior. */
+  def resolveWays(ways: DataFrame, nodes: DataFrame): DataFrame = {
+    val spark = ways.sparkSession
+    import spark.implicits._
+    val exploded = ways
+      .select(col("way_id"), posexplode(col("nd_refs")).as(Seq("pos", "ref")))
+    exploded
+      .join(nodes.select(col("osm_id").as("ref"), col("x"), col("y")), Seq("ref"))
+      .groupBy("way_id")
+      .agg(
+        array_sort(collect_list(struct(col("pos"), col("x"), col("y")))).as("pts"),
+        count(lit(1)).as("n_resolved"))
+      .join(ways.select(col("way_id"), size(col("nd_refs")).as("n_refs")), Seq("way_id"))
+      .select(col("way_id"),
+        transform(col("pts"), p => struct(p.getField("x").as("x"), p.getField("y").as("y"))).as("geometry"),
+        (col("n_refs") - col("n_resolved")).as("n_dangling"))
+  }
+
   /** One .osm XML document per task (process_tasks, app.py:310-389):
     * groupByKey(task) -> serialize per group — one file per tile. */
   def perTaskXml(nodes: DataFrame, taskCol: String): Dataset[(Long, String)] = {
