@@ -48,10 +48,15 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val pipSec = results.toMap.getOrElse("q_pip_join", Double.NaN)
-    val docsPerSec = if (pipSec > 0) (nPoints / pipSec).round else 0L
+    // flagship throughput on a replicated point set large enough that fixed
+    // job overhead doesn't dominate (same job as graft.Scale)
+    val repl = 300
+    val t0 = System.nanoTime()
+    val flagRows = Scale.flagship(spark, sfDir, repl, cpus.toInt)
+    val flagSec = (System.nanoTime() - t0) / 1e9
+    val docsPerSec = (flagRows / flagSec).round
     println(
-      s"""{"metric":"headline_total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"docs_per_sec":$docsPerSec,"cpus":"$cpus","sf":"$sfDir"}""")
+      s"""{"metric":"headline_total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"docs_per_sec":$docsPerSec,"flagship_rows":$flagRows,"cpus":"$cpus","sf":"$sfDir"}""")
     spark.stop()
   }
 }
