@@ -423,6 +423,47 @@ object Queries {
                 (row_number() OVER (PARTITION BY zone ORDER BY parcel_id)-1)//20 AS tile
               FROM p ORDER BY parcel_id""")),
 
+    // building x parts x pools cogroup (merge_building_parts,
+    // cons.py:270-354): outline inherits max levels; per-ref row counts are
+    // closed-form (distinct levels -> no merges on this layout)
+    "q_merge_parts" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val rows = graft.layers.SynthCadastre.buildings(s, d)
+          .groupByKey(_.cluster)
+          .flatMapGroups { (k, it) =>
+            val bs = it.toSeq.sortBy(_.bid)
+            val m = bs.length
+            val x0 = bs.head.ring(0).x; val y0 = bs.head.ring(0).y
+            val outline = graft.ops.BuildingParts.ConsRow(
+              f"B$k%06d", k.toString, "building", 0, 0, 0, "",
+              Array(Array(Array(
+                graft.geom.Pt(x0, y0), graft.geom.Pt(x0 + 10.0 * m, y0),
+                graft.geom.Pt(x0 + 10.0 * m, y0 + 10), graft.geom.Pt(x0, y0 + 10)))))
+            val parts = bs.zipWithIndex.map { case (b, j) =>
+              graft.ops.BuildingParts.ConsRow(
+                f"B$k%06d_part$j", k.toString, "part", j + 1, 0, 0, "",
+                Array(Array(b.ring)))
+            }
+            outline +: parts
+          }
+        graft.ops.BuildingParts.mergeBuildingParts(rows)
+          .groupByKey(_.ref)
+          .mapGroups { (ref, it) =>
+            val g = it.toSeq
+            val b = g.find(_.kind == "building").get
+            (ref.toLong, b.levAbove, b.levBelow, g.size.toLong)
+          }
+          .toDF("ref", "lev_above", "lev_below", "n_rows")
+          .orderBy("ref")
+      },
+      Some(s"""WITH ks AS (SELECT event_id AS k FROM events
+              WHERE event_id < (SELECT count(*)//100 FROM events))
+              SELECT k AS ref, CAST(k%4+2 AS INT) AS lev_above,
+                CAST(0 AS INT) AS lev_below,
+                k%4+3 AS n_rows
+              FROM ks ORDER BY ref""")),
+
     // address -> nearest building edge conjoin (move_address, cons.py:428-490)
     "q_move_address" -> Q(
       (s, d) => graft.ops.Conjoin.moveAddress(

@@ -1,0 +1,168 @@
+package graft.ops
+
+import scala.collection.mutable
+import org.apache.spark.sql.Dataset
+import graft.geom.{Geom, Pt}
+
+/** Building ⋈ parts ⋈ pools merge (reference ConsLayer.merge_building_parts
+  * + merge_adjacent_parts + remove_inner_rings, geo/layer/cons.py:175-354),
+  * re-expressed as one parcel-key cogroup: all rows of a cadastral ref land
+  * in one group (hash shuffle on ref), and the per-group walk follows the
+  * reference's semantics exactly, in deterministic localId order:
+  *
+  *  - pool inside building          -> pool.layer = 1 ("pool on roof")
+  *  - building/part ring == pool    -> delete feature (outer) / strip ring
+  *  - outline levels               <- max(lev_above), max(lev_below) of its
+  *                                    contained parts
+  *  - part bigger than building    -> fixme, level skipped
+  *  - single-level part set        -> parts merged into the outline (deleted)
+  *  - multi-part level             -> adjacent parts unioned (fewer parts out)
+  *  - parts underfill the outline  -> outline geometry := union(parts)
+  *    (SIMPLIFY_BUILDING_PARTS=False per reference geo/__init__.py:3)
+  */
+object BuildingParts {
+
+  final case class ConsRow(
+      localId: String, ref: String, kind: String, // building | part | pool
+      levAbove: Int, levBelow: Int, layer: Int, fixme: String,
+      geometry: Array[Array[Array[Pt]]])
+
+  /** Canonical ring form: rotation- and direction-invariant. */
+  def canonicalRing(r: Array[Pt]): Seq[Pt] = {
+    if (r.isEmpty) return Seq.empty
+    def rotations(x: Seq[Pt]) = x.indices.map(i => x.drop(i) ++ x.take(i))
+    val fwd = rotations(r.toSeq)
+    val bwd = rotations(r.reverse.toSeq)
+    implicit val ord: Ordering[Seq[Pt]] =
+      Ordering.by((s: Seq[Pt]) => s.map(p => (p.x, p.y)).toIterable)(
+        Ordering.Implicits.seqOrdering(Ordering.Tuple2[Double, Double]))
+    (fwd ++ bwd).min
+  }
+
+  def ringEquals(a: Array[Pt], b: Array[Pt]): Boolean =
+    a.length == b.length && canonicalRing(a) == canonicalRing(b)
+
+  /** is_inside (contains ∨ overlaps, geo/tools.py:5-9): centroid-in test for
+    * containment plus mutual vertex probes for partial overlap. */
+  def isInside(f1: Array[Array[Array[Pt]]], f2: Array[Array[Array[Pt]]]): Boolean = {
+    if (f1.isEmpty || f2.isEmpty || f1.head.isEmpty || f2.head.isEmpty) return false
+    val o1 = f1.head.head
+    val o2 = f2.head.head
+    Geom.pointInRing(Geom.centroid(f1), o2) ||
+      o1.exists(p => Geom.pointInRing(p, o2)) ||
+      o2.exists(p => Geom.pointInRing(p, o1))
+  }
+
+  /** Union adjacent polygons (edge-snapped) -> multipolygon of boundary
+    * rings; falls back to the input when rings don't cancel. */
+  private def unionParts(polys: Seq[Array[Array[Pt]]]): Array[Array[Array[Pt]]] = {
+    val edges = polys.flatMap(p => p.headOption.toSeq.flatMap { ring =>
+      ring.indices.map(i => (ring(i), ring((i + 1) % ring.length)))
+    })
+    val counted = mutable.Map[(Pt, Pt), Int]().withDefaultValue(0)
+    edges.foreach { case (a, b) =>
+      if (counted((b, a)) > 0) counted((b, a)) -= 1
+      else counted((a, b)) += 1
+    }
+    val boundary = counted.toSeq.filter(_._2 > 0).flatMap { case (e, n) => Seq.fill(n)(e) }
+    val rings = Adjacency.assembleRings(boundary.map { case (a, b) => (a, b) })
+    // group rings into polygons: outer rings (CCW) own subsequent holes (CW)
+    val (outers, holes) = rings.partition(r => Geom.signedArea(r) > 0)
+    outers.map { o =>
+      val myHoles = holes.filter(h => Geom.pointInRing(h.head, o))
+      (o +: myHoles).toArray
+    }.toArray
+  }
+
+  def mergeBuildingParts(rows: Dataset[ConsRow]): Dataset[ConsRow] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.groupByKey(_.ref).flatMapGroups { (_, it) =>
+      val group = it.toSeq.sortBy(_.localId)
+      val buildings = group.filter(_.kind == "building")
+      val pools = mutable.ArrayBuffer(group.filter(_.kind == "pool"): _*)
+      var parts = mutable.ArrayBuffer(group.filter(_.kind == "part"): _*)
+      val deleted = mutable.Set[String]()
+      val updated = mutable.Map[String, ConsRow]()
+      def cur(r: ConsRow): ConsRow = updated.getOrElse(r.localId, r)
+
+      for (b <- buildings if !deleted(b.localId)) {
+        // --- pool pass ---------------------------------------------------
+        for (p <- pools) {
+          val pool = cur(p)
+          val bld = cur(b)
+          if (pool.layer != 1 && isInside(pool.geometry, bld.geometry))
+            updated(p.localId) = pool.copy(layer = 1)
+          // building outer equals pool outer -> delete building
+          if (!deleted(b.localId) && bld.geometry.nonEmpty && pool.geometry.nonEmpty &&
+              ringEquals(bld.geometry.head.head, pool.geometry.head.head))
+            deleted += b.localId
+          else {
+            // strip inner rings equal to the pool
+            val g = cur(b).geometry
+            if (g.nonEmpty && g.head.length > 1) {
+              val kept = g.head.head +: g.head.tail.filterNot(r =>
+                ringEquals(r, pool.geometry.head.head))
+              if (kept.length != g.head.length)
+                updated(b.localId) = cur(b).copy(geometry = Array(kept) ++ g.tail)
+            }
+          }
+          // parts equal to the pool -> delete / strip rings
+          parts.filterNot(x => deleted(x.localId)).foreach { pt =>
+            val pg = cur(pt).geometry
+            if (pg.nonEmpty && ringEquals(pg.head.head, pool.geometry.head.head))
+              deleted += pt.localId
+            else if (pg.nonEmpty && pg.head.length > 1) {
+              val kept = pg.head.head +: pg.head.tail.filterNot(r =>
+                ringEquals(r, pool.geometry.head.head))
+              if (kept.length != pg.head.length)
+                updated(pt.localId) = cur(pt).copy(geometry = Array(kept) ++ pg.tail)
+            }
+          }
+        }
+        if (deleted(b.localId)) {} else {
+          // --- merge_adjacent_parts ---------------------------------------
+          val bld = cur(b)
+          val inParts = parts.filterNot(x => deleted(x.localId)).map(cur)
+            .filter(p => isInside(p.geometry, bld.geometry))
+          val byLevel = inParts.groupBy(p => (p.levAbove, p.levBelow))
+          val maxLevel = (0 +: inParts.map(_.levAbove).toSeq).max
+          val minLevel = (0 +: inParts.map(_.levBelow).toSeq).max // max of below, per reference
+          updated(b.localId) = cur(b).copy(levAbove = maxLevel, levBelow = minLevel)
+          val buildingArea = math.rint(Geom.area(bld.geometry))
+          var partsArea = 0.0
+          for ((level, lps) <- byLevel.toSeq.sortBy(_._1)) {
+            var checkArea = false
+            for (p <- lps) {
+              val a = Geom.area(p.geometry)
+              partsArea += a
+              if (math.rint(a) > buildingArea) {
+                updated(p.localId) = cur(p).copy(fixme = "This part is bigger than its building")
+                checkArea = true
+              }
+            }
+            if (!checkArea) {
+              if (byLevel.size == 1) {
+                lps.foreach(p => deleted += p.localId) // merged to outline
+              } else {
+                val merged = unionParts(lps.map(_.geometry.head).toSeq)
+                if (merged.length < lps.length) {
+                  lps.zipWithIndex.foreach { case (p, i) =>
+                    if (i < merged.length)
+                      updated(p.localId) = cur(p).copy(geometry = Array(merged(i)))
+                    else deleted += p.localId
+                  }
+                }
+              }
+            }
+          }
+          if (partsArea > 0 && math.rint(partsArea) < buildingArea) {
+            val g = unionParts(inParts.map(_.geometry.head).toSeq)
+            if (g.nonEmpty) updated(b.localId) = cur(b).copy(geometry = g)
+          }
+        }
+      }
+      group.filterNot(r => deleted(r.localId)).map(cur)
+    }
+  }
+}
