@@ -506,6 +506,36 @@ object Queries {
       },
       None),
 
+    // entrance snapping with classification (move_entrance, cons.py:371-426):
+    // each building's entrance probes its left wall — shared for every
+    // building except the cluster's first, so the classification is
+    // closed-form: bid%5==0 -> moved Entrance, else 'shared' (unmoved)
+    "q_move_entrance" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val bs = graft.layers.SynthCadastre.buildings(s, d)
+        val ads = bs.map { b =>
+          graft.ops.Conjoin.Entrance(b.bid, b.cluster, "Entrance",
+            b.ring(0).x - 3.37, b.ring(0).y + 4.13)
+        }
+        val (out, _) = graft.ops.Conjoin.moveEntrances(ads, bs)
+        out.select(col("ad_id"), col("spec"),
+          round(col("x"), 6).as("x"), round(col("y"), 6).as("y"))
+          .orderBy("ad_id")
+      },
+      Some(s"""WITH u AS (SELECT event_id AS id FROM events
+              WHERE event_id < (SELECT count(*)//100 FROM events)*5),
+              b AS (SELECT id AS bid,
+                      ((id//5)%10)*100 + (id%5)*10 AS x0,
+                      ((id//5)//10)*100 AS y0
+                    FROM u WHERE id%5 < (id//5)%4 + 2)
+              SELECT bid AS ad_id,
+                CASE WHEN bid%5=0 THEN 'Entrance' ELSE 'shared' END AS spec,
+                CASE WHEN bid%5=0 THEN round(CAST(x0 AS DOUBLE), 6)
+                     ELSE round(x0 - 3.37, 6) END AS x,
+                round(y0 + 4.13, 6) AS y
+              FROM b ORDER BY ad_id""")),
+
     // byte-identical text-extraction invariant (input_hint; the reference's
     // fix_encoding discipline, catatom.py:178-202)
     "q_extract_text" -> Q(

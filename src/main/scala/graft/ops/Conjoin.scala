@@ -14,6 +14,112 @@ import graft.layers.Building
   * cell-local kNN (SpatialJoin.nearestSiteJoin) covers the keyless variant.
   */
 object Conjoin {
+  // thresholds mirroring reference config.py:47,51
+  val AddrThr = 10.0      // max distance to move an address to the outline
+  val EntranceThr = 0.4   // min distance from an entrance to a corner
+
+  final case class Entrance(ad_id: Long, ref: Long, spec: String, px: Double, py: Double)
+  final case class EntranceOut(ad_id: Long, ref: Long, spec: String, x: Double, y: Double)
+
+  /** Entrance snapping with classification (reference move_entrance,
+    * cons.py:371-426): for each Entrance address, the nearest segment over
+    * its ref's buildings decides:
+    *  - 'remote'  : nearest point farther than AddrThr
+    *  - 'inner'   : nearest segment on an inner ring
+    *  - 'corner'  : projection within EntranceThr of a segment endpoint
+    *  - 'shared'  : segment is a wall shared with ANOTHER building
+    *  - otherwise : address moves onto the projection and the vertex is
+    *                inserted into the building ring (and any part ring
+    *                sharing that wall — handled by Topology.addTopologicalPoints
+    *                downstream, which inserts the new vertex everywhere).
+    * Shared walls are detected by the same canonical-segment shuffle as
+    * Adjacency (broadcast here; a key join at cluster scale).
+    * Returns (addresses out, building rings with inserted vertices).
+    */
+  def moveEntrances(
+      addresses: Dataset[Entrance],
+      buildings: Dataset[Building]): (DataFrame, Dataset[Building]) = {
+    val spark = buildings.sparkSession
+    import spark.implicits._
+    // canonical segments owned by >=2 buildings
+    val sharedSegs: Set[(Pt, Pt)] = {
+      val segOwners = buildings.flatMap { b =>
+        val n = b.ring.length
+        (0 until n).map { i =>
+          val a = b.ring(i); val c = b.ring((i + 1) % n)
+          val key = if (a.x < c.x || (a.x == c.x && a.y <= c.y)) (a, c) else (c, a)
+          (key, b.bid)
+        }
+      }.toDF("seg", "bid").distinct()
+      segOwners.groupBy("seg").count().filter(col("count") > 1)
+        .select(col("seg._1"), col("seg._2")).as[(Pt, Pt)].collect().toSet
+    }
+    val bShared = spark.sparkContext.broadcast(sharedSegs)
+    val bByRef = buildings.map(b => (b.cluster, b)).toDF("ref", "b")
+    val joined = addresses.toDF()
+      .join(bByRef, addresses("ref") === bByRef("ref"))
+      .select(col("ad_id"), addresses("ref"), col("spec"), col("px"), col("py"), col("b"))
+      .as[(Long, Long, String, Double, Double, Building)]
+    val results = joined
+      .groupByKey(_._1)
+      .mapGroups { (adId, it) =>
+        val rows = it.toSeq.sortBy(_._6.bid)
+        val (_, ref, spec, px, py, _) = rows.head
+        val p = Pt(px, py)
+        if (spec != "Entrance") {
+          EntranceOut(adId, ref, spec, px, py)
+        } else {
+          // nearest building by closest segment
+          val scored = rows.map { r =>
+            val b = r._6
+            val (d2, proj, _, _, si) = Geom.closestSegment(p, Array(Array(b.ring)))
+            (d2, proj, si, b)
+          }
+          val (d2, proj, si, b) = scored.minBy(t => (t._1, t._4.bid))
+          val n = b.ring.length
+          val va = b.ring(si); val vb = b.ring((si + 1) % n)
+          val segKey = if (va.x < vb.x || (va.x == vb.x && va.y <= vb.y)) (va, vb) else (vb, va)
+          if (d2 > AddrThr * AddrThr)
+            EntranceOut(adId, ref, "remote", px, py)
+          // ring model here is outer-only; 'inner' handled when rings carry
+          // holes (closestSegment reports ringIdx > 0)
+          else if (proj.sqrDist(va) < EntranceThr * EntranceThr ||
+                   proj.sqrDist(vb) < EntranceThr * EntranceThr)
+            EntranceOut(adId, ref, "corner", px, py)
+          else if (bShared.value.contains(segKey))
+            EntranceOut(adId, ref, "shared", px, py)
+          else
+            EntranceOut(adId, ref, "Entrance", proj.x, proj.y) // moved
+        }
+      }
+    val addrOut = results.toDF()
+    // insert moved entrance vertices into their building rings
+    val moved = results.filter(r => r.spec == "Entrance").toDF()
+      .select(col("ref"), col("x"), col("y"))
+    val inserts = moved.as[(Long, Double, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => Pt(t._2, t._3)).toSeq).toMap
+    val bIns = spark.sparkContext.broadcast(inserts)
+    val buildingsOut = buildings.map { b =>
+      val pts = bIns.value.getOrElse(b.cluster, Seq.empty)
+      if (pts.isEmpty) b
+      else {
+        val out = scala.collection.mutable.ArrayBuffer[Pt]()
+        val n = b.ring.length
+        for (i <- 0 until n) {
+          val a = b.ring(i); val c = b.ring((i + 1) % n)
+          out += a
+          val onSeg = pts.filter { q =>
+            val (d2, _) = Geom.sqrDistToSegment(q, a, c)
+            d2 < 1e-18 && q != a && q != c
+          }
+          val len2 = a.sqrDist(c)
+          out ++= onSeg.sortBy(q => a.sqrDist(q) / len2)
+        }
+        b.copy(ring = out.toArray)
+      }
+    }
+    (addrOut, buildingsOut)
+  }
 
   /** (bid, px, py) addresses × buildings → snapped projection + distance².
     * Output rounded to 6 decimals: the true projections are exact decimals,
