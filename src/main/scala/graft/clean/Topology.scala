@@ -113,7 +113,12 @@ object Topology {
         val t = if (len2 <= 0) 0.0
           else ((p.x - a.x) * (b.x - a.x) + (p.y - a.y) * (b.y - a.y)) / len2
         val nearEndpoint = proj.sqrDist(a) < 1e-18 || proj.sqrDist(b) < 1e-18
-        if (d2 <= distThr * distThr && t > 1e-9 && t < 1 - 1e-9 && !nearEndpoint)
+        // reference angle gate (polygon.py:243-245): the vertex must sit on
+        // the near-straight line of the segment: |180 - angle(p: a..b)| <= 2°
+        val angle = math.abs(p.azimuth(b) - p.azimuth(a))
+        val nearStraight = math.abs(180.0 - angle) <= Geom.StraightThr
+        if (d2 < distThr * distThr && t > 1e-9 && t < 1 - 1e-9 &&
+            !nearEndpoint && nearStraight)
           // the inserted point is the foreign vertex itself (reference
           // addTopologicalPoints semantics: share the exact vertex)
           Some((sfid, sidx, t, x, y))
