@@ -1,0 +1,95 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Minimal INSPIRE Addresses GML reader — enough to load the reference's
+  * address.gml fixture with its four layers (Address, ThoroughfareName,
+  * PostalDescriptor, AdminUnitName), so the engine replays the reference's
+  * own join_field / resolve golden tests. Pure text extraction of a public
+  * XML schema; not a general GML parser.
+  */
+object InspireGml {
+
+  private def members(xml: String, element: String): Seq[String] =
+    s"(?s)<$element\\b.*?</$element>".r.findAllIn(xml).toSeq
+
+  private def field(m: String, tag: String): String =
+    s"(?s)<$tag>\\s*([^<]*?)\\s*</$tag>".r.findFirstMatchIn(m).map(_.group(1)).getOrElse("")
+
+  private def attr(m: String, tag: String, a: String): String =
+    s"""<$tag [^>]*$a="([^"]+)"""".r.findFirstMatchIn(m).map(_.group(1)).getOrElse("")
+
+  /** Address layer: gml_id, localId, spec, designator, x, y, and the raw
+    * component hrefs concatenated (resolved downstream by regexp_extract —
+    * the reference's resolve mechanism, address.py:42-46). */
+  def addresses(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val xml = Files.readString(Paths.get(path))
+    members(xml, "AD:Address").map { m =>
+      // point appears as <gml:pos>x y</> or <gml:coordinates>x,y</>
+      val raw = field(m, "gml:pos") match {
+        case "" => field(m, "gml:coordinates")
+        case v => v
+      }
+      val pos = raw.split("[\\s,]+").filter(_.nonEmpty)
+      val hrefs = """<AD:component xlink:href="#([^"]+)"""".r
+        .findAllMatchIn(m).map(_.group(1)).mkString(" ")
+      (attr(m, "AD:Address", "gml:id"),
+        field(m, "base:localId"),
+        field(m, "AD:specification"),
+        field(m, "AD:designator"),
+        pos.headOption.map(_.toDouble).getOrElse(0.0),
+        pos.lift(1).map(_.toDouble).getOrElse(0.0),
+        hrefs)
+    }.toDF("gml_id", "localId", "spec", "designator", "x", "y", "component_href")
+  }
+
+  /** Named side layers joined onto addresses by the reference. */
+  def thoroughfareNames(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val xml = Files.readString(Paths.get(path))
+    members(xml, "AD:ThoroughfareName").map { m =>
+      // street text nests under GN:GeographicalName -> GN:text
+      (attr(m, "AD:ThoroughfareName", "gml:id"), field(m, "GN:text"))
+    }.toDF("gml_id", "text")
+  }
+
+  def postalDescriptors(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val xml = Files.readString(Paths.get(path))
+    members(xml, "AD:PostalDescriptor").map { m =>
+      (attr(m, "AD:PostalDescriptor", "gml:id"),
+        field(m, "AD:postCode") match { case "" => 0; case v => v.toInt })
+    }.toDF("gml_id", "postCode")
+  }
+
+  def adminUnitNames(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val xml = Files.readString(Paths.get(path))
+    members(xml, "AD:AdminUnitName").map { m =>
+      (attr(m, "AD:AdminUnitName", "gml:id"), field(m, "GN:text"))
+    }.toDF("gml_id", "text")
+  }
+
+  /** The reference's resolve step (xlink → id columns via regex) followed by
+    * its three join_field denormalizations (app.py:556-559) — all broadcast
+    * hash joins here. */
+  def resolvedAddresses(spark: SparkSession, path: String): DataFrame = {
+    val ad = addresses(spark, path)
+      .withColumn("PD_id", regexp_extract(col("component_href"), "[\\w\\.]+PD[\\.0-9]+", 0))
+      .withColumn("TN_id", regexp_extract(col("component_href"), "[\\w\\.]+TN[\\.0-9]+", 0))
+      .withColumn("AU_id", regexp_extract(col("component_href"), "[\\w\\.]+AU[\\.0-9]+", 0))
+    ad
+      .join(broadcast(thoroughfareNames(spark, path)
+        .withColumnRenamed("gml_id", "TN_id").withColumnRenamed("text", "TN_text")),
+        Seq("TN_id"), "left")
+      .join(broadcast(adminUnitNames(spark, path)
+        .withColumnRenamed("gml_id", "AU_id").withColumnRenamed("text", "AU_text")),
+        Seq("AU_id"), "left")
+      .join(broadcast(postalDescriptors(spark, path)
+        .withColumnRenamed("gml_id", "PD_id")),
+        Seq("PD_id"), "left")
+  }
+}
