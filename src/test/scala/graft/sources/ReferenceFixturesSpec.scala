@@ -2,7 +2,7 @@ package graft.sources
 
 import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
-import graft.clean.{Feature, Topology}
+import graft.clean.{Feature, Simplify, Topology}
 import graft.geom.{Geom, Pt}
 
 /** Replays golden values of the REFERENCE'S OWN test suite on its own
@@ -70,5 +70,41 @@ class ReferenceFixturesSpec extends AnyFunSuite {
       s"union $unionArea vs sum $sumArea") // area preserved (test_cons.py:66)
     assert(union.count(r => Geom.signedArea(r) > 0) < parts.length,
       "adjacent parts must merge") // test_cons.py:68
+  }
+}
+
+/** Replays test_simplify1 (test_cons.py:404-418): after explode + simplify
+  * on cons.shp, the two documented vertices of 8643326CS5284S survive
+  * (each is a corner in at least one parent) while 8643324CS5284S's
+  * shared near-straight vertex is deleted from every parent. */
+class ReferenceSimplifySpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+
+  test("reference golden: simplify vertex removals on cons.shp") {
+    import spark.implicits._
+    val features = Shapefile.read("/root/reference/test/fixtures/cons.shp")
+    // explode_multi_parts: every polygon part becomes one feature; rings
+    // (outer + holes) become Feature rows sharing the part id space
+    val parts = features.flatMap { f =>
+      f.geometry.toSeq.zipWithIndex.flatMap { case (poly, pi) =>
+        poly.toSeq.zipWithIndex.map { case (ring, ri) =>
+          Feature(f.fid.toLong * 64 + pi * 8 + ri, ring)
+        }
+      }
+    }
+    val simplified = Simplify.simplifyShared(spark.createDataset(parts))
+      .collect().map(f => f.fid -> f.ring).toMap
+    val byLocal = features.map(f => f.attrs("localId") -> f).toMap
+    def ringsOf(lid: String): Seq[Seq[Pt]] = {
+      val f = byLocal(lid)
+      f.geometry.indices.flatMap(pi =>
+        f.geometry(pi).indices.map(ri => simplified(f.fid.toLong * 64 + pi * 8 + ri).toSeq))
+    }
+    // golden (test_cons.py:406-410, ref[2]=True means STILL PRESENT):
+    // both vertices are corners in at least one parent -> survive
+    assert(ringsOf("8643326CS5284S").exists(_.contains(Pt(358684.62, 3124377.54))))
+    assert(ringsOf("8643326CS5284S").exists(_.contains(Pt(358686.29, 3124376.11))))
+    // non-corner in every parent -> deleted everywhere
+    assert(!ringsOf("8643324CS5284S").exists(_.contains(Pt(358677.29, 3124366.64))))
   }
 }
