@@ -94,6 +94,20 @@ object Geom {
     } else Pt(ax / aw, ay / aw)
   }
 
+  /** A point guaranteed STRICTLY inside the multipolygon (unlike the
+    * centroid, which falls outside concave shapes): scan ear-triangle
+    * centroids of the outer rings until one tests strictly interior.
+    * Falls back to the centroid if every probe fails (degenerate ring). */
+  def interiorPoint(mp: MultiPolygon): Pt = {
+    for (poly <- mp; ring = poly.head; n = ring.length; if n >= 3; i <- 0 until n) {
+      val a = ring((i - 1 + n) % n); val b = ring(i); val c = ring((i + 1) % n)
+      val cand = Pt((a.x + b.x + c.x) / 3, (a.y + b.y + c.y) / 3)
+      if (pointInPolygon(cand, poly) && closestSegment(cand, Array(poly))._1 > 1e-16)
+        return cand
+    }
+    centroid(mp)
+  }
+
   final case class BBox(xmin: Double, ymin: Double, xmax: Double, ymax: Double) {
     def intersects(o: BBox): Boolean =
       xmin <= o.xmax && o.xmin <= xmax && ymin <= o.ymax && o.ymin <= ymax

@@ -42,15 +42,19 @@ object BuildingParts {
   def ringEquals(a: Array[Pt], b: Array[Pt]): Boolean =
     a.length == b.length && canonicalRing(a) == canonicalRing(b)
 
-  /** is_inside (contains ∨ overlaps, geo/tools.py:5-9): centroid-in test for
-    * containment plus mutual vertex probes for partial overlap. */
+  /** is_inside (contains ∨ overlaps, geo/tools.py:5-9): hole-aware
+    * centroid-in test for containment plus mutual strict vertex probes for
+    * partial overlap. Boundary-sharing-only neighbors stay excluded (their
+    * vertices are never STRICTLY inside). */
   def isInside(f1: Array[Array[Array[Pt]]], f2: Array[Array[Array[Pt]]]): Boolean = {
     if (f1.isEmpty || f2.isEmpty || f1.head.isEmpty || f2.head.isEmpty) return false
-    val o1 = f1.head.head
-    val o2 = f2.head.head
-    Geom.pointInRing(Geom.centroid(f1), o2) ||
-      o1.exists(p => Geom.pointInRing(p, o2)) ||
-      o2.exists(p => Geom.pointInRing(p, o1))
+    def strictIn(p: Pt, mp: Array[Array[Array[Pt]]]): Boolean =
+      Geom.pointInMultiPolygon(p, mp) &&
+        Geom.closestSegment(p, mp)._1 > 1e-16 // not on the boundary
+    strictIn(Geom.interiorPoint(f1), f2) ||
+      strictIn(Geom.interiorPoint(f2), f1) ||
+      f1.flatMap(_.headOption).flatten.exists(p => strictIn(p, f2)) ||
+      f2.flatMap(_.headOption).flatten.exists(p => strictIn(p, f1))
   }
 
   /** Union adjacent polygons (edge-snapped) -> multipolygon of boundary
