@@ -53,12 +53,14 @@ object DeleteInvalid {
       geometry: Option[MultiPolygon], moves: Seq[(Pt, Pt)])
 
   /** Per-feature pass. Returns None when the feature must be deleted, plus
-    * the va→vx moves to propagate layer-wide. */
-  def cleanFeature(mp: MultiPolygon): FeatureResult = {
+    * the va→vx moves to propagate layer-wide. `querySmall` mirrors the
+    * reference's query_small_area guard: when false, area-based part/feature
+    * deletion is skipped (bad-geometry deletion always applies). */
+  def cleanFeature(mp: MultiPolygon, querySmall: Boolean = true): FeatureResult = {
     val moves = mutable.ArrayBuffer[(Pt, Pt)]()
     val outPolys = mutable.ArrayBuffer[mutable.ArrayBuffer[Ring]]()
     for (polygon <- mp) {
-      if (Geom.polyArea(polygon) < Geom.MinArea) {
+      if (Geom.polyArea(polygon) < Geom.MinArea && querySmall) {
         // drop the whole part (deletePart)
       } else {
         val rings = mutable.ArrayBuffer(polygon: _*)
@@ -120,7 +122,8 @@ object DeleteInvalid {
       }
     }
     val result = outPolys.map(_.toArray).toArray
-    if (Geom.area(result) < Geom.MinArea) FeatureResult(None, moves.toSeq)
+    if (Geom.area(result) < Geom.MinArea && querySmall) FeatureResult(None, moves.toSeq)
+    else if (result.isEmpty) FeatureResult(None, moves.toSeq)
     else FeatureResult(Some(result), moves.toSeq)
   }
 

@@ -58,25 +58,10 @@ object BuildingParts {
   }
 
   /** Union adjacent polygons (edge-snapped) -> multipolygon of boundary
-    * rings; falls back to the input when rings don't cancel. */
-  private def unionParts(polys: Seq[Array[Array[Pt]]]): Array[Array[Array[Pt]]] = {
-    val edges = polys.flatMap(p => p.headOption.toSeq.flatMap { ring =>
-      ring.indices.map(i => (ring(i), ring((i + 1) % ring.length)))
-    })
-    val counted = mutable.Map[(Pt, Pt), Int]().withDefaultValue(0)
-    edges.foreach { case (a, b) =>
-      if (counted((b, a)) > 0) counted((b, a)) -= 1
-      else counted((a, b)) += 1
-    }
-    val boundary = counted.toSeq.filter(_._2 > 0).flatMap { case (e, n) => Seq.fill(n)(e) }
-    val rings = Adjacency.assembleRings(boundary.map { case (a, b) => (a, b) })
-    // group rings into polygons: outer rings (CCW) own subsequent holes (CW)
-    val (outers, holes) = rings.partition(r => Geom.signedArea(r) > 0)
-    outers.map { o =>
-      val myHoles = holes.filter(h => Geom.pointInRing(h.head, o))
-      (o +: myHoles).toArray
-    }.toArray
-  }
+    * rings. Orientation-aware: outer rings keep the INPUT rings'
+    * orientation (cadastre sources store CW outers), holes the opposite. */
+  private def unionParts(polys: Seq[Array[Array[Pt]]]): Array[Array[Array[Pt]]] =
+    ParcelOps.unionOuterRings(polys.map(p => Array(p.head)))
 
   def mergeBuildingParts(rows: Dataset[ConsRow]): Dataset[ConsRow] = {
     val spark = rows.sparkSession

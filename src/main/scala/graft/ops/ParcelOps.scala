@@ -1,0 +1,172 @@
+package graft.ops
+
+import scala.collection.mutable
+import org.apache.spark.sql.Dataset
+import graft.geom.{Geom, Pt}
+import graft.geom.Geom.MultiPolygon
+
+/** Parcel-layer operators (reference ParcelLayer, geo/layer/parcel.py) —
+  * the tiling side of the pipeline. Keyed work is Dataset joins; the
+  * group-merging algorithms run per municipality partition (the reference's
+  * whole world IS one municipality run, so a groupByKey(muncode) wraps these
+  * at scale; here they execute inside one group).
+  */
+object ParcelOps {
+  final case class Parcel(localId: String, zone: String, parts: Int,
+      geometry: MultiPolygon)
+  final case class ConsF(localId: String, ref: String, kind: String,
+      levAbove: Int, levBelow: Int, geometry: MultiPolygon)
+
+  def kindOf(localId: String): String =
+    if (localId.contains("_part")) "part"
+    else if (localId.contains("_PI.")) "pool"
+    else "building"
+
+  def refOf(localId: String): String = localId.split("_")(0).split("\\.").last
+
+  /** get_zone (parcel.py:244-251): localId[0:5], or [6:9] when it equals
+    * the municipality code. */
+  def zoneOf(localId: String, munCode: String): String = {
+    val z = localId.substring(0, 5)
+    if (z == munCode) localId.substring(6, 9) else z
+  }
+
+  /** delete_void_parcels (parcel.py:44-54): keep parcels whose ref appears. */
+  def deleteVoidParcels(parcels: Dataset[Parcel], cons: Dataset[ConsF]): Dataset[Parcel] = {
+    val spark = parcels.sparkSession
+    import spark.implicits._
+    val refs = cons.map(_.ref).distinct().toDF("localId")
+    parcels.join(refs, Seq("localId"), "left_semi").as[Parcel]
+  }
+
+  /** create_missing_parcels (parcel.py:56-80): for refs with no parcel,
+    * union the OUTER RINGS of their features into a synthetic parcel. */
+  def createMissingParcels(parcels: Dataset[Parcel], cons: Dataset[ConsF]): Dataset[Parcel] = {
+    val spark = parcels.sparkSession
+    import spark.implicits._
+    val existing = parcels.map(_.localId).collect().toSet
+    val bEx = spark.sparkContext.broadcast(existing)
+    val added = cons
+      .filter(c => !bEx.value.contains(c.ref))
+      .groupByKey(_.ref)
+      .mapGroups { (ref, it) =>
+        val outers = it.toSeq.sortBy(_.localId)
+          .flatMap(_.geometry.toSeq.map(p => Array(p.head)))
+        Parcel(ref, null, 0, unionOuterRings(outers))
+      }
+    parcels.union(added)
+  }
+
+  /** Union polygons via edge cancellation (valid for edge-snapped inputs,
+    * which cadastre parts of one reference are); disjoint parts concatenate. */
+  def unionOuterRings(polys: Seq[Array[Array[Pt]]]): MultiPolygon = {
+    val counted = mutable.Map[(Pt, Pt), Int]().withDefaultValue(0)
+    for (p <- polys; ring = p.head; i <- ring.indices) {
+      val a = ring(i); val b = ring((i + 1) % ring.length)
+      if (counted((b, a)) > 0) counted((b, a)) -= 1 else counted((a, b)) += 1
+    }
+    val boundary = counted.toSeq.filter(_._2 > 0)
+      .flatMap { case (e, n) => Seq.fill(n)(e) }
+    val rings = Adjacency.assembleRings(boundary)
+    val (outers, holes) = rings.partition(r => math.abs(Geom.signedArea(r)) > 0 &&
+      Geom.signedArea(r) > 0 == (Geom.signedArea(polys.head.head) > 0))
+    outers.map { o =>
+      (o +: holes.filter(h => Geom.pointInRing(h.head, o))).toArray
+    }.toArray
+  }
+
+  /** count_parts (parcel.py:232-242): features per ref, written to parcels. */
+  def countParts(parcels: Dataset[Parcel], cons: Dataset[ConsF]): Dataset[Parcel] = {
+    val spark = parcels.sparkSession
+    import spark.implicits._
+    val counts = cons.groupByKey(_.ref).count().collect().toMap
+    val bC = spark.sparkContext.broadcast(counts)
+    parcels.map(p => p.copy(parts = bC.value.getOrElse(p.localId, 0L).toInt))
+  }
+
+  /** merge_groups (geo/tools.py:26-41): transitive merge of overlapping
+    * sets = connected components over shared membership. */
+  def mergeGroups[T](adjs: Seq[Set[T]]): Seq[Set[T]] = {
+    val remaining = mutable.ArrayBuffer(adjs: _*)
+    val out = mutable.ArrayBuffer[Set[T]]()
+    while (remaining.nonEmpty) {
+      var group = remaining.remove(remaining.length - 1)
+      var changed = true
+      while (changed) {
+        changed = false
+        val (hit, miss) = remaining.partition(s => s.exists(group.contains))
+        if (hit.nonEmpty) {
+          group = hit.foldLeft(group)(_ ++ _)
+          remaining.clear(); remaining ++= miss
+          changed = true
+        }
+      }
+      out += group
+    }
+    out.toSeq
+  }
+
+  final case class MergeResult(parcels: Seq[Parcel], tasks: Map[String, String])
+
+  /** get_groups_by_adjacent_buildings (parcel.py:130-162): buildings (and
+    * pools — anything without 'part' in the id) sharing at least one VERTEX
+    * form parcel-ref groups, keyed by zone combination; cross-zone keys and
+    * every zone they touch merge transitively; remaining zones keep their
+    * groups (merged within the zone when more than one). Singleton groups
+    * are kept, exactly like the reference. */
+  def groupsByAdjacentBuildings(
+      parcels: Seq[Parcel], cons: Seq[ConsF], munCode: String): Seq[Set[String]] = {
+    val bus = cons.filterNot(_.localId.contains("part"))
+    val parents = mutable.Map[Pt, mutable.Set[String]]()
+    for (b <- bus; poly <- b.geometry; ring <- poly; v <- ring)
+      parents.getOrElseUpdate(v, mutable.Set()) += b.localId
+    val contactGroups = parents.values.filter(_.size > 1).map(_.toSet).toSeq
+    val byId = parcels.map(p => p.localId -> p).toMap
+    def zoneOfParcel(p: Parcel) =
+      if (p.zone != null) p.zone else zoneOf(p.localId, munCode)
+    val adjs = mutable.LinkedHashMap[String, mutable.ArrayBuffer[Set[String]]]()
+    for (g <- contactGroups.sortBy(_.toSeq.min)) {
+      val prefs = g.map(refOf).filter(byId.contains)
+      if (prefs.nonEmpty) {
+        val k = prefs.map(r => zoneOfParcel(byId(r))).toSeq.distinct.sorted.mkString("-")
+        adjs.getOrElseUpdate(k, mutable.ArrayBuffer()) += prefs
+      }
+    }
+    val mzKeys = adjs.keySet.filter(_.contains("-")).toSet
+    val mzZones = mzKeys ++ mzKeys.flatMap(_.split("-"))
+    val crossGroups = mergeGroups(mzZones.toSeq.sorted.flatMap(z => adjs.getOrElse(z, Seq.empty)))
+    val sameZone = adjs.toSeq.filterNot(t => mzZones.contains(t._1))
+      .flatMap { case (_, gs) => if (gs.length == 1) gs.toSeq else mergeGroups(gs.toSeq) }
+    crossGroups ++ sameZone
+  }
+
+  /** merge_by_adjacent_buildings (parcel.py:179-230): each group unions
+    * into its largest-area parcel (merge_geometries sort=area desc,
+    * split=False), parts counts summed (update_parts_count), task relabel
+    * map emitted (self-map for singletons, like the reference). */
+  def mergeByAdjacentBuildings(
+      parcels: Seq[Parcel], cons: Seq[ConsF], munCode: String): MergeResult = {
+    val byId = parcels.map(p => p.localId -> p).toMap
+    val groups = groupsByAdjacentBuildings(parcels, cons, munCode)
+    val tasks = mutable.Map[String, String]()
+    val deleted = mutable.Set[String]()
+    val updated = mutable.Map[String, Parcel]()
+    for (g <- groups) {
+      val sorted = g.toSeq.sortBy(r => (-Geom.area(byId(r).geometry), r))
+      val target = sorted.head
+      val pcSum = sorted.map(r => byId(r).parts).sum
+      if (sorted.length > 1) {
+        val geomUnion = unionOuterRings(
+          sorted.flatMap(r => byId(r).geometry.toSeq.map(p => Array(p.head))))
+        updated(target) = byId(target).copy(parts = pcSum, geometry = geomUnion)
+        sorted.tail.foreach(deleted += _)
+      } else {
+        updated(target) = byId(target).copy(parts = pcSum)
+      }
+      sorted.foreach(r => tasks(r) = target)
+    }
+    val out = parcels.filterNot(p => deleted(p.localId))
+      .map(p => updated.getOrElse(p.localId, p))
+    MergeResult(out, tasks.toMap)
+  }
+}

@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.geom.Geom
+import graft.sources.Wkb
+import ParcelOps.{ConsF, Parcel}
+
+/** Replays the reference's ParcelLayer goldens (test/geo/layer/
+  * test_parcel.py) on its own parcel.gpkg / cons.gpkg fixtures (converted
+  * to WKB TSV; the WKB is parsed by the engine's own reader). */
+class ParcelGoldenSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val res = "src/test/resources/fixtures"
+
+  def parcels: Seq[Parcel] = Wkb.readTsv(s"$res/parcel.tsv").map { case (a, g) =>
+    Parcel(a("localId"), null, 0, g)
+  }
+  def cons: Seq[ConsF] = Wkb.readTsv(s"$res/cons_gpkg.tsv").map { case (a, g) =>
+    val lid = a("localId")
+    def i(k: String) = a.get(k).filter(_.nonEmpty)
+      .flatMap(v => scala.util.Try(v.toDouble.toInt).toOption).getOrElse(0)
+    ConsF(lid, ParcelOps.refOf(lid), ParcelOps.kindOf(lid),
+      i("numberOfFloorsAboveGround"), i("numberOfFloorsBelowGround"), g)
+  }
+
+  test("fixtures load: 186 parcels, 722 cons features (test_parcel setUp)") {
+    assert(parcels.length === 186)
+    assert(cons.length === 722)
+  }
+
+  test("reference golden: delete_void_parcels -> 110") {
+    import spark.implicits._
+    val out = ParcelOps.deleteVoidParcels(
+      spark.createDataset(parcels), spark.createDataset(cons))
+    assert(out.count() === 110)
+  }
+
+  test("reference golden: create_missing_parcels -> 188, single-ring union") {
+    import spark.implicits._
+    val out = ParcelOps.createMissingParcels(
+      spark.createDataset(parcels), spark.createDataset(cons)).collect()
+    assert(out.length === 188)
+    val p = out.find(_.localId == "8642317CS5284S").get
+    assert(p.geometry.head.length === 1, "first part must have no holes")
+  }
+
+  test("reference golden: adjacency groups 21 / members 85") {
+    import spark.implicits._
+    val withMissing = ParcelOps.createMissingParcels(
+      spark.createDataset(parcels), spark.createDataset(cons)).collect().toSeq
+    val groups = ParcelOps.groupsByAdjacentBuildings(withMissing, cons, "38012")
+    assert(groups.length === 21, s"groups: ${groups.length}")
+    assert(groups.map(_.size).sum === 85, s"members: ${groups.map(_.size).sum}")
+  }
+}
+
+/** The heavyweight chain goldens: the full ConsLayer preparation pipeline
+  * (remove_outside_parts → explode → clean) feeding count_parts and
+  * merge_by_adjacent_buildings (test_parcel.py:66-160). */
+class ParcelChainGoldenSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val res = "src/test/resources/fixtures"
+
+  def parcels: Seq[Parcel] = Wkb.readTsv(s"$res/parcel.tsv").map { case (a, g) =>
+    Parcel(a("localId"), null, 0, g)
+  }
+  def consRaw: Seq[ConsF] = Wkb.readTsv(s"$res/cons_gpkg.tsv").map { case (a, g) =>
+    val lid = a("localId")
+    def i(k: String) = a.get(k).filter(_.nonEmpty)
+      .flatMap(v => scala.util.Try(v.toDouble.toInt).toOption).getOrElse(-1)
+    ConsF(lid, ParcelOps.refOf(lid), ParcelOps.kindOf(lid),
+      i("numberOfFloorsAboveGround"), i("numberOfFloorsBelowGround"), g)
+  }
+
+  lazy val prepared: Seq[ConsF] = ConsChain.prepare(spark, consRaw)
+
+  test("reference golden: count_parts after the full chain -> 324 total, 7/4 on refs") {
+    import spark.implicits._
+    val pcl1 = ParcelOps.deleteVoidParcels(
+      spark.createDataset(parcels), spark.createDataset(prepared))
+    val pcl2 = ParcelOps.createMissingParcels(pcl1, spark.createDataset(prepared))
+    val counted = ParcelOps.countParts(pcl2, spark.createDataset(prepared)).collect()
+    assert(counted.map(_.parts).sum === 324, s"sum=${counted.map(_.parts).sum}")
+    val byId = counted.map(p => p.localId -> p.parts).toMap
+    assert(byId("8840501CS5284S") === 7)
+    assert(byId("8840502CS5284S") === 4)
+  }
+
+  test("reference golden: merge_by_adjacent_buildings -> 48 parcels, parts=11, 71 merged") {
+    import spark.implicits._
+    val pcl1 = ParcelOps.deleteVoidParcels(
+      spark.createDataset(parcels), spark.createDataset(prepared))
+    val pcl2 = ParcelOps.createMissingParcels(pcl1, spark.createDataset(prepared))
+    val counted = ParcelOps.countParts(pcl2, spark.createDataset(prepared)).collect().toSeq
+    val pca = counted.map(_.parts).sum
+    val r = ParcelOps.mergeByAdjacentBuildings(counted, prepared, "38012")
+    // parts conserved, feature count drops by the number of real merges
+    assert(r.parcels.map(_.parts).sum === pca)
+    val cl = r.tasks.count { case (k, v) => k != v }
+    assert(r.parcels.length === counted.length - cl)
+    val expected = Set(
+      "001000300CS52D", "001000400CS52D", "8641608CS5284S", "8641612CS5284S",
+      "8641613CS5284S", "8641616CS5284S", "8641620CS5284S", "8641621CS5284S",
+      "8641632CS5284S", "8641636CS5284S", "8641638CS5284S", "8641649CS5284S",
+      "8641653CS5284S", "8641658CS5284S", "8641660CS5284S", "8642302CS5284S",
+      "8642310CS5284S", "8642312CS5284S", "8642313CS5284S", "8642314CS5284S",
+      "8642317CS5284S", "8642321CS5284S", "8642325CS5484N", "8642701CS5284S",
+      "8742701CS5284S", "8742707CS5284S", "8742711CS5284S", "8742721CS5284S",
+      "8839301CS5283N", "8840501CS5284S", "8841602CS5284S", "8841603CS5284S",
+      "8844121CS5284S", "8940301CS5284S", "8940302CS5284S", "8940305CS5284S",
+      "8940306CS5284S", "8940307CS5284S", "8940309CS5284S", "8941505CS5284S",
+      "9041703CS5294S", "9041704CS5294S", "9041705CS5294S", "9041716CS5294S",
+      "9041719CS5294S", "9042401CS5294S", "9042402CS5294S", "9042404CS5294S")
+    val got = r.parcels.map(_.localId).toSet
+    assert(got === expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+    assert(r.parcels.find(_.localId == "8840501CS5284S").get.parts === 11)
+    // building FEATURES (rows, like the reference's iteration) whose ref
+    // vanished from parcels were merged: exactly 71
+    val paRefs = got
+    val merged = prepared.filter(_.kind == "building").map(_.ref)
+      .filterNot(paRefs.contains)
+    assert(merged.length === 71, s"merged=${merged.length}")
+    assert(merged.forall(ref => r.tasks.get(ref).exists(_ != ref)))
+  }
+}
