@@ -80,13 +80,22 @@ object Geom {
     }
   }
 
-  /** Multipolygon centroid: area-weighted over outer rings. */
+  /** Multipolygon centroid, hole-aware: per polygon, the signed-area-
+    * weighted sum over its rings (holes carry the opposite orientation, so
+    * they subtract); polygons combine by |area| weight. */
   def centroid(mp: MultiPolygon): Pt = {
     var ax = 0.0; var ay = 0.0; var aw = 0.0
     for (p <- mp if p.nonEmpty) {
-      val w = polyArea(p)
-      val c = ringCentroid(p.head)
-      ax += c.x * w; ay += c.y * w; aw += w
+      var sx = 0.0; var sy = 0.0; var sw = 0.0
+      for (r <- p) {
+        val w = signedArea(r)
+        val c = ringCentroid(r)
+        sx += c.x * w; sy += c.y * w; sw += w
+      }
+      if (math.abs(sw) > 1e-12) {
+        val w = math.abs(sw)
+        ax += (sx / sw) * w; ay += (sy / sw) * w; aw += w
+      }
     }
     if (aw <= 0) {
       val vs = mp.flatMap(_.headOption).flatten

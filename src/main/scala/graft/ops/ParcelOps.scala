@@ -108,6 +108,67 @@ object ParcelOps {
 
   final case class MergeResult(parcels: Seq[Parcel], tasks: Map[String, String])
 
+  /** get_groups_by_parts_count (parcel.py:214-264): greedy distance packing
+    * — iterate parcels in layer order; each unvisited seed collects, from
+    * its zone's parcels within `buffer` of its centroid sorted by distance,
+    * as many unvisited parcels as fit under maxParts. Sequential within a
+    * zone by construction (SURVEY §7.4 order-sensitivity contract). */
+  def groupsByPartsCount(
+      parcels: Seq[Parcel], maxParts: Int, buffer: Double, munCode: String): Seq[Seq[String]] = {
+    val cent = parcels.map(p => p.localId -> Geom.centroid(p.geometry)).toMap
+    def zone(p: Parcel) = if (p.zone != null) p.zone else zoneOf(p.localId, munCode)
+    val zoning = parcels.groupBy(zone).view.mapValues(_.map(_.localId)).toMap
+    val partsOf = parcels.map(p => p.localId -> p.parts).toMap
+    val visited = mutable.Set[String]()
+    val groups = mutable.ArrayBuffer[Seq[String]]()
+    for (pa <- parcels if !visited(pa.localId)) {
+      val pc = partsOf(pa.localId)
+      val c = cent(pa.localId)
+      def dist(lid: String) = c.dist(cent(lid))
+      val candidates = zoning(zone(pa))
+        .filter(lid => partsOf(lid) <= maxParts - pc && dist(lid) < buffer)
+        .sortBy(dist)
+      val group = mutable.ArrayBuffer[String]()
+      var pcsum = 0
+      for (lid <- candidates) {
+        val k = partsOf(lid)
+        if (pcsum + k <= maxParts && !visited(lid)) {
+          visited += lid
+          group += lid
+          pcsum += k
+        }
+      }
+      if (group.nonEmpty) groups += group.toSeq
+    }
+    groups.toSeq
+  }
+
+  /** merge_by_parts_count (parcel.py:266-273): union each group into its
+    * SEED parcel (merge_geometries sort=None keeps group order), parts
+    * summed, task relabel map (self-maps for singletons). */
+  def mergeByPartsCount(
+      parcels: Seq[Parcel], maxParts: Int, buffer: Double, munCode: String): MergeResult = {
+    val byId = parcels.map(p => p.localId -> p).toMap
+    val groups = groupsByPartsCount(parcels, maxParts, buffer, munCode)
+    val tasks = mutable.Map[String, String]()
+    val deleted = mutable.Set[String]()
+    val updated = mutable.Map[String, Parcel]()
+    for (g <- groups) {
+      val target = g.head
+      val pcSum = g.map(r => byId(r).parts).sum
+      if (g.length > 1) {
+        val geomUnion = unionOuterRings(
+          g.flatMap(r => byId(r).geometry.toSeq.map(p => Array(p.head))))
+        updated(target) = byId(target).copy(parts = pcSum, geometry = geomUnion)
+        g.tail.foreach(deleted += _)
+      } else updated(target) = byId(target).copy(parts = pcSum)
+      g.foreach(r => tasks(r) = target)
+    }
+    MergeResult(
+      parcels.filterNot(p => deleted(p.localId)).map(p => updated.getOrElse(p.localId, p)),
+      tasks.toMap)
+  }
+
   /** get_groups_by_adjacent_buildings (parcel.py:130-162): buildings (and
     * pools — anything without 'part' in the id) sharing at least one VERTEX
     * form parcel-ref groups, keyed by zone combination; cross-zone keys and

@@ -125,3 +125,49 @@ class ParcelChainGoldenSpec extends AnyFunSuite {
     assert(merged.forall(ref => r.tasks.get(ref).exists(_ != ref)))
   }
 }
+
+/** Replays test_get_groups_by_parts_count + test_merge_by_parts_count
+  * (test_parcel.py:160-213): the distance-greedy packing goldens after the
+  * full chain and adjacency merge. */
+class PartsCountGoldenSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val res = "src/test/resources/fixtures"
+
+  lazy val merged: Seq[Parcel] = {
+    import spark.implicits._
+    val parcels = Wkb.readTsv(s"$res/parcel.tsv").map { case (a, g) =>
+      Parcel(a("localId"), null, 0, g)
+    }
+    val consRaw = Wkb.readTsv(s"$res/cons_gpkg.tsv").map { case (a, g) =>
+      val lid = a("localId")
+      def i(k: String) = a.get(k).filter(_.nonEmpty)
+        .flatMap(v => scala.util.Try(v.toDouble.toInt).toOption).getOrElse(-1)
+      ParcelOps.ConsF(lid, ParcelOps.refOf(lid), ParcelOps.kindOf(lid),
+        i("numberOfFloorsAboveGround"), i("numberOfFloorsBelowGround"), g)
+    }
+    val prepared = ConsChain.prepare(spark, consRaw)
+    val pcl1 = ParcelOps.deleteVoidParcels(
+      spark.createDataset(parcels), spark.createDataset(prepared))
+    val pcl2 = ParcelOps.createMissingParcels(pcl1, spark.createDataset(prepared))
+    val counted = ParcelOps.countParts(pcl2, spark.createDataset(prepared)).collect().toSeq
+    ParcelOps.mergeByAdjacentBuildings(counted, prepared, "38012").parcels
+  }
+
+  test("reference golden: groups_by_parts_count(10, 100) -> 48 parcels, 18 groups, laws") {
+    assert(merged.length === 48)
+    val groups = ParcelOps.groupsByPartsCount(merged, 10, 100.0, "38012")
+    assert(groups.length === 18, s"groups=${groups.length}")
+    val partsOf = merged.map(p => p.localId -> p.parts).toMap
+    assert(groups.forall(g => g.map(partsOf).sum <= 10)) // cap law
+    def zone(lid: String) = ParcelOps.zoneOf(lid, "38012")
+    assert(groups.forall(g => g.map(zone).distinct.size === 1)) // single zone
+  }
+
+  test("reference golden: merge_by_parts_count(20, 30) conserves parts and counts") {
+    val pca = merged.map(_.parts).sum
+    val r = ParcelOps.mergeByPartsCount(merged, 20, 30.0, "38012")
+    assert(r.parcels.map(_.parts).sum === pca)
+    val cl = r.tasks.count { case (k, v) => k != v }
+    assert(r.parcels.length === merged.length - cl)
+  }
+}
