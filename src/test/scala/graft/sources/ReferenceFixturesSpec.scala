@@ -108,3 +108,29 @@ class ReferenceSimplifySpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(!ringsOf("8643324CS5284S").exists(_.contains(Pt(358677.29, 3124366.64))))
   }
 }
+
+/** Replays test_explode_multi_parts (test_cons.py:58-93): exploding all
+  * features EXCEPT those whose ref has an address leaves exactly the
+  * addressed multipart features intact. */
+class ReferenceExplodeSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+
+  test("reference golden: address-protected explode keeps exactly the addressed multiparts") {
+    import org.apache.spark.sql.functions._
+    val features = Shapefile.read("/root/reference/test/fixtures/cons.shp")
+    val refs = InspireGml.addresses(spark, "/root/reference/test/fixtures/address.gml")
+      .select(element_at(split(col("localId"), "\\."), -1))
+      .collect().map(_.getString(0)).toSet
+    val mp0 = features.count(_.geometry.length > 1)
+    assert(mp0 > 0)
+    val mp1 = features.count(f => refs.contains(f.attrs("localId")) && f.geometry.length > 1)
+    assert(mp1 > 0)
+    // explode everything whose localId is NOT an addressed ref
+    val exploded = features.flatMap { f =>
+      if (refs.contains(f.attrs("localId"))) Seq(f.geometry)
+      else graft.clean.PolygonClean.explodeParts(f.geometry)
+    }
+    val mp2 = exploded.count(_.length > 1)
+    assert(mp2 === mp1, s"after explode: $mp2 multiparts vs addressed $mp1")
+  }
+}
