@@ -536,6 +536,26 @@ object Queries {
                 round(y0 + 4.13, 6) AS y
               FROM b ORDER BY ad_id""")),
 
+    // CRS reprojection (reproject(), base.py:201-236): the engine's own
+    // Transverse Mercator kernel; oracle gates the round-trip invariant
+    // (every synthetic UTM point survives UTM->WGS84->UTM within 1mm)
+    "q_reproject" -> Q(
+      (s, d) => {
+        import s.implicits._
+        graft.spatial.SynthGeo.points(s, d)
+          .map { p =>
+            // site the synthetic field into UTM zone 28N fixture range
+            val x = 350000.0 + p.x * 100; val y = 3120000.0 + p.y * 100
+            val (lon, lat) = graft.geom.Utm.utmToWgs84(28, x, y)
+            val (x2, y2) = graft.geom.Utm.wgs84ToUtm(28, lon, lat)
+            (p.id, math.abs(x2 - x) < 1e-3 && math.abs(y2 - y) < 1e-3)
+          }
+          .toDF("id", "ok")
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("ok"), 1L).otherwise(0L)).as("n_roundtrip"))
+      },
+      Some("SELECT count(*) AS n_total, count(*) AS n_roundtrip FROM events")),
+
     // byte-identical text-extraction invariant (input_hint; the reference's
     // fix_encoding discipline, catatom.py:178-202)
     "q_extract_text" -> Q(

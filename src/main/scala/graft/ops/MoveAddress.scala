@@ -23,6 +23,46 @@ object MoveAddress {
       geometry: Array[Array[Array[Pt]]])
   final case class Addr(localId: String, ref: String, spec: String, x: Double, y: Double)
 
+  /** moveAddressFull + the building-side mutation: moved entrance points are
+    * inserted as vertices into the nearest building ring (reference
+    * move_entrance's insertVertex), so a SECOND pass sees them as corners —
+    * reproducing the reference's documented two-pass behavior. */
+  def moveAddressWithInsert(
+      addresses: Dataset[Addr], cons: Dataset[ConsFeature]): (DataFrame, Dataset[ConsFeature]) = {
+    val spark = cons.sparkSession
+    import spark.implicits._
+    val out = moveAddressFull(addresses, cons)
+    val moved: Map[String, Seq[Pt]] = out
+      .as[(String, String, String, Double, Double)].collect()
+      .filter(_._3 == "Entrance").map(t => (t._2, Pt(t._4, t._5)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val bMoved = spark.sparkContext.broadcast(moved)
+    val consOut = cons.map { c =>
+      val pts = if (c.isBuilding) bMoved.value.getOrElse(c.ref, Seq.empty)
+        else Seq.empty[Pt]
+      if (pts.isEmpty) c
+      else {
+        val newGeom = c.geometry.map(_.map { ring =>
+          val outRing = scala.collection.mutable.ArrayBuffer[Pt]()
+          val n = ring.length
+          for (i <- 0 until n) {
+            val a = ring(i); val b = ring((i + 1) % n)
+            outRing += a
+            val len2 = a.sqrDist(b)
+            val onSeg = pts.filter { q =>
+              val (d2, _) = Geom.sqrDistToSegment(q, a, b)
+              d2 < 1e-12 && q != a && q != b
+            }
+            outRing ++= onSeg.sortBy(q => a.sqrDist(q) / math.max(len2, 1e-30))
+          }
+          outRing.toArray
+        })
+        c.copy(geometry = newGeom)
+      }
+    }
+    (out, consOut)
+  }
+
   def moveAddressFull(
       addresses: Dataset[Addr], cons: Dataset[ConsFeature]): DataFrame = {
     val spark = cons.sparkSession

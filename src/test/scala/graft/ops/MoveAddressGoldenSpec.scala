@@ -55,3 +55,40 @@ class MoveAddressGoldenSpec extends AnyFunSuite {
     }
   }
 }
+
+/** Replays the second move_address call of the reference test
+  * (test_cons.py:473-475): with moved entrance vertices inserted into their
+  * building rings, a re-run reclassifies them as 'corner' and the one with
+  * multiple buildings is deleted — 7 survivors become 6. */
+class MoveAddressSecondPassSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("reference golden: second pass drops exactly one address (7 -> 6)") {
+    import spark.implicits._
+    import MoveAddress.{Addr, ConsFeature}
+    // the reference explodes multiparts first (test_cons.py:522):
+    // a multipart building becomes several rows -> building_count > 1
+    val cons = spark.createDataset(
+      Shapefile.read("/root/reference/test/fixtures/cons.shp").flatMap { f =>
+        val lid = f.attrs("localId")
+        f.geometry.toSeq.map(poly =>
+          ConsFeature(lid, lid.split("_")(0).split("\\.").last,
+            !lid.contains("_"), Array(poly)))
+      })
+    val ads = InspireGml.addresses(spark, "/root/reference/test/fixtures/address.gml")
+      .select(org.apache.spark.sql.functions.col("localId"),
+        org.apache.spark.sql.functions.element_at(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.col("localId"), "\\."), -1).as("ref"),
+        org.apache.spark.sql.functions.col("spec"),
+        org.apache.spark.sql.functions.col("x"),
+        org.apache.spark.sql.functions.col("y"))
+      .as[Addr]
+    val (out1, cons2) = MoveAddress.moveAddressWithInsert(ads, cons)
+    val survivors = out1.as[(String, String, String, Double, Double)].collect()
+    assert(survivors.length === 7)
+    val ads2 = spark.createDataset(survivors.toSeq.map(t => Addr(t._1, t._2, t._3, t._4, t._5)))
+    val out2 = MoveAddress.moveAddressFull(ads2, cons2)
+    assert(out2.count() === 6, s"second pass: ${out2.collect().mkString(";")}")
+  }
+}
