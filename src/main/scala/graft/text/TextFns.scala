@@ -100,50 +100,110 @@ object TextFns {
     val x = norm(a); val y = norm(b)
     val tot = x.length + y.length
     if (tot == 0) 100
-    else {
-      val d = levenshteinDist(x, y)
-      // SequenceMatcher-style ratio: 2*M/T with M = matched chars ≈ T - d
-      math.round(100.0 * (tot - 2.0 * d) / tot).toInt.max(0)
+    else math.round(200.0 * lcsLen(x, y) / tot).toInt // SequenceMatcher 2M/T
+  }
+
+  /** Longest-common-subsequence length (the M of difflib's ratio). */
+  def lcsLen(a: String, b: String): Int = {
+    val dp = new Array[Int](b.length + 1)
+    for (i <- 1 to a.length) {
+      var prev = 0
+      for (j <- 1 to b.length) {
+        val cur = dp(j)
+        dp(j) = if (a(i - 1) == b(j - 1)) prev + 1 else math.max(dp(j), dp(j - 1))
+        prev = cur
+      }
+    }
+    dp(b.length)
+  }
+
+  /** Street-name normalization — the exact semantics of the reference's
+    * hgwnames.parse (catatom2osm/hgwnames.py:15-46): semicolon trim, comma
+    * respacing, excluded-substring/type rules, type-abbreviation expansion,
+    * Title Case with lowercase articles (parenthesis-stripped lookup),
+    * apostrophe-article casing (C/D/L/N/S prefixes, S/N/L/LA/LS suffixes),
+    * and geminated-ele rewriting (·L / .L -> ·l). Replays the reference's
+    * own test_hgwnames golden table. */
+  def parseStreetName(name: String): String = {
+    var s = name.split(";")(0)
+    s = s.replaceAll(",+", ", ").trim
+    if (ExcludedHgws.exists(s.contains)) return ""
+    val words = s.split(" +").filter(_.nonEmpty)
+    val out = words.zipWithIndex.map { case (word, i) =>
+      val nude = word.stripPrefix("(").stripSuffix(")")
+      val base =
+        if (i == 0) {
+          if (ExcludedTypes.contains(word)) return ""
+          StreetAbbrevs.getOrElse(word, pyTitle(word))
+        } else if (LowcaseWords.contains(nude)) word.toLowerCase
+        else if (word.length > 2 && word.substring(1, word.length - 1).contains("'")) {
+          val left = word.split("'")(0)
+          val right = word.split("'").last
+          if (Set("C", "D", "L", "N", "S").contains(left))
+            left.toLowerCase + "'" + pyTitle(right)
+          else if (Set("S", "N", "L", "LA", "LS").contains(right))
+            pyTitle(left) + "'" + right.toLowerCase
+          else pyTitle(word)
+        } else pyTitle(word)
+      base.replace("·L", "·l").replace(".L", "·l")
+    }
+    out.mkString(" ").trim
+  }
+
+  /** Python str.title(): capitalize the letter after every non-letter. */
+  def pyTitle(s: String): String = {
+    val sb = new StringBuilder
+    var prevLetter = false
+    for (c <- s) {
+      sb += (if (c.isLetter && !prevLetter) c.toUpper else c.toLower)
+      prevLetter = c.isLetter
+    }
+    sb.toString
+  }
+
+  /** Reference dictionaries (config.py es_ES slice + defaults at
+    * config.py:94-127, 634-635). */
+  val StreetAbbrevs: Map[String, String] = Map(
+    "AV" -> "Avenida", "CJ" -> "Calleja/Callejón", "CL" -> "Calle",
+    "CM" -> "Camino/Carmen", "CR" -> "Carretera/Carrera",
+    "CT" -> "Cuesta/Costanilla", "DS" -> "Diseminados", "GL" -> "Glorieta",
+    "LG" -> "Lugar", "PS" -> "Paseo", "PZ" -> "Plaza", "RD" -> "Ronda",
+    "TR" -> "Travesía/Transversal")
+  val LowcaseWords: Set[String] = Set(
+    "DE", "DEL", "EL", "LA", "LOS", "LAS", "Y", "AL", "EN",
+    "A LA", "A EL", "A LOS", "DE LA", "DE EL", "DE LOS", "DE LAS",
+    "ELS", "LES", "L'", "D'", "N'", "S'", "NA", "DE NA", "SES", "DE SES",
+    "D'EN", "D'EL", "D'ES", "DE'N", "DE'L", "DE'S")
+  val ExcludedTypes: Set[String] = Set("DS", "ER")
+  val ExcludedHgws: Seq[String] = Seq("DISEMINADO")
+
+  /** hgwnames.normalize (hgwnames.py:11-12). */
+  def normalizeName(text: String): String =
+    (if (text == null) "" else text).toLowerCase.trim.replaceAll(" *\\(.*\\)", "")
+
+  /** hgwnames.match (hgwnames.py:49-70): fuzzy best choice above threshold
+    * tagged OSM, else the parsed name tagged CAT. */
+  def matchName(name: String, choices: Seq[String], thr: Int = 60): (String, String) = {
+    val parsed = parseStreetName(name)
+    if (parsed.isEmpty) return (parsed, "CAT")
+    val scored = choices.map(c => c -> tokenSortRatio(normalizeName(parsed), normalizeName(c)))
+    val best = scored.maxByOption(_._2)
+    best match {
+      case Some((c, r)) if r > thr => (c, "OSM")
+      case _ => (parsed, "CAT")
     }
   }
 
-  /** Street-name normalization (reference hgwnames.parse,
-    * catatom2osm/hgwnames.py:15-46): expand the leading way-type
-    * abbreviation via the dictionary, drop excluded types entirely,
-    * Title-Case the rest with articles lowercased (except when first),
-    * preserving apostrophe prefixes (l'Eixample) per the reference's rules. */
-  def parseStreetName(
-      name: String,
-      abbrevs: Map[String, String] = StreetAbbrevs,
-      articles: Set[String] = Articles,
-      excluded: Set[String] = ExcludedTypes): String = {
-    val words = name.trim.split("\\s+").filter(_.nonEmpty)
-    if (words.isEmpty) return ""
-    val typ = words.head.toUpperCase.stripSuffix(".")
-    if (excluded.contains(typ)) return ""
-    val expanded = abbrevs.getOrElse(typ, words.head)
-    val rest = words.tail.map(_.toLowerCase)
-    def caseWord(w: String, first: Boolean): String =
-      if (!first && articles.contains(w)) w
-      else if (w.contains("'") && w.indexOf('\'') <= 2) {
-        // apostrophe prefix: l'eixample -> l'Eixample
-        val i = w.indexOf('\'') + 1
-        w.substring(0, i) + w.substring(i).capitalize
-      } else w.capitalize
-    (titleCase(expanded) +: rest.zipWithIndex.map { case (w, i) => caseWord(w, first = false) })
-      .mkString(" ")
+  /** hgwnames.dsmatch (hgwnames.py:73-96): argmax fuzzy ratio (> 0). */
+  def dsMatch[T](name: String, dataset: Seq[T], fn: T => String): Option[T] = {
+    var maxRatio = 0
+    var matching: Option[T] = None
+    for (e <- dataset) {
+      val r = tokenSortRatio(normalizeName(name), normalizeName(fn(e)))
+      if (r > maxRatio) { maxRatio = r; matching = Some(e) }
+    }
+    matching
   }
-
-  private def titleCase(s: String): String =
-    s.toLowerCase.split(" ").map(_.capitalize).mkString(" ")
-
-  /** A representative slice of the reference's dictionaries
-    * (config.py:94-416 has the full Spanish set). */
-  val StreetAbbrevs: Map[String, String] = Map(
-    "CL" -> "Calle", "AV" -> "Avenida", "PZ" -> "Plaza", "CR" -> "Carretera",
-    "CM" -> "Camino", "PS" -> "Paseo", "TR" -> "Travesía", "RD" -> "Ronda")
-  val Articles: Set[String] = Set("de", "del", "la", "las", "el", "los", "y", "al", "en")
-  val ExcludedTypes: Set[String] = Set("DS", "ER", "EX") // diseminados etc.
 
   def levenshteinDist(a: String, b: String): Int = {
     val dp = Array.tabulate(b.length + 1)(identity)

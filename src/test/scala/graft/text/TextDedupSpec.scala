@@ -158,3 +158,43 @@ class StreetNameSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(parseStreetName("GRAN VIA") === "Gran Via")
   }
 }
+
+/** Replays the reference's own test_hgwnames golden table
+  * (test/test_hgwnames.py:28-70) — every documented parse case plus the
+  * fuzzy match/dsmatch behaviors. */
+class HgwNamesGoldenSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.text.TextFns._
+
+  test("reference golden: the full parse table") {
+    val golden = Map(
+      "   CL  FOO BAR  TAZ  " -> "Calle Foo Bar Taz",
+      "AV DE ESPAÑA" -> "Avenida de España",
+      "CJ GATA (DE LA)" -> "Calleja/Callejón Gata (de la)",
+      "CR CUMBRE,DE LA" -> "Carretera/Carrera Cumbre, de la",
+      "CL HILARIO (ERAS LAS)" -> "Calle Hilario (Eras las)",
+      "CL BASTIO D'EN SANOGUERA" -> "Calle Bastio d'en Sanoguera",
+      "CL BANC DE L'OLI" -> "Calle Banc de l'Oli",
+      "DS ARANJASSA,S'" -> "",
+      "CL AIGUA DOLÇA (L')" -> "Calle Aigua Dolça (l')",
+      "CL RUL·LAN" -> "Calle Rul·lan",
+      "CL FONTE'L PILO" -> "Calle Fonte'l Pilo",
+      "CL TRENET D'ALCOI" -> "Calle Trenet d'Alcoi",
+      "CL SANT MARCEL.LI" -> "Calle Sant Marcel·li",
+      "CL O'DONNELL" -> "Calle O'Donnell",
+      "XX FooBar" -> "Xx Foobar")
+    for ((in, out) <- golden)
+      assert(parseStreetName(in) === out, s"parse('$in')")
+  }
+
+  test("reference golden: normalize, match, dsmatch") {
+    assert(normalizeName("  ABCD  ") === "abcd")
+    val choices = Seq("Foobar", "Foo bar", "Footaz")
+    assert(matchName("FOOB", choices) === (("Foobar", "OSM")))
+    assert(matchName("CL FRANCIA", choices) === (("Calle Francia", "CAT")))
+    val ds = Seq((1, "Foobar"), (2, "Foo bar"), (3, "Footaz"))
+    assert(dsMatch("FOOB", ds, (t: (Int, String)) => t._2).map(_._1) === Some(1))
+    val ds2 = Seq((1, "Móstoles"), (2, "Las Rozas de Madrid"),
+      (3, "Rivas-Vaciamadrid"), (4, "Madrid"))
+    assert(dsMatch("MADRID", ds2, (t: (Int, String)) => t._2).map(_._1) === Some(4))
+  }
+}
