@@ -126,6 +126,44 @@ object OsmOut {
         (col("n_refs") - col("n_resolved")).as("n_dangling"))
   }
 
+  final case class RawNode(id: Long, lon: Double, lat: Double, tags: Map[String, String])
+  final case class RawWay(id: Long, ndRefs: Seq[Long], tags: Map[String, String])
+  final case class RawRel(id: Long, members: Seq[(String, Long, String)], tags: Map[String, String])
+
+  /** General OSM XML parser (osmxml.deserialize surface, osmxml.py:44-126):
+    * tolerant of arbitrary attribute order / JOSM action attributes; nodes,
+    * ways with nd refs, relations with typed members. */
+  def parseOsm(xml: String): (Seq[RawNode], Seq[RawWay], Seq[RawRel]) = {
+    def attr(elem: String, name: String): Option[String] =
+      (name + "='([^']*)'").r.findFirstMatchIn(elem)
+        .orElse((name + "=\"([^\"]*)\"").r.findFirstMatchIn(elem))
+        .map(_.group(1))
+    def tags(body: String): Map[String, String] =
+      "<tag [^>]*/>".r.findAllIn(body).flatMap { t =>
+        for (k <- attr(t, "k"); v <- attr(t, "v")) yield (k, v)
+      }.toMap
+    val nodes = "(?s)<node ([^>]*?)(/>|>(.*?)</node>)".r.findAllMatchIn(xml).flatMap { m =>
+      val head = m.group(1); val body = Option(m.group(3)).getOrElse("")
+      for (id <- attr(head, "id"); lon <- attr(head, "lon"); lat <- attr(head, "lat"))
+        yield RawNode(id.toLong, lon.toDouble, lat.toDouble, tags(body))
+    }.toSeq
+    val ways = "(?s)<way ([^>]*?)>(.*?)</way>".r.findAllMatchIn(xml).flatMap { m =>
+      val head = m.group(1); val body = m.group(2)
+      val refs = "<nd [^>]*/>".r.findAllIn(body)
+        .flatMap(nd => attr(nd, "ref")).map(_.toLong).toSeq
+      attr(head, "id").map(id => RawWay(id.toLong, refs, tags(body)))
+    }.toSeq
+    val rels = "(?s)<relation ([^>]*?)>(.*?)</relation>".r.findAllMatchIn(xml).flatMap { m =>
+      val head = m.group(1); val body = m.group(2)
+      val members = "<member [^>]*/>".r.findAllIn(body).flatMap { mm =>
+        for (t <- attr(mm, "type"); r <- attr(mm, "ref"))
+          yield (t, r.toLong, attr(mm, "role").getOrElse(""))
+      }.toSeq
+      attr(head, "id").map(id => RawRel(id.toLong, members, tags(body)))
+    }.toSeq
+    (nodes, ways, rels)
+  }
+
   /** One .osm XML document per task (process_tasks, app.py:310-389):
     * groupByKey(task) -> serialize per group — one file per tile. */
   def perTaskXml(nodes: DataFrame, taskCol: String): Dataset[(Long, String)] = {

@@ -65,3 +65,34 @@ class MediaSpec extends AnyFunSuite {
     assert(a === b)
   }
 }
+
+/** Deserialize the reference's real current.osm fixture (JOSM export used
+  * by its conflation tests) and resolve way geometry via the engine's
+  * relational ref-resolution (osmxml.deserialize semantics). */
+class CurrentOsmSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+
+  test("current.osm parses: 58 nodes, 8 ways, 1 relation; refs resolve via joins") {
+    import spark.implicits._
+    val xml = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/root/reference/test/fixtures/current.osm"))
+    val (nodes, ways, rels) = OsmOut.parseOsm(xml)
+    assert(nodes.length === 58)
+    assert(ways.length === 8)
+    assert(rels.length === 1)
+    // relational ref resolution: every nd ref resolves to a fixture node
+    val nodeDf = nodes.map(n => (n.id, n.lon, n.lat)).toDF("osm_id", "x", "y")
+    val wayDf = ways.map(w => (w.id, w.ndRefs)).toDF("way_id", "nd_refs")
+    val resolved = OsmOut.resolveWays(wayDf, nodeDf).collect()
+    assert(resolved.length === 8)
+    assert(resolved.forall(_.getAs[Long]("n_dangling") === 0L))
+    // the relation's way members exist in the file
+    val wayIds = ways.map(_.id).toSet
+    val memberWays = rels.head.members.filter(_._1 == "way").map(_._2)
+    assert(memberWays.nonEmpty && memberWays.forall(wayIds.contains))
+    // closed building ways are polygon candidates for conflation
+    val byId = nodes.map(n => n.id -> n).toMap
+    val closed = ways.filter(w => w.ndRefs.nonEmpty && w.ndRefs.head == w.ndRefs.last)
+    assert(closed.nonEmpty)
+  }
+}
