@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.geom.{Geom, Pt}
+import graft.text.TextFns
+
+/** Street-name conflation (reference AddressLayer.get_names,
+  * geo/layer/address.py:95-142): group address points by street name
+  * (the grouped rewrite the reference benchmarked at 127×), pick the
+  * candidate pool by type (place types and the PZ plaza double-probe with
+  * its 'square' prefix marker), fuzzy-match with token-sort ratio.
+  */
+object AddressNames {
+  /** place-type first words (config.py:419-465 es_ES) — lowercase. */
+  val PlaceTypes: Set[String] = Set(
+    "agregado", "aldea", "área", "barrio", "barranco", "cañada", "colegio",
+    "cigarral", "chalet", "concejo", "campa", "campo", "caserío", "conjunto",
+    "diputación", "diseminados", "edificios", "extramuros", "entrada",
+    "ensanche", "extrarradio", "finca", "grupo", "huerta", "huerto",
+    "jardines", "lugar", "mercado", "muelle", "municipio", "masías", "monte",
+    "manzana", "poblado", "partida", "polígono", "páramo", "parroquia",
+    "solar", "squareplaza", "terrenos", "urbanización", "bulevar", "sector")
+
+  final case class Named(name: String, bbox: Geom.BBox)
+
+  /** get_names over grouped address points. bboxBuffer mirrors the
+    * reference's grow(0.002 * 100000) — effectively a global candidate pool
+    * on degree data, kept for fidelity. */
+  def getNames(
+      addresses: Seq[(String, Pt)],
+      highways: Seq[Named],
+      places: Seq[Named],
+      bboxBuffer: Double = 0.002 * 100000): Map[String, (String, String)] = {
+    val byName = addresses.filter(_._1 != null).filter(_._1.nonEmpty).groupBy(_._1)
+    byName.map { case (name, pts) =>
+      val xs = pts.map(_._2.x); val ys = pts.map(_._2.y)
+      val bbox = Geom.BBox(xs.min, ys.min, xs.max, ys.max).grow(bboxBuffer)
+      def pool(cands: Seq[Named]) =
+        cands.filter(c => c.bbox.intersects(bbox)).map(_.name)
+      val hgwType = TextFns.parseStreetName(name).split(" ")(0).toLowerCase
+      val result =
+        if (PlaceTypes.contains(hgwType)) TextFns.matchName(name, pool(places))
+        else if (name.split(" ")(0) == "PZ") {
+          val m = TextFns.matchName(name, pool(places))
+          if (m._2 == "CAT") TextFns.matchName(name, pool(highways))
+          else ("square" + m._1, m._2)
+        } else TextFns.matchName(name, pool(highways))
+      (name, result)
+    }
+  }
+
+  /** AddressLayer.conflate (address.py:69-93): drop addresses whose
+    * street+number key exists in OSM, and 'S-N' (no-number) addresses. */
+  def conflateAddresses(
+      addresses: Seq[(String, String, String)], // (localId, TN_text, designator)
+      current: Set[String],
+      noNumber: String = "S-N"): Seq[(String, String, String)] =
+    addresses
+      .filterNot { case (_, tn, des) => current.contains(tn + des) }
+      .filterNot(_._3 == noNumber)
+
+  /** Load a JOSM GeoJSON FeatureCollection's named features with bboxes
+    * (Point or LineString), via Spark's JSON reader. */
+  def loadNamed(spark: SparkSession, path: String): Seq[Named] = {
+    val df = spark.read.option("multiLine", true).json(path)
+    val rows = df.select(explode(col("features")).as("f"))
+      .select(col("f.properties.name").as("name"),
+        to_json(col("f.geometry.coordinates")).as("coords"))
+      .collect()
+    rows.toSeq.flatMap { r =>
+      val name = r.getAs[String]("name")
+      if (name == null) None
+      else {
+        val nums = "-?[0-9.]+".r.findAllIn(r.getAs[String]("coords"))
+          .map(_.toDouble).toSeq
+        val pts = nums.grouped(2).collect { case Seq(x, y) => Pt(x, y) }.toSeq
+        if (pts.isEmpty) None
+        else Some(Named(name,
+          Geom.BBox(pts.map(_.x).min, pts.map(_.y).min, pts.map(_.x).max, pts.map(_.y).max)))
+      }
+    }
+  }
+}

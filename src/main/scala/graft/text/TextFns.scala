@@ -168,7 +168,7 @@ object TextFns {
     "CM" -> "Camino/Carmen", "CR" -> "Carretera/Carrera",
     "CT" -> "Cuesta/Costanilla", "DS" -> "Diseminados", "GL" -> "Glorieta",
     "LG" -> "Lugar", "PS" -> "Paseo", "PZ" -> "Plaza", "RD" -> "Ronda",
-    "TR" -> "Travesía/Transversal")
+    "TR" -> "Travesía/Transversal", "UR" -> "Urbanización")
   val LowcaseWords: Set[String] = Set(
     "DE", "DEL", "EL", "LA", "LOS", "LAS", "Y", "AL", "EN",
     "A LA", "A EL", "A LOS", "DE LA", "DE EL", "DE LOS", "DE LAS",
