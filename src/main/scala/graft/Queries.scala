@@ -646,8 +646,8 @@ object Queries {
           TextFns.wordOccurrences(col("text"), "a").as("n_a"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id, length(text) AS n_chars_m,
-              (length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ' ')))/4 AS n_the,
-              (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ' ')))/2 AS n_a
+              (length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ' ')))//4 AS n_the,
+              (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ' ')))//2 AS n_a
               FROM documents ORDER BY doc_id""")),
 
     "q_lang_profile" -> Q(
@@ -655,7 +655,7 @@ object Queries {
         .groupBy("lang")
         .agg(count(lit(1)).as("n"), sum("n_chars").as("total_chars"))
         .orderBy("lang"),
-      Some("""SELECT lang, count(*) AS n, sum(n_chars) AS total_chars
+      Some("""SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
               FROM documents GROUP BY lang ORDER BY lang""")),
 
     // exact dedup by canonical key (Osm.merge_duplicated, osm.py:87-104)
@@ -684,27 +684,12 @@ object Queries {
               FROM w a JOIN w b ON b.doc_id = a.doc_id + 1 AND b.w = a.w
               GROUP BY a.doc_id ORDER BY id_a""")),
 
-    // exact n-gram Jaccard near-dup pairs (shuffle-native explode/join/agg)
+    // exact n-gram Jaccard near-dup pairs: PPJoin prefix filtering bounds the
+    // candidate join (rarest-first global order; recall 1.0 by theorem)
     "q_jaccard_pairs" -> Q(
-      (s, d) => {
-        val toks = split(col("text"), " ")
-        val sh = t(s, d, "documents")
-          .select(col("doc_id"),
-            explode(array_distinct(Dedup.shingles(toks, 3))).as("sh"))
-        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-        val inter = sh.as("a").join(sh.as("b"),
-            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-          .agg(count(lit(1)).as("inter"))
-        inter
-          .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-          .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-          .withColumn("jaccard",
-            round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6))
-          .filter(col("jaccard") >= 0.6)
-          .select("id_a", "id_b", "jaccard")
-          .orderBy("id_a", "id_b")
-      },
+      (s, d) => Dedup.jaccardPairsExact(
+          t(s, d, "documents"), "doc_id", "text", shingleN = 3, threshold = 0.6)
+        .orderBy("id_a", "id_b"),
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
               x AS (SELECT doc_id, w, unnest(range(1, greatest(len(w)-1, 2))) AS i FROM t),
               g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh FROM x),

@@ -103,6 +103,48 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** EXACT n-gram Jaccard pair join with PPJoin-style prefix filtering
+    * (Vernica et al., VLDB'10): shingles are globally ordered rarest-first
+    * (document frequency asc, shingle asc — a total order), and a record of
+    * size sz only emits its first `sz - ceil(t*sz) + 1` shingles into the
+    * candidate join. Any pair with Jaccard >= t must share a prefix shingle
+    * under that order, so recall is 1.0 — while a boilerplate shingle shared
+    * by k documents sits at the END of the order and stays out of the
+    * prefixes, killing the k² hot-bucket blowup of the naive inverted-index
+    * self-join. Exact Jaccard is then verified per candidate pair. */
+  def jaccardPairsExact(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(col(textCol), " ")
+    val sh = docs.select(
+      col(idCol).as("id"),
+      explode(array_distinct(shingles(toks, shingleN))).as("sh"))
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val ranked = sh.join(dfreq, "sh")
+    val byDoc = Window.partitionBy("id")
+    val prefix = ranked
+      .withColumn("pos", row_number().over(byDoc.orderBy(col("df"), col("sh"))))
+      .withColumn("sz", count(lit(1)).over(byDoc))
+      .filter(col("pos") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select("id", "sh")
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val sets = docs.select(
+      col(idCol).as("id"), array_distinct(shingles(toks, shingleN)).as("shs"))
+    cand
+      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("shs", "shs_a"), "id_a")
+      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("shs", "shs_b"), "id_b")
+      .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))).cast("double"))
+      .withColumn("jaccard",
+        round(col("inter") /
+          (size(col("shs_a")) + size(col("shs_b")) - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** splitmix64 of FNV-1a — deterministic 64-bit string hash, pure Scala. */
   def hash64(s: String): Long = {
     var h = 0xcbf29ce484222325L
@@ -135,19 +177,33 @@ object Dedup {
   /** Hamming distance between two simhashes. */
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
-  /** SimHash near-dup candidates: docs whose simhash agrees on all 4
-    * 16-bit blocks with at most `maxDist` differing bits overall; block
-    * equality join generates candidates (any pair within Hamming distance 3
-    * shares at least one of 4 blocks by pigeonhole). */
+  /** Bit spans of `maxDist + 1` near-equal blocks covering the 64-bit
+    * signature: by pigeonhole, any pair within Hamming distance `maxDist`
+    * agrees on at least one whole block, so the block equi-join is a
+    * LOSSLESS candidate generator for that radius. */
+  def blockSpans(maxDist: Int): Seq[(Int, Int)] = {
+    val nBlocks = maxDist + 1
+    require(nBlocks >= 1 && nBlocks <= 64, s"maxDist must be in [0,63], got $maxDist")
+    val base = 64 / nBlocks
+    val extra = 64 % nBlocks // first `extra` blocks get one more bit
+    val starts = (0 until nBlocks).scanLeft(0)((s, b) => s + base + (if (b < extra) 1 else 0))
+    (0 until nBlocks).map(b => (starts(b), base + (if (b < extra) 1 else 0)))
+  }
+
+  /** SimHash near-dup candidates: signatures split into `maxDist + 1`
+    * blocks; block equality join generates candidates (pigeonhole: a pair
+    * within Hamming distance maxDist cannot differ in every block), then a
+    * codegen'd bit_count(a ^ b) verifies the exact distance. */
   def simhashNearDups(docs: Dataset[(Long, Seq[String])], maxDist: Int = 3): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val sigs = docs.map { case (id, toks) => (id, simhash64(toks)) }.toDF("id", "sig")
     val blocks = sigs.select(
       col("id"), col("sig"),
-      explode(array((0 until 4).map { b =>
+      explode(array(blockSpans(maxDist).zipWithIndex.map { case ((start, len), b) =>
         struct(lit(b).as("blk"),
-          shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("blk_val"))
+          shiftright(col("sig"), start)
+            .bitwiseAND(lit(if (len == 64) -1L else (1L << len) - 1L)).as("blk_val"))
       }: _*)).as("b"))
       .select(col("id"), col("sig"), col("b.blk"), col("b.blk_val"))
     blocks.as("l").join(blocks.as("r"),
@@ -156,10 +212,7 @@ object Dedup {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
       .distinct()
-      .filter(udfHamming(col("sig_a"), col("sig_b")) <= maxDist)
+      .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= maxDist)
       .select("id_a", "id_b")
   }
-
-  private val udfHamming =
-    org.apache.spark.sql.functions.udf((a: Long, b: Long) => hamming(a, b))
 }

@@ -68,13 +68,14 @@ object Adjacency {
     while (!converged && it < maxIter) {
       val nbrMin = sym.join(labels, sym("b") === labels("bid"))
         .groupBy(sym("a").as("bid")).agg(min("comp").as("nbr_comp"))
+      // carry the previous label through the checkpoint so the convergence
+      // probe is a limit(1) scan of cached blocks, not a second join
       val next = labels.join(nbrMin, Seq("bid"), "left")
-        .select(col("bid"),
+        .select(col("bid"), col("comp").as("old"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("comp", "old"), "bid")
-        .filter(col("comp") =!= col("old")).limit(1).count()
-      labels = next
+      val changed = next.filter(col("comp") =!= col("old")).limit(1).count()
+      labels = next.select("bid", "comp")
       converged = changed == 0
       it += 1
     }

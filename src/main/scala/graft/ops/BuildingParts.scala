@@ -77,16 +77,22 @@ object BuildingParts {
 
       for (b <- buildings if !deleted(b.localId)) {
         // --- pool pass ---------------------------------------------------
-        for (p <- pools) {
+        // (reference cons.py:292-320: `break` out of the pool loop when the
+        // building is coincident with a pool — later pools are not applied)
+        val poolIt = pools.iterator
+        var broke = false
+        while (poolIt.hasNext && !broke) {
+          val p = poolIt.next()
           val pool = cur(p)
-          val bld = cur(b)
-          if (pool.layer != 1 && isInside(pool.geometry, bld.geometry))
+          if (pool.layer != 1 && isInside(pool.geometry, cur(b).geometry))
             updated(p.localId) = pool.copy(layer = 1)
-          // building outer equals pool outer -> delete building
-          if (!deleted(b.localId) && bld.geometry.nonEmpty && pool.geometry.nonEmpty &&
-              ringEquals(bld.geometry.head.head, pool.geometry.head.head))
+          val bld = cur(b)
+          // building outer equals pool outer -> delete building, break
+          if (bld.geometry.nonEmpty && pool.geometry.nonEmpty &&
+              ringEquals(bld.geometry.head.head, pool.geometry.head.head)) {
             deleted += b.localId
-          else {
+            broke = true
+          } else {
             // strip inner rings equal to the pool
             val g = cur(b).geometry
             if (g.nonEmpty && g.head.length > 1) {
@@ -95,25 +101,28 @@ object BuildingParts {
               if (kept.length != g.head.length)
                 updated(b.localId) = cur(b).copy(geometry = Array(kept) ++ g.tail)
             }
-          }
-          // parts equal to the pool -> delete / strip rings
-          parts.filterNot(x => deleted(x.localId)).foreach { pt =>
-            val pg = cur(pt).geometry
-            if (pg.nonEmpty && ringEquals(pg.head.head, pool.geometry.head.head))
-              deleted += pt.localId
-            else if (pg.nonEmpty && pg.head.length > 1) {
-              val kept = pg.head.head +: pg.head.tail.filterNot(r =>
-                ringEquals(r, pool.geometry.head.head))
-              if (kept.length != pg.head.length)
-                updated(pt.localId) = cur(pt).copy(geometry = Array(kept) ++ pg.tail)
+            // parts equal to the pool -> delete / strip rings
+            parts.filterNot(x => deleted(x.localId)).foreach { pt =>
+              val pg = cur(pt).geometry
+              if (pg.nonEmpty && ringEquals(pg.head.head, pool.geometry.head.head))
+                deleted += pt.localId
+              else if (pg.nonEmpty && pg.head.length > 1) {
+                val kept = pg.head.head +: pg.head.tail.filterNot(r =>
+                  ringEquals(r, pool.geometry.head.head))
+                if (kept.length != pg.head.length)
+                  updated(pt.localId) = cur(pt).copy(geometry = Array(kept) ++ pg.tail)
+              }
             }
           }
         }
-        if (deleted(b.localId)) {} else {
-          // --- merge_adjacent_parts ---------------------------------------
+        // --- merge_adjacent_parts -----------------------------------------
+        // Runs even for a pool-deleted building (cons.py:321 is unconditional
+        // after the pool loop): its parts still get level merges/deletions;
+        // only the outline row itself is dropped at emit time.
+        locally {
           val bld = cur(b)
-          val inParts = parts.filterNot(x => deleted(x.localId)).map(cur)
-            .filter(p => isInside(p.geometry, bld.geometry))
+          val liveParts = parts.filterNot(x => deleted(x.localId)).map(cur)
+          val inParts = liveParts.filter(p => isInside(p.geometry, bld.geometry))
           val byLevel = inParts.groupBy(p => (p.levAbove, p.levBelow))
           val maxLevel = (0 +: inParts.map(_.levAbove).toSeq).max
           val minLevel = (0 +: inParts.map(_.levBelow).toSeq).max // max of below, per reference
@@ -146,7 +155,10 @@ object BuildingParts {
             }
           }
           if (partsArea > 0 && math.rint(partsArea) < buildingArea) {
-            val g = unionParts(inParts.map(_.geometry.head).toSeq)
+            // reference merges ALL the ref's surviving parts here
+            // (merge_adjacent_features(parts), cons.py:236-242), not only
+            // the inside-outline subset
+            val g = unionParts(liveParts.map(_.geometry.head).toSeq)
             if (g.nonEmpty) updated(b.localId) = cur(b).copy(geometry = g)
           }
         }

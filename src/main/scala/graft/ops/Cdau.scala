@@ -44,13 +44,20 @@ object Cdau {
     f"$codProv${codMun}%03d"
   }
 
+  /** highway_types_equiv (cdau.py:66-106) — the FULL table. */
   val highwayTypesEquiv: Map[String, String] = Map(
     "ACCESO" -> "AC", "ALAMEDA" -> "AL", "ARROYO" -> "AY", "AUTOPISTA" -> "AU",
     "AUTOVIA" -> "AU", "AVENIDA" -> "AV", "BARRIO" -> "BO", "BAJADA" -> "BJ",
     "BARRANCO" -> "BR", "BULEVAR" -> "BV", "CALLE" -> "CL", "CAÑADA" -> "CA",
-    "CASERIO" -> "CS", "CALZADA" -> "CZ", "CINTURON" -> "CI", "DISEMINADO" -> "DS",
+    "CASERIO" -> "CS", "CALZADA" -> "CZ", "CINTURON" -> "CI",
+    "CONCEJO, COLEGIO" -> "CO", "DISEMINADO" -> "DS",
     "EXPLANADA" -> "EX", "EXTRAMUROS" -> "EM", "EXTRARRADIO" -> "ER",
-    "GRAN VIA" -> "GV", "GRUPO" -> "GR", "GLORIETA" -> "GL", "JARDINES" -> "JR")
+    "GRAN VIA" -> "GV", "GRUPO" -> "GR", "GLORIETA" -> "GL",
+    "HUERTA, HUERTO" -> "HT", "JARDINES" -> "JR", "LUGAR" -> "LG",
+    "MONTE" -> "MT", "MUELLE" -> "ML", "PASEO" -> "PS", "POBLADO" -> "PB",
+    "PLAZA" -> "PZ", "PUENTE" -> "PT", "POLIGONO" -> "PL", "RAMAL" -> "RM",
+    "RAMBLA" -> "RB", "RONDA" -> "RD", "SUBIDA" -> "SU", "SECTOR" -> "SC",
+    "URBANIZACION" -> "UR")
 
   /** get_cat_address (cdau.py:138-152): CDAU CSV row -> Cadastre attrs. */
   def getCatAddress(ad: Map[String, String], codMunCat: String): Map[String, String] = {

@@ -36,38 +36,40 @@ object Conjoin {
     * Adjacency (broadcast here; a key join at cluster scale).
     * Returns (addresses out, building rings with inserted vertices).
     */
+  final case class ProvE(ad_id: Long, ref: Long, spec: String,
+      px: Double, py: Double, mx: Double, my: Double,
+      sax: Double, say: Double, sbx: Double, sby: Double)
+
   def moveEntrances(
       addresses: Dataset[Entrance],
       buildings: Dataset[Building]): (DataFrame, Dataset[Building]) = {
     val spark = buildings.sparkSession
     import spark.implicits._
-    // canonical segments owned by >=2 buildings
-    val sharedSegs: Set[(Pt, Pt)] = {
-      val segOwners = buildings.flatMap { b =>
+    // canonical segments owned by >=2 buildings — kept distributed as a
+    // joinable key table, never a driver set
+    val shared = buildings.flatMap { b =>
         val n = b.ring.length
         (0 until n).map { i =>
           val a = b.ring(i); val c = b.ring((i + 1) % n)
-          val key = if (a.x < c.x || (a.x == c.x && a.y <= c.y)) (a, c) else (c, a)
-          (key, b.bid)
+          val (s, e) = if (a.x < c.x || (a.x == c.x && a.y <= c.y)) (a, c) else (c, a)
+          (s.x, s.y, e.x, e.y, b.bid)
         }
-      }.toDF("seg", "bid").distinct()
-      segOwners.groupBy("seg").count().filter(col("count") > 1)
-        .select(col("seg._1"), col("seg._2")).as[(Pt, Pt)].collect().toSet
-    }
-    val bShared = spark.sparkContext.broadcast(sharedSegs)
+      }.toDF("kax", "kay", "kbx", "kby", "bid").distinct()
+      .groupBy("kax", "kay", "kbx", "kby").count().filter(col("count") > 1)
+      .select(col("kax"), col("kay"), col("kbx"), col("kby"), lit(true).as("isShared"))
+
     val bByRef = buildings.map(b => (b.cluster, b)).toDF("ref", "b")
-    val joined = addresses.toDF()
+    val prov = addresses.toDF()
       .join(bByRef, addresses("ref") === bByRef("ref"))
       .select(col("ad_id"), addresses("ref"), col("spec"), col("px"), col("py"), col("b"))
       .as[(Long, Long, String, Double, Double, Building)]
-    val results = joined
       .groupByKey(_._1)
       .mapGroups { (adId, it) =>
         val rows = it.toSeq.sortBy(_._6.bid)
         val (_, ref, spec, px, py, _) = rows.head
         val p = Pt(px, py)
         if (spec != "Entrance") {
-          EntranceOut(adId, ref, spec, px, py)
+          ProvE(adId, ref, spec, px, py, px, py, Double.NaN, Double.NaN, Double.NaN, Double.NaN)
         } else {
           // nearest building by closest segment
           val scored = rows.map { r =>
@@ -78,47 +80,63 @@ object Conjoin {
           val (d2, proj, si, b) = scored.minBy(t => (t._1, t._4.bid))
           val n = b.ring.length
           val va = b.ring(si); val vb = b.ring((si + 1) % n)
-          val segKey = if (va.x < vb.x || (va.x == vb.x && va.y <= vb.y)) (va, vb) else (vb, va)
+          val (sa, sb) =
+            if (va.x < vb.x || (va.x == vb.x && va.y <= vb.y)) (va, vb) else (vb, va)
           if (d2 > AddrThr * AddrThr)
-            EntranceOut(adId, ref, "remote", px, py)
+            ProvE(adId, ref, "remote", px, py, px, py,
+              Double.NaN, Double.NaN, Double.NaN, Double.NaN)
           // ring model here is outer-only; 'inner' handled when rings carry
           // holes (closestSegment reports ringIdx > 0)
           else if (proj.sqrDist(va) < EntranceThr * EntranceThr ||
                    proj.sqrDist(vb) < EntranceThr * EntranceThr)
-            EntranceOut(adId, ref, "corner", px, py)
-          else if (bShared.value.contains(segKey))
-            EntranceOut(adId, ref, "shared", px, py)
-          else
-            EntranceOut(adId, ref, "Entrance", proj.x, proj.y) // moved
+            ProvE(adId, ref, "corner", px, py, px, py,
+              Double.NaN, Double.NaN, Double.NaN, Double.NaN)
+          else // moved unless the wall turns out shared
+            ProvE(adId, ref, "PENDING", px, py, proj.x, proj.y, sa.x, sa.y, sb.x, sb.y)
         }
-      }
-    val addrOut = results.toDF()
-    // insert moved entrance vertices into their building rings
-    val moved = results.filter(r => r.spec == "Entrance").toDF()
-      .select(col("ref"), col("x"), col("y"))
-    val inserts = moved.as[(Long, Double, Double)].collect()
-      .groupBy(_._1).view.mapValues(_.map(t => Pt(t._2, t._3)).toSeq).toMap
-    val bIns = spark.sparkContext.broadcast(inserts)
-    val buildingsOut = buildings.map { b =>
-      val pts = bIns.value.getOrElse(b.cluster, Seq.empty)
-      if (pts.isEmpty) b
-      else {
-        val out = scala.collection.mutable.ArrayBuffer[Pt]()
-        val n = b.ring.length
-        for (i <- 0 until n) {
-          val a = b.ring(i); val c = b.ring((i + 1) % n)
-          out += a
-          val onSeg = pts.filter { q =>
-            val (d2, _) = Geom.sqrDistToSegment(q, a, c)
-            d2 < 1e-18 && q != a && q != c
+      }.toDF()
+
+    val resolved = prov
+      .join(shared,
+        prov("sax") === shared("kax") && prov("say") === shared("kay") &&
+        prov("sbx") === shared("kbx") && prov("sby") === shared("kby"), "left")
+      .select(
+        col("ad_id"), col("ref"),
+        when(col("spec") =!= "PENDING", col("spec"))
+          .when(col("isShared").isNotNull, lit("shared"))
+          .otherwise(lit("Entrance")).as("spec"),
+        when(col("spec") === "PENDING" && col("isShared").isNull, col("mx"))
+          .otherwise(col("px")).as("x"),
+        when(col("spec") === "PENDING" && col("isShared").isNull, col("my"))
+          .otherwise(col("py")).as("y"))
+      .cache()
+
+    // insert moved entrance vertices into their building rings: cogroup the
+    // buildings with the moved points on the cluster key (reference
+    // move_entrance's insertVertex), no driver map
+    val moved = resolved.filter(col("spec") === "Entrance")
+      .select(col("ref"), col("x"), col("y")).as[(Long, Double, Double)]
+    val buildingsOut = buildings.groupByKey(_.cluster)
+      .cogroup(moved.groupByKey(_._1)) { (_, bIt, mIt) =>
+        val pts = mIt.map(t => Pt(t._2, t._3)).toSeq
+        if (pts.isEmpty) bIt
+        else bIt.map { b =>
+          val out = scala.collection.mutable.ArrayBuffer[Pt]()
+          val n = b.ring.length
+          for (i <- 0 until n) {
+            val a = b.ring(i); val c = b.ring((i + 1) % n)
+            out += a
+            val onSeg = pts.filter { q =>
+              val (d2, _) = Geom.sqrDistToSegment(q, a, c)
+              d2 < 1e-18 && q != a && q != c
+            }
+            val len2 = a.sqrDist(c)
+            out ++= onSeg.sortBy(q => a.sqrDist(q) / len2)
           }
-          val len2 = a.sqrDist(c)
-          out ++= onSeg.sortBy(q => a.sqrDist(q) / len2)
+          b.copy(ring = out.toArray)
         }
-        b.copy(ring = out.toArray)
       }
-    }
-    (addrOut, buildingsOut)
+    (resolved, buildingsOut)
   }
 
   /** (bid, px, py) addresses × buildings → snapped projection + distance².

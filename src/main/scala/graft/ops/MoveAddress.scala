@@ -15,75 +15,54 @@ import graft.geom.{Geom, Pt}
   *  - after classification, a non-'Entrance' address with >1 building for
   *      its refcat                                     -> deleted
   *
-  * The cogroup key is the refcat; the shared-wall set is the canonical
-  * building-segment shuffle (broadcast — a key join at planet scale).
+  * Fully distributed: the refcat cogroup classifies each address and emits
+  * its chosen wall segment; the shared-wall test is a left join of those
+  * rows against the ≥2-owner canonical-segment table (shuffle on the
+  * segment key, never a driver set); moved-vertex insertion is a cogroup
+  * of the construction features with the moved points on the refcat key.
   */
 object MoveAddress {
   final case class ConsFeature(localId: String, ref: String, isBuilding: Boolean,
       geometry: Array[Array[Array[Pt]]])
   final case class Addr(localId: String, ref: String, spec: String, x: Double, y: Double)
 
-  /** moveAddressFull + the building-side mutation: moved entrance points are
-    * inserted as vertices into the nearest building ring (reference
-    * move_entrance's insertVertex), so a SECOND pass sees them as corners —
-    * reproducing the reference's documented two-pass behavior. */
-  def moveAddressWithInsert(
-      addresses: Dataset[Addr], cons: Dataset[ConsFeature]): (DataFrame, Dataset[ConsFeature]) = {
-    val spark = cons.sparkSession
+  /** Classification row before the shared-wall join: `pending` rows carry
+    * the projected target (mx,my) and the canonical chosen segment. */
+  final case class Prov(localId: String, ref: String, spec: String,
+      px: Double, py: Double, mx: Double, my: Double,
+      segA: Pt, segB: Pt, nb: Int)
+
+  private def canonicalSeg(a: Pt, b: Pt): (Pt, Pt) =
+    if (a.x < b.x || (a.x == b.x && a.y <= b.y)) (a, b) else (b, a)
+
+  /** Canonical building-ring segments owned by ≥2 buildings, as a joinable
+    * four-double-key table (sax,say,sbx,sby). */
+  private def sharedSegTable(buildings: Dataset[ConsFeature]): DataFrame = {
+    val spark = buildings.sparkSession
     import spark.implicits._
-    val out = moveAddressFull(addresses, cons)
-    val moved: Map[String, Seq[Pt]] = out
-      .as[(String, String, String, Double, Double)].collect()
-      .filter(_._3 == "Entrance").map(t => (t._2, Pt(t._4, t._5)))
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
-    val bMoved = spark.sparkContext.broadcast(moved)
-    val consOut = cons.map { c =>
-      val pts = if (c.isBuilding) bMoved.value.getOrElse(c.ref, Seq.empty)
-        else Seq.empty[Pt]
-      if (pts.isEmpty) c
-      else {
-        val newGeom = c.geometry.map(_.map { ring =>
-          val outRing = scala.collection.mutable.ArrayBuffer[Pt]()
-          val n = ring.length
-          for (i <- 0 until n) {
-            val a = ring(i); val b = ring((i + 1) % n)
-            outRing += a
-            val len2 = a.sqrDist(b)
-            val onSeg = pts.filter { q =>
-              val (d2, _) = Geom.sqrDistToSegment(q, a, b)
-              d2 < 1e-12 && q != a && q != b
-            }
-            outRing ++= onSeg.sortBy(q => a.sqrDist(q) / math.max(len2, 1e-30))
-          }
-          outRing.toArray
-        })
-        c.copy(geometry = newGeom)
+    buildings
+      .flatMap { b =>
+        for (poly <- b.geometry.toSeq; ring <- poly.toSeq; i <- ring.indices) yield {
+          val (a, c) = canonicalSeg(ring(i), ring((i + 1) % ring.length))
+          (a.x, a.y, c.x, c.y, b.localId)
+        }
       }
-    }
-    (out, consOut)
+      .toDF("sax", "say", "sbx", "sby", "lid").distinct()
+      .groupBy("sax", "say", "sbx", "sby").count().filter(col("count") > 1)
+      .select(col("sax"), col("say"), col("sbx"), col("sby"), lit(true).as("isShared"))
   }
 
-  def moveAddressFull(
+  /** Classification + shared-wall resolution, keeping the chosen segment so
+    * the insert pass can split exactly that wall (building AND parts). */
+  private[ops] def moveAddressResolved(
       addresses: Dataset[Addr], cons: Dataset[ConsFeature]): DataFrame = {
     val spark = cons.sparkSession
     import spark.implicits._
     val buildings = cons.filter(_.isBuilding)
-    // canonical segments of building outer+inner rings owned by >=2 buildings
-    val sharedSegs: Set[(Pt, Pt)] = buildings
-      .flatMap { b =>
-        for (poly <- b.geometry.toSeq; ring <- poly.toSeq; i <- ring.indices) yield {
-          val a = ring(i); val c = ring((i + 1) % ring.length)
-          val key = if (a.x < c.x || (a.x == c.x && a.y <= c.y)) (a, c) else (c, a)
-          (key, b.localId)
-        }
-      }
-      .toDF("seg", "lid").distinct()
-      .groupBy("seg").count().filter(col("count") > 1)
-      .select(col("seg._1"), col("seg._2")).as[(Pt, Pt)].collect().toSet
-    val bShared = spark.sparkContext.broadcast(sharedSegs)
+    val shared = sharedSegTable(buildings)
 
     val byRef = buildings.map(b => (b.ref, b)).toDF("ref", "b")
-    addresses.toDF().as("a")
+    val prov = addresses.toDF().as("a")
       .join(byRef.as("r"), col("a.ref") === col("r.ref"), "left")
       .select(col("a.localId"), col("a.ref"), col("a.spec"), col("a.x"), col("a.y"), col("b"))
       .as[(String, String, String, Double, Double, Option[ConsFeature])]
@@ -94,30 +73,100 @@ object MoveAddress {
         val bs = rows.flatMap(_._6).sortBy(_.localId)
         val p = Pt(px, py)
         if (bs.isEmpty) Seq.empty // deleted: no building
+        else if (spec0 != "Entrance")
+          Seq(Prov(lid, ref, spec0, px, py, px, py, null, null, bs.length))
         else {
-          var spec = spec0
-          var x = px; var y = py
-          if (spec == "Entrance") {
-            val scored = bs.map { b =>
-              val (d2, proj, pi, ri, si) = Geom.closestSegment(p, b.geometry)
-              (d2, proj, pi, ri, si, b)
-            }
-            val (d2, proj, pi, ri, si, b) = scored.minBy(t => (t._1, t._6.localId))
-            val ring = b.geometry(pi)(ri)
-            val va = ring(si); val vb = ring((si + 1) % ring.length)
-            val segKey = if (va.x < vb.x || (va.x == vb.x && va.y <= vb.y)) (va, vb) else (vb, va)
-            if (d2 > Conjoin.AddrThr * Conjoin.AddrThr) spec = "remote"
-            else if (pi > 0 || ri > 0) spec = "inner"
-            else if (proj.sqrDist(va) < Conjoin.EntranceThr * Conjoin.EntranceThr ||
-                     proj.sqrDist(vb) < Conjoin.EntranceThr * Conjoin.EntranceThr)
-              spec = "corner"
-            else if (bShared.value.contains(segKey)) spec = "shared"
-            else { x = proj.x; y = proj.y } // moved, stays 'Entrance'
+          val scored = bs.map { b =>
+            val (d2, proj, pi, ri, si) = Geom.closestSegment(p, b.geometry)
+            (d2, proj, pi, ri, si, b)
           }
-          if (spec != "Entrance" && bs.length > 1) Seq.empty // deleted
-          else Seq((lid, ref, spec, x, y))
+          val (d2, proj, pi, ri, si, b) = scored.minBy(t => (t._1, t._6.localId))
+          val ring = b.geometry(pi)(ri)
+          val va = ring(si); val vb = ring((si + 1) % ring.length)
+          val (sa, sb) = canonicalSeg(va, vb)
+          val spec =
+            if (d2 > Conjoin.AddrThr * Conjoin.AddrThr) "remote"
+            else if (pi > 0 || ri > 0) "inner"
+            else if (proj.sqrDist(va) < Conjoin.EntranceThr * Conjoin.EntranceThr ||
+                     proj.sqrDist(vb) < Conjoin.EntranceThr * Conjoin.EntranceThr) "corner"
+            else "PENDING" // moved unless the wall turns out shared
+          Seq(Prov(lid, ref, spec, px, py, proj.x, proj.y, sa, sb, bs.length))
         }
       }
-      .toDF("localId", "ref", "spec", "x", "y")
+      .toDF()
+
+    prov
+      .join(shared,
+        prov("segA.x") === shared("sax") && prov("segA.y") === shared("say") &&
+        prov("segB.x") === shared("sbx") && prov("segB.y") === shared("sby"), "left")
+      .select(
+        col("localId"), col("ref"),
+        when(col("spec") =!= "PENDING", col("spec"))
+          .when(col("isShared").isNotNull, lit("shared"))
+          .otherwise(lit("Entrance")).as("spec"),
+        when(col("spec") === "PENDING" && col("isShared").isNull, col("mx"))
+          .otherwise(col("px")).as("x"),
+        when(col("spec") === "PENDING" && col("isShared").isNull, col("my"))
+          .otherwise(col("py")).as("y"),
+        col("segA"), col("segB"), col("nb"))
+      .filter(col("spec") === "Entrance" || col("nb") === 1)
+  }
+
+  def moveAddressFull(
+      addresses: Dataset[Addr], cons: Dataset[ConsFeature]): DataFrame =
+    moveAddressResolved(addresses, cons)
+      .select("localId", "ref", "spec", "x", "y")
+
+  /** moveAddressFull + the building-side mutation: moved entrance points are
+    * inserted as vertices into every ring segment (building outline AND its
+    * parts — cons.py move_entrance's part loop) whose canonical endpoints
+    * equal the chosen wall, so a SECOND pass sees them as corners —
+    * reproducing the reference's documented two-pass behavior. */
+  def moveAddressWithInsert(
+      addresses: Dataset[Addr], cons: Dataset[ConsFeature]): (DataFrame, Dataset[ConsFeature]) = {
+    val spark = cons.sparkSession
+    import spark.implicits._
+    val resolved = moveAddressResolved(addresses, cons).cache()
+    val out = resolved.select("localId", "ref", "spec", "x", "y")
+    val moved = resolved
+      .filter(col("spec") === "Entrance" && col("segA").isNotNull)
+      .select(col("ref"), col("x"), col("y"), col("segA"), col("segB"))
+      .as[(String, Double, Double, Pt, Pt)]
+    val consOut = cons.groupByKey(_.ref)
+      .cogroup(moved.groupByKey(_._1)) { (_, cIt, mIt) =>
+        val pts = mIt.map(t => (Pt(t._2, t._3), t._4, t._5)).toSeq
+        if (pts.isEmpty) cIt
+        else cIt.map { c =>
+          if (!c.isBuilding && !c.localId.contains("part")) c
+          else insertAtSegments(c, pts)
+        }
+      }
+    (out, consOut)
+  }
+
+  /** Insert each moved point into ring segments whose canonical endpoints
+    * match its chosen wall (multiple points on one wall sort by distance
+    * from the segment start). */
+  private def insertAtSegments(
+      c: ConsFeature, pts: Seq[(Pt, Pt, Pt)]): ConsFeature = {
+    var changed = false
+    val newGeom = c.geometry.map(_.map { ring =>
+      val outRing = scala.collection.mutable.ArrayBuffer[Pt]()
+      val n = ring.length
+      for (i <- 0 until n) {
+        val a = ring(i); val b = ring((i + 1) % n)
+        outRing += a
+        val key = canonicalSeg(a, b)
+        val onSeg = pts.collect {
+          case (q, sa, sb) if (sa, sb) == key && q != a && q != b => q
+        }
+        if (onSeg.nonEmpty) {
+          changed = true
+          outRing ++= onSeg.distinct.sortBy(q => a.sqrDist(q))
+        }
+      }
+      outRing.toArray
+    })
+    if (changed) c.copy(geometry = newGeom) else c
   }
 }

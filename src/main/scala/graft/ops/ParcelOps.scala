@@ -40,14 +40,15 @@ object ParcelOps {
   }
 
   /** create_missing_parcels (parcel.py:56-80): for refs with no parcel,
-    * union the OUTER RINGS of their features into a synthetic parcel. */
+    * union the OUTER RINGS of their features into a synthetic parcel.
+    * Fully distributed: the "ref has no parcel" test is a left_anti join
+    * (shuffle on ref), never a driver-side id set. */
   def createMissingParcels(parcels: Dataset[Parcel], cons: Dataset[ConsF]): Dataset[Parcel] = {
     val spark = parcels.sparkSession
     import spark.implicits._
-    val existing = parcels.map(_.localId).collect().toSet
-    val bEx = spark.sparkContext.broadcast(existing)
+    val parcelIds = parcels.select(org.apache.spark.sql.functions.col("localId").as("ref"))
     val added = cons
-      .filter(c => !bEx.value.contains(c.ref))
+      .join(parcelIds, Seq("ref"), "left_anti").as[ConsF]
       .groupByKey(_.ref)
       .mapGroups { (ref, it) =>
         val outers = it.toSeq.sortBy(_.localId)
@@ -75,13 +76,19 @@ object ParcelOps {
     }.toArray
   }
 
-  /** count_parts (parcel.py:232-242): features per ref, written to parcels. */
+  /** count_parts (parcel.py:232-242): features per ref, written to parcels.
+    * Distributed: map-side partial count on ref, then an equi-join back onto
+    * parcels (same key → AQE can co-locate; no driver map). */
   def countParts(parcels: Dataset[Parcel], cons: Dataset[ConsF]): Dataset[Parcel] = {
     val spark = parcels.sparkSession
     import spark.implicits._
-    val counts = cons.groupByKey(_.ref).count().collect().toMap
-    val bC = spark.sparkContext.broadcast(counts)
-    parcels.map(p => p.copy(parts = bC.value.getOrElse(p.localId, 0L).toInt))
+    import org.apache.spark.sql.functions.{col, count, lit, coalesce}
+    val counts = cons.groupBy(col("ref").as("localId"))
+      .agg(count(lit(1)).cast("int").as("__n_parts"))
+    parcels.join(counts, Seq("localId"), "left")
+      .withColumn("parts", coalesce(col("__n_parts"), lit(0)))
+      .drop("__n_parts")
+      .as[Parcel]
   }
 
   /** merge_groups (geo/tools.py:26-41): transitive merge of overlapping
@@ -199,6 +206,57 @@ object ParcelOps {
     val sameZone = adjs.toSeq.filterNot(t => mzZones.contains(t._1))
       .flatMap { case (_, gs) => if (gs.length == 1) gs.toSeq else mergeGroups(gs.toSeq) }
     crossGroups ++ sameZone
+  }
+
+  // ------------------------------------------------------------------
+  // Distributed drivers for the tiling merges.
+  //
+  // The reference's greedy merge algorithms are order-sensitive within one
+  // municipality run (SURVEY §7.4), so the unit of distribution is the
+  // municipality: groupByKey(mun) + cogroup runs the golden-exact kernels
+  // per group, and groups parallelize across the cluster. Per-group work is
+  // bounded by the domain (largest reference municipality ≈ 1.2e5
+  // buildings), so no group exceeds one executor's memory at any scale.
+  // `seq` carries layer order through the shuffle.
+  // ------------------------------------------------------------------
+  final case class MunParcel(mun: String, seq: Long, parcel: Parcel)
+  final case class MunCons(mun: String, cons: ConsF)
+  /** One output row of a distributed merge: either a surviving parcel (in
+    * post-merge layer order) or a task-relabel edge taskFrom -> taskTo. */
+  final case class MunMergeRow(mun: String, seq: Long, parcel: Parcel,
+      taskFrom: String, taskTo: String)
+
+  def distributedMerge(
+      parcels: Dataset[MunParcel], cons: Dataset[MunCons],
+      kernel: (Seq[Parcel], Seq[ConsF], String) => MergeResult): Dataset[MunMergeRow] = {
+    val spark = parcels.sparkSession
+    import spark.implicits._
+    parcels.groupByKey(_.mun).cogroup(cons.groupByKey(_.mun)) { (mun, ps, cs) =>
+      val ordered = ps.toSeq.sortBy(_.seq).map(_.parcel)
+      val res = kernel(ordered, cs.map(_.cons).toSeq, mun)
+      val parcelRows = res.parcels.iterator.zipWithIndex.map { case (p, i) =>
+        MunMergeRow(mun, i.toLong, p, null, null)
+      }
+      val taskRows = res.tasks.toSeq.sorted.iterator.map { case (f, t) =>
+        MunMergeRow(mun, -1L, null, f, t)
+      }
+      parcelRows ++ taskRows
+    }
+  }
+
+  /** merge_by_adjacent_buildings, distributed per municipality. */
+  def mergeByAdjacentBuildingsByMun(
+      parcels: Dataset[MunParcel], cons: Dataset[MunCons]): Dataset[MunMergeRow] =
+    distributedMerge(parcels, cons, (ps, cs, mun) => mergeByAdjacentBuildings(ps, cs, mun))
+
+  /** merge_by_parts_count, distributed per municipality. */
+  def mergeByPartsCountByMun(
+      parcels: Dataset[MunParcel], maxParts: Int, buffer: Double): Dataset[MunMergeRow] = {
+    val spark = parcels.sparkSession
+    import spark.implicits._
+    val noCons = spark.emptyDataset[MunCons]
+    distributedMerge(parcels, noCons,
+      (ps, _, mun) => mergeByPartsCount(ps, maxParts, buffer, mun))
   }
 
   /** merge_by_adjacent_buildings (parcel.py:179-230): each group unions

@@ -27,8 +27,13 @@ class Report {
         "refused_addresses", "ignored_addresses", "out_address", "pool_addresses",
         "orphaned_addresses") != get("inp_address"))
       errors += "Sum of output and deleted addresses should be equal to the input addresses"
-    if (sum("out_address_entrance", "out_address_parcel") > 0 &&
-        sum("out_address_entrance", "out_address_parcel") != get("out_address"))
+    // The reference writes `(A > 0 and A) != out_address` (report.py:330-333)
+    // — a precedence bug: the comparison binds the whole parenthesized
+    // boolean, so when A == 0 Python evaluates `False != out_address`, which
+    // is true whenever out_address != 0. Net observable behavior: a PLAIN
+    // inequality check (the A==0/out==0 case passes because False == 0).
+    // We replicate that observable behavior, not the intended guard.
+    if (sum("out_address_entrance", "out_address_parcel") != get("out_address"))
       errors += "Sum of entrance and parcel addresses should be equal to output addresses"
     if (sum("out_addr_str", "out_addr_plc") != get("out_address"))
       errors += "Sum of street and place addresses should be equal to output addresses"

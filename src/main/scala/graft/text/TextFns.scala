@@ -92,15 +92,28 @@ object TextFns {
     h
   }
 
+  /** fuzzywuzzy utils.full_process with its default force_ascii=True:
+    * strip Latin-1 high bytes (asciidammit's U+0080..U+00FF translation
+    * table), replace non-\w chars with spaces, lowercase, trim — so
+    * apostrophes and geminated-ele dots (l'Oli, Rul·lan) tokenize exactly
+    * like fuzz.token_sort_ratio's preprocessing. */
+  def fullProcess(s: String): String =
+    s.filterNot(c => c >= 0x80 && c <= 0xFF)
+      .map(c => if (c.isLetterOrDigit || c == '_') c else ' ')
+      .mkString.toLowerCase.trim
+
   /** Token-sort-ratio fuzzy match (reference hgwnames.match,
-    * catatom2osm/hgwnames.py:49-70): Levenshtein ratio over token-sorted
-    * strings, in [0, 100]. */
+    * catatom2osm/hgwnames.py:49-70 → fuzz.token_sort_ratio): full_process
+    * both sides, token-sort, SequenceMatcher 2M/T ratio in [0, 100] with
+    * Python's round-half-even. */
   def tokenSortRatio(a: String, b: String): Int = {
-    def norm(s: String) = s.toLowerCase.split("\\s+").filter(_.nonEmpty).sorted.mkString(" ")
+    def norm(s: String) =
+      fullProcess(s).split("\\s+").filter(_.nonEmpty).sorted.mkString(" ")
     val x = norm(a); val y = norm(b)
     val tot = x.length + y.length
     if (tot == 0) 100
-    else math.round(200.0 * lcsLen(x, y) / tot).toInt // SequenceMatcher 2M/T
+    else BigDecimal(200.0 * lcsLen(x, y) / tot)
+      .setScale(0, BigDecimal.RoundingMode.HALF_EVEN).toInt
   }
 
   /** Longest-common-subsequence length (the M of difflib's ratio). */

@@ -37,4 +37,24 @@ class CdauGoldenSpec extends AnyFunSuite {
     val attr2 = getCatAddress(ad ++ Map("num_por_hasta" -> "14", "ext_hasta" -> "D"), "29900")
     assert(attr2("designator") === "10A-14D")
   }
+
+  test("highway_types_equiv covers the full cdau.py table (PLAZA, PASEO, ...)") {
+    // the tail of cdau.py:66-106 that a truncated table would miss
+    val golden = Seq(
+      "PLAZA" -> "PZ", "PASEO" -> "PS", "RONDA" -> "RD", "URBANIZACION" -> "UR",
+      "LUGAR" -> "LG", "MONTE" -> "MT", "MUELLE" -> "ML", "POBLADO" -> "PB",
+      "PUENTE" -> "PT", "POLIGONO" -> "PL", "RAMAL" -> "RM", "RAMBLA" -> "RB",
+      "SUBIDA" -> "SU", "SECTOR" -> "SC", "CONCEJO, COLEGIO" -> "CO",
+      "HUERTA, HUERTO" -> "HT")
+    for ((in, out) <- golden)
+      assert(highwayTypesEquiv(in) === out, in)
+    assert(highwayTypesEquiv.size === 39)
+    val adPz = Map(
+      "dgc_via" -> "1", "refcatparc" -> "p", "nom_tip_via" -> "PLAZA",
+      "nom_via" -> "Mayor", "cod_postal" -> "1", "num_por_desde" -> "1",
+      "ext_desde" -> "", "num_por_hasta" -> "", "ext_hasta" -> "")
+    assert(getCatAddress(adPz, "29900")("TN_text") === "PZ Mayor")
+    assert(getCatAddress(adPz ++ Map("nom_tip_via" -> "PASEO"), "29900")("TN_text")
+      === "PS Mayor")
+  }
 }

@@ -126,6 +126,73 @@ class ParcelChainGoldenSpec extends AnyFunSuite {
   }
 }
 
+/** The 48-parcel tile golden driven through the DISTRIBUTED per-municipality
+  * wrapper (groupByKey(mun) + cogroup around the golden-exact kernels):
+  * same surviving-id set, same parts conservation, same relabel map as the
+  * in-process kernel, with the municipality replicated under two keys to
+  * prove group isolation. */
+class DistributedMergeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val res = "src/test/resources/fixtures"
+
+  lazy val (countedSeq, preparedSeq) = {
+    import spark.implicits._
+    val parcels = Wkb.readTsv(s"$res/parcel.tsv").map { case (a, g) =>
+      Parcel(a("localId"), null, 0, g)
+    }
+    val consRaw = Wkb.readTsv(s"$res/cons_gpkg.tsv").map { case (a, g) =>
+      val lid = a("localId")
+      def i(k: String) = a.get(k).filter(_.nonEmpty)
+        .flatMap(v => scala.util.Try(v.toDouble.toInt).toOption).getOrElse(-1)
+      ConsF(lid, ParcelOps.refOf(lid), ParcelOps.kindOf(lid),
+        i("numberOfFloorsAboveGround"), i("numberOfFloorsBelowGround"), g)
+    }
+    val prepared = ConsChain.prepare(spark, consRaw)
+    val pcl1 = ParcelOps.deleteVoidParcels(
+      spark.createDataset(parcels), spark.createDataset(prepared))
+    val pcl2 = ParcelOps.createMissingParcels(pcl1, spark.createDataset(prepared))
+    (ParcelOps.countParts(pcl2, spark.createDataset(prepared)).collect().toSeq, prepared)
+  }
+
+  test("48-parcel golden through mergeByAdjacentBuildingsByMun, two replicated muns") {
+    import spark.implicits._
+    val muns = Seq("38012", "99999") // same municipality twice: groups must not mix
+    val mp = spark.createDataset(for {
+      m <- muns; (p, i) <- countedSeq.zipWithIndex
+    } yield ParcelOps.MunParcel(m, i.toLong, p))
+    val mc = spark.createDataset(for {
+      m <- muns; c <- preparedSeq
+    } yield ParcelOps.MunCons(m, c))
+    val rows = ParcelOps.mergeByAdjacentBuildingsByMun(mp, mc).collect()
+    val expected = ParcelOps.mergeByAdjacentBuildings(countedSeq, preparedSeq, "38012")
+    for (m <- muns) {
+      val ps = rows.filter(r => r.mun == m && r.parcel != null).map(_.parcel)
+      assert(ps.length === 48)
+      assert(ps.map(_.localId).toSet === expected.parcels.map(_.localId).toSet)
+      assert(ps.map(_.parts).sum === expected.parcels.map(_.parts).sum)
+      assert(ps.find(_.localId == "8840501CS5284S").get.parts === 11)
+      val tasks = rows.filter(r => r.mun == m && r.taskFrom != null)
+        .map(r => r.taskFrom -> r.taskTo).toMap
+      assert(tasks === expected.tasks)
+    }
+  }
+
+  test("mergeByPartsCountByMun matches the in-process kernel") {
+    import spark.implicits._
+    val merged = ParcelOps.mergeByAdjacentBuildings(countedSeq, preparedSeq, "38012").parcels
+    val mp = spark.createDataset(
+      merged.zipWithIndex.map { case (p, i) => ParcelOps.MunParcel("38012", i.toLong, p) })
+    val rows = ParcelOps.mergeByPartsCountByMun(mp, 20, 30.0).collect()
+    val expected = ParcelOps.mergeByPartsCount(merged, 20, 30.0, "38012")
+    val ps = rows.filter(_.parcel != null).map(_.parcel)
+    // ordered rows reproduce the kernel's post-merge layer order exactly
+    assert(ps.sortBy(_.localId).map(p => (p.localId, p.parts)).toSeq ===
+      expected.parcels.sortBy(_.localId).map(p => (p.localId, p.parts)))
+    val tasks = rows.filter(_.taskFrom != null).map(r => r.taskFrom -> r.taskTo).toMap
+    assert(tasks === expected.tasks)
+  }
+}
+
 /** Replays test_get_groups_by_parts_count + test_merge_by_parts_count
   * (test_parcel.py:160-213): the distance-greedy packing goldens after the
   * full chain and adjacency merge. */

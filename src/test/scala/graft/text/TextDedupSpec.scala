@@ -81,6 +81,64 @@ class DedupSpec extends AnyFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(lsh === exact)
   }
+
+  test("simhash blocking is lossless at maxDist=8: distance-6 pair spanning 4 old blocks") {
+    import spark.implicits._
+    // Craft token seqs whose simhashes differ in 6 bits spread across all
+    // four 16-bit quarters (bits 2, 13, 21, 37, 50, 62) — the round-1
+    // 4-block scheme silently dropped such pairs; 9 blocks must catch them.
+    val base: Seq[String] = (1 to 40).map(i => s"tok$i").toList
+    def sigOf(ts: Seq[String]) = Dedup.simhash64(ts)
+    val s0 = sigOf(base)
+    // search small perturbations until one lands at distance 4..8 with bits
+    // in >= 4 distinct 16-bit quarters (deterministic scan, no randomness)
+    val variant = (1 to 2000).view.map { k =>
+      (base.updated(3, s"alt$k").updated(17, s"chg$k") :+ s"tail$k"): Seq[String]
+    }.find { v =>
+      val d = Dedup.hamming(s0, sigOf(v))
+      val xorBits = (0 until 64).filter(b => (((s0 ^ sigOf(v)) >>> b) & 1L) == 1L)
+      d >= 4 && d <= 8 && xorBits.map(_ / 16).distinct.size === 4
+    }
+    assert(variant.nonEmpty, "no qualifying perturbation found")
+    val docs = spark.createDataset(Seq((1L, base), (2L, variant.get)))
+    val pairs = Dedup.simhashNearDups(docs, maxDist = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("blockSpans covers all 64 bits disjointly for maxDist 0..12") {
+    for (d <- 0 to 12) {
+      val spans = Dedup.blockSpans(d)
+      assert(spans.length === d + 1)
+      assert(spans.map(_._2).sum === 64)
+      assert(spans.scanLeft(0)((acc, s) => acc + s._2).init === spans.map(_._1))
+    }
+  }
+
+  test("prefix-filtered jaccard equals the naive all-pairs join incl. a hot shingle") {
+    import spark.implicits._
+    // 12 docs all sharing one boilerplate trigram (hot shingle), plus one
+    // planted >=0.6 pair; prefix filtering must return exactly the same
+    // pairs as brute force over all C(12,2) combinations
+    val boiler = "copyright all rights"
+    val docs = (1 to 10).map { i =>
+      (i.toLong, s"$boiler reserved u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f")
+    } ++ Seq(
+      (11L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (12L, "alpha beta gamma delta epsilon zeta eta iota"))
+    val df = docs.toDF("doc_id", "text")
+    val fast = Dedup.jaccardPairsExact(df, "doc_id", "text", 3, 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute force oracle in scala
+    def sh(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val brute = (for {
+      (a, ta) <- docs; (b, tb) <- docs if a < b
+      j = sh(ta).intersect(sh(tb)).size.toDouble / sh(ta).union(sh(tb)).size
+      if j >= 0.6
+    } yield (a, b)).toSet
+    assert(fast === brute)
+    assert(brute.contains((11L, 12L)))
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
