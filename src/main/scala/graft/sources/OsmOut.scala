@@ -140,7 +140,7 @@ object OsmOut {
         .map(_.group(1))
     def tags(body: String): Map[String, String] =
       "<tag [^>]*/>".r.findAllIn(body).flatMap { t =>
-        for (k <- attr(t, "k"); v <- attr(t, "v")) yield (k, v)
+        for (k <- attr(t, "k"); v <- attr(t, "v")) yield (unescape(k), unescape(v))
       }.toMap
     val nodes = "(?s)<node ([^>]*?)(/>|>(.*?)</node>)".r.findAllMatchIn(xml).flatMap { m =>
       val head = m.group(1); val body = Option(m.group(3)).getOrElse("")
@@ -162,6 +162,113 @@ object OsmOut {
       attr(head, "id").map(id => RawRel(id.toLong, members, tags(body)))
     }.toSeq
     (nodes, ways, rels)
+  }
+
+  final case class OsmDoc(nodes: Seq[RawNode], ways: Seq[RawWay], rels: Seq[RawRel])
+
+  /** Build an OSM document from polygon features + point features — the
+    * BaseLayer.to_osm / osm.Osm container analog (osm.py:9-120, 570-600):
+    * one decreasing negative-id counter shared by nodes/ways/relations
+    * (ids assigned in deterministic sorted-feature order, SURVEY §1.4, so
+    * output is identical at any parallelism); nodes dedup by coordinate and
+    * ways by nd sequence at build time (Osm.merge_duplicated semantics);
+    * a single-ring feature becomes one tagged closed way; a feature with
+    * holes or multiple parts becomes a type=multipolygon relation whose
+    * ring ways take outer/inner roles in part-ring order (osm.py:570-600).
+    */
+  def featuresToOsm(
+      polys: Seq[(String, Array[Array[Array[graft.geom.Pt]]], Map[String, String])],
+      points: Seq[(Double, Double, Map[String, String])] = Seq.empty): OsmDoc = {
+    var counter = 0L
+    def nextId(): Long = { counter -= 1; counter }
+    val nodeIds = scala.collection.mutable.LinkedHashMap[(Double, Double), Long]()
+    val nodeTags = scala.collection.mutable.Map[(Double, Double), Map[String, String]]()
+    val wayIds = scala.collection.mutable.LinkedHashMap[Seq[Long], Long]()
+    val wayTags = scala.collection.mutable.Map[Seq[Long], Map[String, String]]()
+    val rels = scala.collection.mutable.ArrayBuffer[RawRel]()
+    def nodeOf(x: Double, y: Double): Long =
+      nodeIds.getOrElseUpdate((x, y), nextId())
+    def wayOf(ring: Array[graft.geom.Pt]): (Seq[Long], Long) = {
+      val refs = ring.map(p => nodeOf(p.x, p.y)).toSeq
+      val closed = if (refs.nonEmpty && refs.head != refs.last) refs :+ refs.head else refs
+      (closed, wayIds.getOrElseUpdate(closed, nextId()))
+    }
+    for ((x, y, tags) <- points) {
+      nodeOf(x, y)
+      nodeTags((x, y)) = nodeTags.getOrElse((x, y), Map.empty) ++ tags
+    }
+    for ((_, geom, tags) <- polys.sortBy(_._1)) {
+      val simple = geom.length == 1 && geom.head.length == 1
+      if (simple) {
+        val (key, _) = wayOf(geom.head.head)
+        wayTags(key) = wayTags.getOrElse(key, Map.empty) ++ tags
+      } else {
+        val members = for (part <- geom.toSeq; (ring, ri) <- part.toSeq.zipWithIndex)
+          yield ("way", wayOf(ring)._2, if (ri == 0) "outer" else "inner")
+        rels += RawRel(nextId(), members, tags + ("type" -> "multipolygon"))
+      }
+    }
+    OsmDoc(
+      nodeIds.toSeq.map { case ((x, y), id) =>
+        RawNode(id, x, y, nodeTags.getOrElse((x, y), Map.empty)) },
+      wayIds.toSeq.map { case (refs, id) =>
+        RawWay(id, refs, wayTags.getOrElse(refs, Map.empty)) },
+      rels.toSeq)
+  }
+
+  /** Serialize a full OSM document — nodes, then ways with nd refs, then
+    * relations with typed members (osmxml.serialize element order,
+    * osmxml.py:16-41). */
+  def osmToXml(doc: OsmDoc, note: Option[String] = None): String = {
+    val sb = new StringBuilder
+    sb ++= "<?xml version='1.0' encoding='UTF-8'?>\n"
+    sb ++= "<osm version='0.6' generator='graft' upload='never'>\n"
+    note.foreach(n => sb ++= s"  <note>${escape(n)}</note>\n")
+    def tagLines(tags: Map[String, String], indent: String): Unit =
+      tags.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        sb ++= s"$indent<tag k='${escape(k)}' v='${escape(v)}' />\n"
+      }
+    for (n <- doc.nodes) {
+      sb ++= s"  <node id='${n.id}' lon='${n.lon}' lat='${n.lat}'"
+      if (n.tags.isEmpty) sb ++= " />\n"
+      else { sb ++= ">\n"; tagLines(n.tags, "    "); sb ++= "  </node>\n" }
+    }
+    for (w <- doc.ways) {
+      sb ++= s"  <way id='${w.id}'>\n"
+      w.ndRefs.foreach(r => sb ++= s"    <nd ref='$r' />\n")
+      tagLines(w.tags, "    ")
+      sb ++= "  </way>\n"
+    }
+    for (r <- doc.rels) {
+      sb ++= s"  <relation id='${r.id}'>\n"
+      r.members.foreach { case (t, ref, role) =>
+        sb ++= s"    <member type='$t' ref='$ref' role='$role' />\n"
+      }
+      tagLines(r.tags, "    ")
+      sb ++= "  </relation>\n"
+    }
+    sb ++= "</osm>\n"
+    sb.toString
+  }
+
+  final case class TaskFeature(task: Long, localId: String,
+      geometry: Array[Array[Array[graft.geom.Pt]]], tags: Map[String, String])
+
+  /** One FULL .osm document per task — buildings as ways/relations plus the
+    * task's address nodes (process_tasks, app.py:310-389): groupByKey(task)
+    * -> build + serialize per group, one file per tile, fully distributed. */
+  def perTaskOsmXml(
+      features: Dataset[TaskFeature],
+      addrNodes: Dataset[(Long, Double, Double, Map[String, String])]): Dataset[(Long, String)] = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    features.groupByKey(_.task)
+      .cogroup(addrNodes.groupByKey(_._1)) { (task, fIt, aIt) =>
+        val polys = fIt.toSeq.sortBy(_.localId).map(f => (f.localId, f.geometry, f.tags))
+        val pts = aIt.toSeq.sortBy(t => (t._2, t._3)).map(t => (t._2, t._3, t._4))
+        if (polys.isEmpty && pts.isEmpty) Iterator.empty
+        else Iterator((task, osmToXml(featuresToOsm(polys, pts))))
+      }
   }
 
   /** One .osm XML document per task (process_tasks, app.py:310-389):

@@ -227,6 +227,79 @@ object SpatialJoin {
       .toDF("id", "site_id")
   }
 
+  /** Dataset-partitioned radius join — for site sides beyond broadcast.
+    * The SITE side explodes into its 3×3 cell neighborhood (constant ×9
+    * blow-up of the small-to-medium side); the big point side is keyed by
+    * its single cell, so it shuffles exactly once with one row per point.
+    * Same output as radiusJoin (set-equality tested). */
+  def radiusJoinPartitioned(
+      points: Dataset[IdPoint], sites: Dataset[Site], grid: CellGrid,
+      radius: Double): DataFrame = {
+    require(grid.cellSize >= radius, "cellSize must be >= radius for 3x3 probe")
+    val spark = points.sparkSession
+    import spark.implicits._
+    val siteCells = sites
+      .flatMap(s => grid.neighborhood(s.x, s.y).map(c => (c, s.site_id, s.x, s.y)))
+      .toDF("cell", "site_id", "sx", "sy")
+    points
+      .map(p => (grid.cellOf(p.x, p.y), p.id, p.x, p.y))
+      .toDF("cell", "id", "px", "py")
+      .join(siteCells, "cell")
+      .where(
+        (col("px") - col("sx")) * (col("px") - col("sx")) +
+          (col("py") - col("sy")) * (col("py") - col("sy")) <= lit(radius * radius))
+      .select("id", "site_id")
+  }
+
+  /** Dataset-partitioned EXACT nearest-site join — the scale path when the
+    * site side doesn't fit one executor. Geometric doubling over grid
+    * granularity: round r equi-joins points against sites exploded into
+    * their 3×3 neighborhood at cell size g = cellSize·4^r. A candidate at
+    * distance d ≤ g is provably the global nearest (any unexamined site is
+    * > g away), so the point resolves; unresolved points re-join at 4g.
+    * Each round is one cell equi-join with a constant ×9 site explosion —
+    * no ring scans, no broadcast — and rounds are log(extent/cellSize).
+    * Ties break by site_id, matching nearestSiteJoin. */
+  def nearestSiteJoinPartitioned(
+      points: Dataset[IdPoint], sites: Dataset[Site], baseCell: Double,
+      maxRounds: Int = 24): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    var unresolved = points
+    val resolved = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var g = baseCell
+    var round = 0
+    var done = false
+    while (round < maxRounds && !done) {
+      val grid = CellGrid(g)
+      val siteCells = sites
+        .flatMap(s => grid.neighborhood(s.x, s.y).map(c => (c, s.site_id, s.x, s.y)))
+        .toDF("cell", "site_id", "sx", "sy")
+      val best = unresolved
+        .map(p => (grid.cellOf(p.x, p.y), p.id, p.x, p.y))
+        .toDF("cell", "id", "px", "py")
+        .join(siteCells, "cell")
+        .withColumn("d2",
+          (col("px") - col("sx")) * (col("px") - col("sx")) +
+            (col("py") - col("sy")) * (col("py") - col("sy")))
+        .groupBy("id")
+        .agg(min(struct(col("d2"), col("site_id"))).as("m"))
+        .select(col("id"), col("m.site_id").as("site_id"), col("m.d2").as("d2"))
+        .localCheckpoint() // eager: truncate the per-round lineage
+      val won = best.filter(sqrt(col("d2")) <= lit(g)).select("id", "site_id")
+      resolved += won
+      unresolved = unresolved
+        .join(won.select("id"), unresolved("id") === won("id"), "left_anti")
+        .as[IdPoint]
+        .localCheckpoint()
+      done = unresolved.isEmpty
+      g *= 4
+      round += 1
+    }
+    require(done, s"nearestSiteJoinPartitioned did not converge in $maxRounds rounds")
+    resolved.reduce(_ union _)
+  }
+
   /** Radius join: all (point, site) pairs within `radius`. Requires
     * grid.cellSize >= radius so the 3×3 neighborhood covers the disc
     * (the reference's Point.boundingBox + R-tree probe, geo/point.py:21-25). */

@@ -25,6 +25,104 @@ class OsmOutSpec extends AnyFunSuite {
     assert(OsmOut.xmlToNodes(xml).toSet === nodes.toSet)
   }
 
+  test("reference test_osmxml.test_serialize: pool way + multipolygon relation") {
+    import graft.geom.Pt
+    // the reference's fixture: a tagged entrance node, a closed pool way,
+    // a building multipolygon with one hole (test_osmxml.py:9-49)
+    val poolRing = Array(Pt(12, 0), Pt(14, 0), Pt(14, 2), Pt(12, 2))
+    val mpOuter = Array(Pt(0, 0), Pt(10, 0), Pt(10, 6), Pt(0, 6))
+    val mpInner = Array(Pt(8, 1), Pt(9, 1), Pt(9, 2), Pt(8, 2))
+    val doc = OsmOut.featuresToOsm(
+      Seq(
+        ("pool1", Array(Array(poolRing)), Map("leisure" -> "swiming_pool")),
+        ("bld1", Array(Array(mpOuter, mpInner)), Map("building" -> "residential"))),
+      Seq((4.0, 0.0, Map("entrance" -> "yes",
+        "addr:street" -> "Calle la Ñ", "addr:housenumber" -> "7"))))
+    // 3 ways total (pool + outer + inner), 1 relation, as the reference asserts
+    assert(doc.ways.length === 3)
+    assert(doc.rels.length === 1)
+    val r = doc.rels.head
+    assert(r.tags("type") === "multipolygon")
+    assert(r.tags("building") === "residential")
+    assert(r.members.map(_._3) === Seq("outer", "inner"))
+    assert(r.members.forall(_._1 === "way"))
+    // member refs resolve to ways whose nd refs resolve to nodes (closed)
+    val waysById = doc.ways.map(w => w.id -> w).toMap
+    val nodeIds = doc.nodes.map(_.id).toSet
+    for ((_, ref, _) <- r.members) {
+      val w = waysById(ref)
+      assert(w.ndRefs.head === w.ndRefs.last, "ring ways are closed")
+      assert(w.ndRefs.forall(nodeIds.contains), "no dangling nd refs")
+    }
+    // tagged node kept its tags; pool way carries its tag
+    val entrance = doc.nodes.find(_.tags.contains("entrance")).get
+    assert(entrance.lon === 4.0 && entrance.tags("addr:housenumber") === "7")
+    assert(doc.ways.count(_.tags.get("leisure").contains("swiming_pool")) === 1)
+    // all ids are unique negatives across the three element kinds
+    val allIds = doc.nodes.map(_.id) ++ doc.ways.map(_.id) ++ doc.rels.map(_.id)
+    assert(allIds.forall(_ < 0) && allIds.distinct.length === allIds.length)
+  }
+
+  test("osmToXml round-trips nodes, ways and relations through parseOsm") {
+    import graft.geom.Pt
+    val doc = OsmOut.featuresToOsm(
+      Seq(
+        ("a", Array(Array(Array(Pt(0, 0), Pt(1, 0), Pt(1, 1)))), Map("building" -> "yes")),
+        ("b", Array(
+          Array(Array(Pt(0, 0), Pt(4, 0), Pt(4, 4), Pt(0, 4)),
+            Array(Pt(1, 1), Pt(2, 1), Pt(2, 2), Pt(1, 2))),
+          Array(Array(Pt(10, 10), Pt(11, 10), Pt(11, 11)))),
+          Map("building" -> "residential", "name" -> "O'Hara & <Co>"))),
+      Seq((0.5, 0.5, Map("entrance" -> "yes"))))
+    val xml = OsmOut.osmToXml(doc, note = Some("results"))
+    val (ns, ws, rs) = OsmOut.parseOsm(xml)
+    assert(ns.map(n => (n.id, n.lon, n.lat, n.tags)).toSet ===
+      doc.nodes.map(n => (n.id, n.lon, n.lat, n.tags)).toSet)
+    assert(ws.map(w => (w.id, w.ndRefs, w.tags)).toSet ===
+      doc.ways.map(w => (w.id, w.ndRefs, w.tags)).toSet)
+    assert(rs.map(r => (r.id, r.members, r.tags)).toSet ===
+      doc.rels.map(r => (r.id, r.members, r.tags)).toSet)
+    // the second multipolygon has 3 ring ways: outer+inner, then 2nd part outer
+    assert(rs.exists(_.members.map(_._3) === Seq("outer", "inner", "outer")))
+  }
+
+  test("shared walls dedup nodes, identical rings dedup ways (merge_duplicated)") {
+    import graft.geom.Pt
+    val ring = Array(Pt(0, 0), Pt(1, 0), Pt(1, 1), Pt(0, 1))
+    // building and its single part share the exact ring -> ONE way, tags merged
+    val doc = OsmOut.featuresToOsm(Seq(
+      ("b", Array(Array(ring)), Map("building" -> "yes")),
+      ("b_part1", Array(Array(ring)), Map("building:levels" -> "2"))))
+    assert(doc.ways.length === 1)
+    assert(doc.nodes.length === 4)
+    assert(doc.ways.head.tags === Map("building" -> "yes", "building:levels" -> "2"))
+  }
+
+  test("perTaskOsmXml: one full document per tile, ways+relations intact") {
+    import spark.implicits._
+    import graft.geom.Pt
+    def sq(x: Double, y: Double) =
+      Array(Array(Array(Pt(x, y), Pt(x + 1, y), Pt(x + 1, y + 1), Pt(x, y + 1))))
+    val feats = spark.createDataset(Seq(
+      OsmOut.TaskFeature(1L, "f1", sq(0, 0), Map("building" -> "yes")),
+      OsmOut.TaskFeature(1L, "f2", Array(
+        Array(Array(Pt(5, 5), Pt(9, 5), Pt(9, 9), Pt(5, 9)),
+          Array(Pt(6, 6), Pt(7, 6), Pt(7, 7), Pt(6, 7)))), Map("building" -> "house")),
+      OsmOut.TaskFeature(2L, "f3", sq(20, 20), Map("building" -> "yes"))))
+    val addrs = spark.createDataset(Seq(
+      (1L, 0.5, 0.0, Map("addr:housenumber" -> "3")),
+      (3L, 99.0, 99.0, Map("addr:housenumber" -> "9")))) // task with only nodes
+    val docs = OsmOut.perTaskOsmXml(feats, addrs).collect().toMap
+    assert(docs.keySet === Set(1L, 2L, 3L))
+    val (n1, w1, r1) = OsmOut.parseOsm(docs(1L))
+    assert(w1.length === 3 && r1.length === 1) // f1 way + f2 outer/inner + rel
+    assert(n1.exists(_.tags.get("addr:housenumber").contains("3")))
+    val (_, w2, r2) = OsmOut.parseOsm(docs(2L))
+    assert(w2.length === 1 && r2.isEmpty)
+    val (n3, w3, _) = OsmOut.parseOsm(docs(3L))
+    assert(n3.length === 1 && w3.isEmpty)
+  }
+
   test("perTaskXml emits one document per task with that task's nodes") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

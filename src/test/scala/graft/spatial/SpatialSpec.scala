@@ -102,6 +102,49 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("radiusJoinPartitioned equals the broadcast radiusJoin") {
+    import spark.implicits._
+    val grid = CellGrid(6.5, origin = 0.0, rowWidth = 1L << 20)
+    val pts = SynthGeo.points(spark, TestSpark.sf001)
+    val expected = SpatialJoin.radiusJoin(pts, SynthGeo.sites, grid, 6.5)
+      .as[(Long, Long)].collect().toSet
+    val got = SpatialJoin.radiusJoinPartitioned(
+      pts, spark.createDataset(SynthGeo.sites), grid, 6.5)
+      .as[(Long, Long)].collect().toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("nearestSiteJoinPartitioned equals the broadcast nearestSiteJoin") {
+    import spark.implicits._
+    val grid = CellGrid(12.0, origin = 0.0, rowWidth = 1L << 20)
+    val pts = SynthGeo.points(spark, TestSpark.sf001)
+    val expected = SpatialJoin.nearestSiteJoin(pts, SynthGeo.sites, grid)
+      .as[(Long, Long)].collect().toMap
+    val got = SpatialJoin.nearestSiteJoinPartitioned(
+      pts, spark.createDataset(SynthGeo.sites), baseCell = 12.0)
+      .as[(Long, Long)].collect().toMap
+    assert(got === expected)
+  }
+
+  test("nearestSiteJoinPartitioned resolves far points via granularity doubling") {
+    import spark.implicits._
+    // one site, points up to ~4000 units away: needs several doubling rounds
+    val pts = spark.createDataset(
+      (1 to 40).map(i => IdPoint(i.toLong, i * 100.0, i * 97.0)))
+    val sites = spark.createDataset(Seq(Site(7L, 50.0, 50.0), Site(9L, 3900.0, 3800.0)))
+    val got = SpatialJoin.nearestSiteJoinPartitioned(pts, sites, baseCell = 10.0)
+      .as[(Long, Long)].collect().toMap
+    val expected = (1 to 40).map { i =>
+      val p = (i * 100.0, i * 97.0)
+      val best = Seq((7L, 50.0, 50.0), (9L, 3900.0, 3800.0)).minBy { case (id, x, y) =>
+        ((p._1 - x) * (p._1 - x) + (p._2 - y) * (p._2 - y), id)
+      }
+      (i.toLong, best._1)
+    }.toMap
+    assert(got === expected)
+  }
+
   test("zone index covers every zone's own centroid cell") {
     val idx = SpatialJoin.buildZoneIndex(SynthGeo.zones, pipGrid)
     for (z <- SynthGeo.zones) {
