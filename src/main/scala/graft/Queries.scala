@@ -217,11 +217,42 @@ object Queries {
                 FROM pts p CROSS JOIN $sitesValues) WHERE rn = 1
               ORDER BY id""")),
 
+    // the SAME nearest join through the Dataset-partitioned scale path
+    // (granularity-doubling equi-join; for site sides beyond broadcast)
+    "q_knn_partitioned" -> Q(
+      (s, d) => {
+        import s.implicits._
+        SpatialJoin.nearestSiteJoinPartitioned(
+          SynthGeo.points(s, d), s.createDataset(SynthGeo.sites), baseCell = 12.0)
+          .orderBy("id")
+      },
+      Some(s"""$ptsCte
+              SELECT id, site_id FROM (
+                SELECT p.id, s.site_id, row_number() OVER (PARTITION BY p.id
+                  ORDER BY (p.x-s.sx)*(p.x-s.sx) + (p.y-s.sy)*(p.y-s.sy), s.site_id) AS rn
+                FROM pts p CROSS JOIN $sitesValues) WHERE rn = 1
+              ORDER BY id""")),
+
     // radius probe join (cdau 5m R-tree probe, cdau.py:241-243)
     "q_radius_join" -> Q(
       (s, d) => SpatialJoin
         .radiusJoin(SynthGeo.points(s, d), SynthGeo.sites, radGrid, 6.5)
         .orderBy("id", "site_id"),
+      Some(s"""$ptsCte
+              SELECT p.id, s.site_id FROM pts p
+              JOIN $sitesValues
+              ON (p.x-s.sx)*(p.x-s.sx) + (p.y-s.sy)*(p.y-s.sy) <= 42.25
+              ORDER BY p.id, s.site_id""")),
+
+    // the SAME radius join through the Dataset-partitioned scale path
+    // (site side exploded into its 3x3 neighborhood, point side single-keyed)
+    "q_radius_partitioned" -> Q(
+      (s, d) => {
+        import s.implicits._
+        SpatialJoin.radiusJoinPartitioned(
+          SynthGeo.points(s, d), s.createDataset(SynthGeo.sites), radGrid, 6.5)
+          .orderBy("id", "site_id")
+      },
       Some(s"""$ptsCte
               SELECT p.id, s.site_id FROM pts p
               JOIN $sitesValues
@@ -422,6 +453,31 @@ object Queries {
               SELECT parcel_id, zone,
                 (row_number() OVER (PARTITION BY zone ORDER BY parcel_id)-1)//20 AS tile
               FROM p ORDER BY parcel_id""")),
+
+    // the tiling merge through the DISTRIBUTED per-municipality wrapper on a
+    // closed-form layout: unit squares in edge-snapped clusters of <=5 per
+    // doc_id//5, clusters 1000 apart -> each cluster greedy-merges into its
+    // min id, so the relabel map is a window-min (merge_by_parts_count,
+    // parcel.py:266-273, via groupByKey(mun).cogroup)
+    "q_tile_relabel" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val parcels = t(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val x0 = (id / 5) * 1000.0 + (id % 5)
+            graft.ops.ParcelOps.MunParcel("m", id, graft.ops.ParcelOps.Parcel(
+              f"P$id%06d", "00001", 1,
+              Array(Array(Array(Pt(x0, 0), Pt(x0 + 1, 0), Pt(x0 + 1, 1), Pt(x0, 1))))))
+          }
+        graft.ops.ParcelOps.mergeByPartsCountByMun(parcels, maxParts = 20, buffer = 100.0)
+          .filter(r => r.taskFrom != null)
+          .map(r => (r.taskFrom, r.taskTo))
+          .toDF("task_from", "task_to")
+          .orderBy("task_from")
+      },
+      Some("""SELECT printf('P%06d', doc_id) AS task_from,
+                printf('P%06d', min(doc_id) OVER (PARTITION BY doc_id//5)) AS task_to
+              FROM documents ORDER BY task_from""")),
 
     // building x parts x pools cogroup (merge_building_parts,
     // cons.py:270-354): outline inherits max levels; per-ref row counts are

@@ -76,6 +76,51 @@ object ParcelOps {
     }.toArray
   }
 
+  /** difference(layer) (polygon.py:576-596), restricted BY DESIGN to
+    * edge-snapped inputs (cadastre parts tile their parcel): subtracting
+    * the `bs` polygons from `a` adds A's directed outer-ring edges plus each
+    * B's edges REVERSED, cancels opposite pairs (the shared walls), and
+    * re-chains the remainder. Chaining doubles as the validity check: if
+    * any surviving edge fails to close into a ring the inputs were NOT
+    * edge-snapped, and the operator throws instead of returning a
+    * silently-wrong shape (general CSG is out of scope, SURVEY §2.5). */
+  def differenceSnapped(a: MultiPolygon, bs: Seq[MultiPolygon]): MultiPolygon = {
+    val counted = mutable.Map[(Pt, Pt), Int]().withDefaultValue(0)
+    def addEdge(u: Pt, v: Pt): Unit =
+      if (counted((v, u)) > 0) counted((v, u)) -= 1 else counted((u, v)) += 1
+    for (poly <- a; ring = poly.head; i <- ring.indices)
+      addEdge(ring(i), ring((i + 1) % ring.length))
+    for (b <- bs; poly <- b; ring = poly.head; i <- ring.indices)
+      addEdge(ring((i + 1) % ring.length), ring(i)) // reversed: subtraction
+    val boundary = counted.toSeq.filter(_._2 > 0)
+      .flatMap { case (e, n) => Seq.fill(n)(e) }
+    val rings = Adjacency.assembleRings(boundary)
+    val chained = rings.map(_.length).sum
+    require(chained == boundary.length,
+      s"difference: inputs are not edge-snapped (${boundary.length - chained} " +
+        "boundary edges could not be chained into closed rings)")
+    if (rings.isEmpty) Array.empty
+    else {
+      val aOrient = Geom.signedArea(a.head.head) > 0
+      val (outers, holes) = rings.partition(r => Geom.signedArea(r) > 0 == aOrient)
+      // second snap check: a surviving subtracted boundary must be a hole
+      // ENTIRELY inside (or on) one outer — a ring with vertices outside
+      // means B crossed A's boundary without sharing its edges
+      def inOrOn(v: Pt, o: Array[Pt]): Boolean =
+        Geom.pointInRing(v, o) || Geom.closestSegment(v, Array(Array(o)))._1 < 1e-18
+      val assigned = holes.map { h =>
+        val owner = outers.find(o => h.forall(v => inOrOn(v, o)))
+        require(owner.nonEmpty,
+          "difference: inputs are not edge-snapped (a subtracted boundary " +
+            "crosses the subject boundary instead of sharing its edges)")
+        (owner.get, h)
+      }
+      outers.map { o =>
+        (o +: assigned.collect { case (own, h) if own eq o => h }).toArray
+      }.toArray
+    }
+  }
+
   /** count_parts (parcel.py:232-242): features per ref, written to parcels.
     * Distributed: map-side partial count on ref, then an equi-join back onto
     * parcels (same key → AQE can co-locate; no driver map). */

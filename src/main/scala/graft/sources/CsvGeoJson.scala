@@ -26,6 +26,30 @@ object CsvGeoJson {
       .as[(String, String)].collect().toMap
   }
 
+  /** export_fixmes (cons.py:580-587 + fixme.py:15-21): features with a
+    * nonempty fixme become Point features at their geometry CENTROID with
+    * the fixme text as the only property — as GeoJSON Feature lines. Layout
+    * matches the reference's <task>.fixmes.geojson payload; an empty input
+    * yields an empty frame (the reference writes no file then). */
+  def fixmesToGeoJson(
+      features: org.apache.spark.sql.Dataset[(String, Array[Array[Array[graft.geom.Pt]]])])
+      : DataFrame = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    features
+      .filter(f => f._1 != null && f._1.nonEmpty)
+      .map { case (fixme, geom) =>
+        val c = graft.geom.Geom.centroid(geom)
+        (fixme, Array(c.x, c.y))
+      }
+      .toDF("fixme", "coordinates")
+      .select(to_json(struct(
+        lit("Feature").as("type"),
+        struct(col("fixme")).as("properties"),
+        struct(lit("Point").as("type"), col("coordinates")).as("geometry")))
+        .as("feature"))
+  }
+
   /** Zones -> GeoJSON FeatureCollection lines (one Feature per row), via
     * to_json over nested structs — no hand-built strings. */
   def zonesToGeoJson(spark: SparkSession, zones: Seq[Zone]): DataFrame = {
