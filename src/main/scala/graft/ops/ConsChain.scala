@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Dataset, SparkSession}
 import graft.clean.{DeleteInvalid, Feature, Simplify, Topology}
+import graft.sources.OsmOut
 import graft.geom.{Geom, Pt}
 import ParcelOps.ConsF
 
@@ -14,7 +15,10 @@ import ParcelOps.ConsF
   */
 object ConsChain {
 
-  /** remove_outside_parts (cons.py:139-173). */
+  /** remove_outside_parts (cons.py:139-173). Duplicate building rows
+    * (sources storing one row per polygon part) resolve LAST-ROW-WINS, the
+    * reference's dict-build behavior — and the behavior its 324-part golden
+    * anchors to. */
   def removeOutsideParts(cons: Seq[ConsF]): Seq[ConsF] = {
     val buildings = cons.filter(_.kind == "building").map(b => b.localId -> b).toMap
     cons.filterNot { f =>
@@ -106,5 +110,142 @@ object ConsChain {
     val e = mergeParts(spark, d)
     val f = simplify(spark, e)
     deleteSmall(f)
+  }
+
+  // ------------------------------------------------------------------
+  // Fully-distributed chain: the same stages end-to-end in Dataset land,
+  // with NO driver-side Seq bridging. Stage shapes:
+  //   remove_outside  = left join parts ⨝ buildings on the building id
+  //   explode         = flatMap
+  //   delete_invalid  = map + broadcast of the (spike-bounded) moves map
+  //   topology        = Topology.repair's vertex/segment cell shuffles over
+  //                     ALL features at once (municipalities never share
+  //                     coordinates, so one global pass is correct)
+  //   merge_parts     = BuildingParts.mergeBuildingParts (ref cogroup)
+  //   simplify        = Simplify.simplifyShared vertex shuffle
+  // Row identity is a global rank assigned ONCE over a deterministic sort
+  // key, so ring⇄feature joins reproduce at any parallelism (SURVEY §7.4).
+  // ------------------------------------------------------------------
+
+  final case class FidCons(fid: Long, f: ConsF)
+
+  private def sortKey(f: ConsF): String = {
+    val c = Geom.centroid(f.geometry)
+    f"${f.localId}|${c.x}%.6f|${c.y}%.6f"
+  }
+
+  /** prepare(), distributed, from an unordered Dataset: row identity comes
+    * from a global rank over the canonical sort key (duplicate building
+    * rows then resolve to the max-key row). When the layer's file order
+    * matters — it does for the reference's goldens — use the
+    * `prepareDistributedOrdered` entry with caller-assigned sequence ids. */
+  def prepareDistributed(cons: Dataset[ConsF]): Dataset[ConsF] = {
+    val spark = cons.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ranked = OsmOut.withGlobalRank(
+      cons.map(f => (sortKey(f), f)).toDF("k", "f"), "k", "fid")
+      .select(col("fid"), col("f")).as[(Long, ConsF)]
+      .map { case (fid, f) => FidCons(fid, f) }
+    prepareDistributedOrdered(ranked)
+  }
+
+  /** prepare(), distributed, with caller-assigned input order (fid =
+    * position in layer order): semantically equal to the Seq chain — set
+    * equality spec on the reference fixture. */
+  def prepareDistributedOrdered(consOrdered: Dataset[FidCons]): Dataset[ConsF] = {
+    val spark = consOrdered.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+
+    // ---- remove_outside_parts (cons.py:139-173) ----
+    // duplicate building ids resolve LAST-ROW-WINS (max fid), the
+    // reference's dict-build behavior
+    val parts = consOrdered.filter(_.f.kind == "part")
+    val others = consOrdered.filter(_.f.kind != "part")
+    val bGeom = consOrdered.filter(_.f.kind == "building")
+      .groupByKey(_.f.localId)
+      .reduceGroups((a, b) => if (a.fid > b.fid) a else b)
+      .map { case (bid, fc) => (bid, fc.f.geometry) }
+      .toDF("bid", "bgeom")
+    val keptParts = parts.toDF().as("p")
+      .join(bGeom.as("b"), col("p.f.ref") === col("b.bid"), "left")
+      .select(col("p.fid"), col("p.f"), col("b.bid"), col("b.bgeom"))
+      .as[(Long, ConsF, String, Geom.MultiPolygon)]
+      .filter { case (_, f, bid, bg) =>
+        !(f.levAbove == 0 && f.levBelow != 0 && f.levBelow != -1) &&
+          (bid == null || BuildingParts.isInside(f.geometry, bg))
+      }
+      .map { case (fid, f, _, _) => FidCons(fid, f) }
+    val kept = others.union(keptParts)
+
+    // ---- explode ----
+    val exploded = kept.flatMap { case FidCons(fid, f) =>
+      require(f.geometry.length <= 64, "explode fid arithmetic caps at 64 parts")
+      f.geometry.toSeq.zipWithIndex.map { case (poly, pi) =>
+        FidCons(fid * 64 + pi, f.copy(geometry = Array(poly)))
+      }
+    }
+
+    // ---- delete_invalid (moves map is spike-bounded; broadcast) ----
+    val cleanedRaw = exploded.map { fc =>
+      val r = DeleteInvalid.cleanFeature(fc.f.geometry, querySmall = fc.f.kind != "part")
+      (fc.fid, fc.f, r.geometry, r.moves.toSeq)
+    }.persist()
+    val moves = cleanedRaw.flatMap(_._4).collect().toMap
+    val bMoves = spark.sparkContext.broadcast(moves)
+    val cleaned = cleanedRaw.flatMap { case (fid, f, g, _) =>
+      g.map(mp => FidCons(fid, f.copy(geometry = DeleteInvalid.applyMoves(mp, bMoves.value))))
+    }
+
+    // ---- topology over outer rings (holes pass through) ----
+    val topoIn = cleaned.map(fc => Feature(fc.fid, fc.f.geometry.head.head))
+    val repaired = Topology.repair(topoIn).map(f => (f.fid, f.ring)).toDF("fid", "ring")
+    val afterTopo = cleaned.toDF().as("c")
+      .join(repaired.as("r"), col("c.fid") === col("r.fid"))
+      .select(col("c.fid"), col("c.f"), col("r.ring"))
+      .as[(Long, ConsF, Array[Pt])]
+      .map { case (fid, f, ring) =>
+        FidCons(fid, f.copy(geometry = Array(ring +: f.geometry.head.tail)))
+      }
+
+    // ---- merge_building_parts (ref cogroup; unique row ids via fid) ----
+    val mergeIn = afterTopo.map { fc =>
+      BuildingParts.ConsRow(s"${fc.f.localId}#${fc.fid}", fc.f.ref, fc.f.kind,
+        math.max(0, fc.f.levAbove), math.max(0, fc.f.levBelow), 0, "", fc.f.geometry)
+    }
+    val merged = BuildingParts.mergeBuildingParts(mergeIn).map { r =>
+      val Array(lid, fid) = r.localId.split("#")
+      FidCons(fid.toLong, ConsF(lid, r.ref, r.kind, r.levAbove, r.levBelow, r.geometry))
+    }
+
+    // ---- shared-vertex simplify over every ring ----
+    val simpIn = merged.flatMap { fc =>
+      fc.f.geometry.toSeq.zipWithIndex.flatMap { case (poly, pi) =>
+        require(pi < 16 && poly.length <= 16, "simplify ring arithmetic caps at 16")
+        poly.toSeq.zipWithIndex.map { case (ring, ri) =>
+          Feature((fc.fid << 8) + pi * 16 + ri, ring)
+        }
+      }
+    }
+    val simplified = Simplify.simplifyShared(simpIn)
+      .map(f => (f.fid >> 8, ((f.fid & 255L) / 16L).toInt, (f.fid & 15L).toInt, f.ring))
+      .toDF("fid", "pi", "ri", "ring")
+    val rebuilt = merged.toDF().as("m")
+      .join(simplified.as("s"), col("m.fid") === col("s.fid"))
+      .select(col("m.fid"), col("m.f"), col("s.pi"), col("s.ri"), col("s.ring"))
+      .as[(Long, ConsF, Int, Int, Array[Pt])]
+      .groupByKey(_._1)
+      .mapGroups { (_, it) =>
+        val rows = it.toSeq
+        val f = rows.head._2
+        val byIdx = rows.map(r => (r._3, r._4) -> r._5).toMap
+        f.copy(geometry = f.geometry.zipWithIndex.map { case (poly, pi) =>
+          poly.zipWithIndex.map { case (ring, ri) => byIdx.getOrElse((pi, ri), ring) }
+        })
+      }
+
+    // ---- delete_small ----
+    rebuilt.filter(f => Geom.area(f.geometry) >= Geom.MinArea)
   }
 }

@@ -72,16 +72,30 @@ object Similarity {
 
   /** IVF-style ANN: bucket by LSH signature, brute-force within bucket plus
     * neighbor buckets at Hamming distance 1 (probe lists). Returns candidate
-    * top-k per vector; recall < 1 by construction (approximate path). */
+    * top-k per vector; recall < 1 by construction (approximate path).
+    *
+    * nBits = 0 (default) AUTO-SCALES with the table: enough sign bits that
+    * the expected bucket holds ~targetBucket vectors (nBits = max(4,
+    * ceil(log2(n / targetBucket)))) — at 10^12 rows that is ~34 bits /
+    * 2^34 buckets, keeping the per-bucket brute force constant instead of
+    * letting buckets grow linearly with n. */
   def annTopK(
-      emb: DataFrame, idCol: String, vecCol: String, k: Int, nBits: Int = 4): DataFrame = {
+      emb: DataFrame, idCol: String, vecCol: String, k: Int, nBits: Int = 0,
+      targetBucket: Int = 64): DataFrame = {
+    val bits =
+      if (nBits > 0) nBits
+      else {
+        val n = emb.count()
+        math.max(4, math.ceil(
+          math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2)).toInt)
+      }
     val dim = emb.select(size(col(vecCol))).first().getInt(0)
-    val planes = hyperplanes(nBits, dim)
+    val planes = hyperplanes(bits, dim)
     val withB = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
       .withColumn("b", lshBucket(col("v"), planes))
     // multiprobe: each vector also probes buckets at Hamming distance 1
     // (mask 0 = own bucket, mask 1<<i = flip bit i)
-    val masks = array((0L +: (0 until nBits).map(i => 1L << i)).map(lit): _*)
+    val masks = array((0L +: (0 until bits).map(i => 1L << i)).map(lit): _*)
     val probes = withB.select(
       col("vec_id"), col("v"), col("b"), explode(masks).as("mask"))
       .withColumn("pb", col("b").bitwiseXOR(col("mask")))
