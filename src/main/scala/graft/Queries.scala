@@ -259,6 +259,64 @@ object Queries {
               ON (p.x-s.sx)*(p.x-s.sx) + (p.y-s.sy)*(p.y-s.sy) <= 42.25
               ORDER BY p.id, s.site_id""")),
 
+    // vector -> raster: each zone rasterized to its covering cell set (the
+    // ZoningLayer -> tile-grid direction of the north rule's raster<->vector
+    // tile assignment; CellGrid.coverPolygon, the candidate generator of
+    // every spatial join here)
+    "q_rasterize" -> Q(
+      (s, d) => {
+        import s.implicits._
+        s.createDataset(SynthGeo.zones)
+          .flatMap(z => coarse.coverPolygon(z.geometry).map(c => (z.zone_id, c)))
+          .toDF("zone_id", "cell")
+          .orderBy("zone_id", "cell")
+      },
+      Some(s"""WITH zs AS (SELECT * FROM $zonesValues),
+              xs AS (SELECT zone_id, unnest(range(CAST(floor((cx-r)/10) AS BIGINT),
+                       CAST(floor((cx+r)/10) AS BIGINT) + 1)) AS gx FROM zs),
+              ys AS (SELECT zone_id, unnest(range(CAST(floor((cy-r)/10) AS BIGINT),
+                       CAST(floor((cy+r)/10) AS BIGINT) + 1)) AS gy FROM zs)
+              SELECT xs.zone_id AS zone_id, ys.gy*1000 + xs.gx AS cell
+              FROM xs JOIN ys ON xs.zone_id = ys.zone_id
+              ORDER BY 1, 2""")),
+
+    // raster -> vector: the covering cell set reassembled into its boundary
+    // polygon (edge-cancellation union + collinear simplify); a bbox cover
+    // is a rectangle, so the closed form is area = nx*ny*cell² and exactly
+    // 4 boundary vertices
+    "q_vectorize" -> Q(
+      (s, d) => {
+        import s.implicits._
+        s.createDataset(SynthGeo.zones)
+          .flatMap { z =>
+            // (gx, gy) kept unpacked: zone bboxes cross the axes, where a
+            // packed id is not injective
+            val b = Geom.bbox(z.geometry)
+            for (gy <- coarse.cellY(b.ymin) to coarse.cellY(b.ymax);
+                 gx <- coarse.cellX(b.xmin) to coarse.cellX(b.xmax))
+              yield (z.zone_id, gx, gy)
+          }
+          .groupByKey(_._1)
+          .mapGroups { (zid, it) =>
+            val squares = it.map { case (_, gx, gy) =>
+              val (x0, y0) = (gx * 10.0, gy * 10.0)
+              Array(Array(Pt(x0, y0), Pt(x0 + 10, y0),
+                Pt(x0 + 10, y0 + 10), Pt(x0, y0 + 10)))
+            }.toSeq
+            val union = graft.ops.ParcelOps.unionOuterRings(squares)
+            val rings = union.map(p => PolygonClean.simplifyRing(p.head))
+            (zid, rings.map(r => Geom.ringArea(r)).sum, rings.map(_.length).sum)
+          }
+          .toDF("zone_id", "area", "n_vertices")
+          .orderBy("zone_id")
+      },
+      Some(s"""SELECT zone_id,
+                CAST((CAST(floor((cx+r)/10) AS BIGINT) - CAST(floor((cx-r)/10) AS BIGINT) + 1)
+                  * (CAST(floor((cy+r)/10) AS BIGINT) - CAST(floor((cy-r)/10) AS BIGINT) + 1)
+                  * 100 AS DOUBLE) AS area,
+                4 AS n_vertices
+              FROM $zonesValues ORDER BY zone_id""")),
+
     // shoelace area per zone (BaseLayer.get_area, polygon.py:33-35)
     "q_zone_area" -> Q(
       (s, d) => {

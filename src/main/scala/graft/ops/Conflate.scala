@@ -54,4 +54,98 @@ object Conflate {
       .filter((p: OsmPoly) => !isCandidate(p) || p.tags.contains("conflict"))
       .map((p: OsmPoly) => p.copy(tags = p.tags - "conflict"))
   }
+
+  // ------------------------------------------------------------------
+  // Full-document conflate: ways AND multipolygon relations, the complete
+  // semantics of cons.py:524-578 incl. the delete=True flavor and
+  // Relation.outer_geometry's open-way chaining (osm.py:505-530).
+  // ------------------------------------------------------------------
+
+  final case class OsmWayG(id: Long, tags: Map[String, String], pts: Array[Pt])
+  final case class OsmRelG(id: Long, tags: Map[String, String], memberWays: Seq[Long])
+
+  private def isClosed(pts: Array[Pt]): Boolean =
+    pts.length > 2 && pts.head == pts.last
+
+  /** Relation.outer_geometry (osm.py:505-530): repeatedly append, onto each
+    * still-open chain's END, any other chain sharing that endpoint (reversed
+    * when its tail matches). Faithful to the reference's list walk. */
+  def outerGeometry(ways: Seq[Array[Pt]]): Seq[Array[Pt]] = {
+    val outer = scala.collection.mutable.ArrayBuffer(ways: _*)
+    var i = 0
+    while (i < outer.length) {
+      if (outer(i).length > 1 && !isClosed(outer(i))) {
+        var matched = true
+        while (matched) {
+          matched = false
+          var j = i + 1
+          while (j < outer.length && !matched) {
+            val w1 = outer(i); val w2 = outer(j)
+            if (w2.length > 1 && !isClosed(w2)) {
+              if (w2.head == w1.last) {
+                outer(i) = w1 ++ w2.tail; outer.remove(j); matched = true
+              } else if (w2.last == w1.last) {
+                outer(i) = w1 ++ w2.reverse.tail; outer.remove(j); matched = true
+              }
+            }
+            if (!matched) j += 1
+          }
+        }
+      }
+      i += 1
+    }
+    outer.toSeq
+  }
+
+  private val RelBit = 1L << 62 // distinguishes relation ids in the poly set
+
+  /** ConsLayer.conflate over a full parsed document (cons.py:524-578):
+    * candidates are closed building/pool ways plus building/pool relations
+    * (outer rings chained); conflict detection runs distributed through
+    * markConflicts; delete=true removes non-conflicting candidates (and
+    * member ways orphaned by a removed relation), delete=false tags
+    * conflicted elements. Elements whose chained geometry fails to close
+    * (the reference's isGeosValid warning path) are skipped, not deleted. */
+  def conflateDoc(
+      spark: org.apache.spark.sql.SparkSession,
+      ways: Seq[OsmWayG], rels: Seq[OsmRelG],
+      cons: Seq[MultiPolygon], grid: CellGrid,
+      delete: Boolean = true): (Seq[OsmWayG], Seq[OsmRelG]) = {
+    import spark.implicits._
+    val wayById = ways.map(w => w.id -> w).toMap
+    def cand(tags: Map[String, String]) =
+      tags.contains("building") || tags.get("leisure").contains("swimming_pool")
+    // isGeosValid gate (cons.py:556-560): a self-intersecting candidate
+    // (bowtie ring) takes the reference's warning path — never tested for
+    // conflicts, never deleted
+    def ringsValid(mp: MultiPolygon): Boolean =
+      mp.forall(_.forall(r => !graft.clean.DeleteInvalid.selfIntersects(r)))
+    val wayCands = ways.filter(w => cand(w.tags) && isClosed(w.pts))
+      .map(w => OsmPoly(w.id, w.tags, Array(Array(w.pts.dropRight(1)))))
+      .filter(p => ringsValid(p.geometry))
+    val relCands = rels.filter(r => cand(r.tags)).flatMap { r =>
+      val rings = outerGeometry(r.memberWays.flatMap(wayById.get).map(_.pts))
+      if (rings.isEmpty || !rings.forall(isClosed))
+        None // invalid multipolygon -> reference logs a warning and skips
+      else Some(OsmPoly(r.id | RelBit, r.tags,
+        rings.map(rr => Array(rr.dropRight(1))).toArray))
+    }.filter(p => ringsValid(p.geometry))
+    val marked = markConflicts(
+        spark.createDataset(wayCands ++ relCands), cons, grid)
+      .collect().map(p => p.id -> p.tags.contains("conflict")).toMap
+    if (!delete) {
+      (ways.map(w => if (marked.getOrElse(w.id, false))
+          w.copy(tags = w.tags + ("conflict" -> "yes")) else w),
+        rels.map(r => if (marked.getOrElse(r.id | RelBit, false))
+          r.copy(tags = r.tags + ("conflict" -> "yes")) else r))
+    } else {
+      val dropWays = wayCands.collect { case p if !marked(p.id) => p.id }.toSet
+      val dropRels = relCands.collect { case p if !marked(p.id) => p.id & ~RelBit }.toSet
+      val keptRels = rels.filterNot(r => dropRels.contains(r.id))
+      val stillReferenced = keptRels.flatMap(_.memberWays).toSet
+      val orphaned = rels.filter(r => dropRels.contains(r.id))
+        .flatMap(_.memberWays).toSet -- stillReferenced
+      (ways.filterNot(w => dropWays.contains(w.id) || orphaned.contains(w.id)), keptRels)
+    }
+  }
 }
