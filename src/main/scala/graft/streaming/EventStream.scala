@@ -24,6 +24,51 @@ object EventStream {
         (unix_micros(col("window.start")) / lit(300000000L)).cast("long").as("bucket"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact dedup — the live flavor of Osm.merge_duplicated /
+    * Dedup.exactDedup: custom state via flatMapGroupsWithState keyed by the
+    * canonical key; a key emits exactly once (its first-seen batch's min
+    * id), every later occurrence is swallowed by the per-key state. The
+    * state is one boolean+long per distinct key, partitioned by key — the
+    * 10^12-row shape (state ∝ distinct keys per executor, not rows). */
+  def streamingDedup(keyed: org.apache.spark.sql.Dataset[(String, Long)]): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = keyed.sparkSession
+    import spark.implicits._
+    keyed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: String, it: Iterator[(String, Long)], state: GroupState[Long]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val keepId = it.map(_._2).min
+            state.update(keepId)
+            Iterator((k, keepId))
+          }
+      }
+      .toDF("k", "keep_id")
+  }
+
+  /** Run streamingDedup over the documents table synchronously. */
+  def runDedupOnce(spark: SparkSession, sfDir: String, queryName: String): DataFrame = {
+    import spark.implicits._
+    val schema: StructType = spark.read
+      .parquet(s"$sfDir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    val keyed = stream
+      .select(substring(col("text"), 1, 30).as("k"), col("doc_id"))
+      .as[(String, Long)]
+    val q = streamingDedup(keyed).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** Run the streaming agg over the parquet events of `sfDir` synchronously
     * (memory sink, complete mode) and return the result as a DataFrame. */
   def runOnce(spark: SparkSession, sfDir: String, queryName: String): DataFrame = {
