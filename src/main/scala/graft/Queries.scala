@@ -855,6 +855,14 @@ object Queries {
         .orderBy("vec_id", "rank"),
       None),
 
+    // IVF ANN: deterministic k-means inverted lists + nprobe probing
+    // (the other scale path named by the brief; approximate -> rows-only)
+    "q_ann_ivf" -> Q(
+      (s, d) => Similarity
+        .ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding", 3)
+        .orderBy("vec_id", "rank"),
+      None),
+
     // heuristic language id (classifier -> rows-only)
     "q_lang_id" -> Q(
       (s, d) => t(s, d, "documents")

@@ -70,6 +70,108 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Deterministic Lloyd k-means for IVF coarse quantization — no RNG
+    * state anywhere: initial centroids are the k vectors with the smallest
+    * splitmix hash of their id (a deterministic pseudo-random sample), and
+    * each iteration is one shuffle (posexplode → per-(cluster, component)
+    * avg). Runs on the driver only for the tiny k×dim centroid matrix;
+    * assignments stay distributed. */
+  def kmeansCentroids(
+      emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 3): Array[Array[Double]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val seedRows = emb
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (mix(id), v) }
+      .toDF("h", "v")
+      .orderBy("h").limit(k)
+      .select("v").as[Array[Float]].collect()
+    var centroids = seedRows.map(_.map(_.toDouble))
+    val vecs = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Array[Float])]
+    for (_ <- 0 until iters) {
+      val bC = spark.sparkContext.broadcast(centroids)
+      val next = vecs
+        .map { case (_, v) => (nearestCentroid(v, bC.value)._1, v) }
+        .flatMap { case (c, v) => v.indices.map(i => (c, i, v(i).toDouble)) }
+        .toDF("c", "i", "x")
+        .groupBy("c", "i").agg(avg("x").as("m"))
+        .as[(Int, Int, Double)].collect()
+      val byC = next.groupBy(_._1)
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        byC.get(c).map { rows =>
+          val m = old.clone()
+          rows.foreach { case (_, i, x) => m(i) = x }
+          m
+        }.getOrElse(old) // empty cluster keeps its centroid
+      }
+    }
+    centroids
+  }
+
+  /** Nearest centroid by L2 (index, dist²); ties to the lower index. */
+  def nearestCentroid(v: Array[Float], cs: Array[Array[Double]]): (Int, Double) = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      var d = 0.0; var i = 0
+      val cv = cs(c)
+      while (i < v.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    (best, bestD)
+  }
+
+  /** The `nprobe` nearest centroid indices for a query vector. */
+  def probeLists(v: Array[Float], cs: Array[Array[Double]], nprobe: Int): Seq[Int] =
+    cs.indices.map { c =>
+      var d = 0.0; var i = 0
+      while (i < v.length) { val t = v(i) - cs(c)(i); d += t * t; i += 1 }
+      (d, c)
+    }.sorted.take(nprobe).map(_._2)
+
+  /** IVF ANN (the k-means flavor of the scale path): vectors partition into
+    * nlist inverted lists by nearest centroid; a query probes its nprobe
+    * nearest lists and brute-forces only those — candidate work scales with
+    * n·(nprobe/nlist) instead of n². The probe side explodes ×nprobe and
+    * equi-joins the single-keyed list side, the same candidates-then-refine
+    * shape as the spatial cell join. Deterministic end to end. */
+  def ivfTopK(
+      emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centroids = kmeansCentroids(emb, idCol, vecCol, nlist, iters)
+    val bC = spark.sparkContext.broadcast(centroids)
+    val vecs = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Array[Float])]
+    val lists = vecs
+      .map { case (id, v) => (nearestCentroid(v, bC.value)._1, id, v) }
+      .toDF("list", "nbr_id", "vb")
+    val probes = vecs
+      .flatMap { case (id, v) => probeLists(v, bC.value, nprobe).map(c => (c, id, v)) }
+      .toDF("list", "vec_id", "va")
+    val pairs = probes.join(lists, Seq("list"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cos").desc, col("nbr_id"))
+    pairs
+      .select("vec_id", "nbr_id", "cos").distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("vec_id", "rank", "nbr_id")
+  }
+
   /** IVF-style ANN: bucket by LSH signature, brute-force within bucket plus
     * neighbor buckets at Hamming distance 1 (probe lists). Returns candidate
     * top-k per vector; recall < 1 by construction (approximate path).

@@ -174,6 +174,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.35, s"recall $recall should beat the ~0.31 scan fraction")
   }
 
+  test("IVF recall beats its candidate-scan fraction and is deterministic") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"${TestSpark.sf001}/embeddings.parquet")
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 1)
+      .as[(Long, Int, Long)].collect().map(r => (r._1, r._3)).toMap
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", 1)
+      .as[(Long, Int, Long)].collect().map(r => (r._1, r._3)).toMap
+    val recall = exact.count { case (k, v) => ivf.get(k).contains(v) }.toDouble / exact.size
+    // nprobe/nlist = 4/16 -> ~25% of pairs scanned; near-uniform embeddings
+    // cap achievable recall (see ANN spec above), so the bar is the scan rate
+    assert(recall >= 0.30, s"recall $recall should beat the ~0.25 scan fraction")
+    val again = Similarity.ivfTopK(emb.repartition(7), "vec_id", "embedding", 1)
+      .as[(Long, Int, Long)].collect().map(r => (r._1, r._3)).toMap
+    assert(again === ivf, "IVF must be deterministic at any partitioning")
+  }
+
+  test("kmeans centroids: deterministic, k rows, empty clusters survive") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"${TestSpark.sf001}/embeddings.parquet")
+    val a = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 8, iters = 2)
+    val b = Similarity.kmeansCentroids(emb.repartition(5), "vec_id", "embedding", 8, iters = 2)
+    assert(a.length === 8)
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  }
+
   test("hyperplanes are deterministic") {
     assert(Similarity.hyperplanes(4, 8).map(_.toSeq).toSeq ===
       Similarity.hyperplanes(4, 8).map(_.toSeq).toSeq)
