@@ -150,17 +150,15 @@ object ConsChain {
     prepareDistributedOrdered(ranked)
   }
 
-  /** prepare(), distributed, with caller-assigned input order (fid =
-    * position in layer order): semantically equal to the Seq chain — set
-    * equality spec on the reference fixture. */
-  def prepareDistributedOrdered(consOrdered: Dataset[FidCons]): Dataset[ConsF] = {
+  // ---- composable distributed stages (AppRun counts between them) ----
+
+  /** remove_outside_parts (cons.py:139-173), distributed: duplicate
+    * building ids resolve LAST-ROW-WINS (max fid), the reference's
+    * dict-build behavior. */
+  def removeOutsidePartsD(consOrdered: Dataset[FidCons]): Dataset[FidCons] = {
     val spark = consOrdered.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions.col
-
-    // ---- remove_outside_parts (cons.py:139-173) ----
-    // duplicate building ids resolve LAST-ROW-WINS (max fid), the
-    // reference's dict-build behavior
     val parts = consOrdered.filter(_.f.kind == "part")
     val others = consOrdered.filter(_.f.kind != "part")
     val bGeom = consOrdered.filter(_.f.kind == "building")
@@ -177,49 +175,72 @@ object ConsChain {
           (bid == null || BuildingParts.isInside(f.geometry, bg))
       }
       .map { case (fid, f, _, _) => FidCons(fid, f) }
-    val kept = others.union(keptParts)
+    others.union(keptParts)
+  }
 
-    // ---- explode ----
-    val exploded = kept.flatMap { case FidCons(fid, f) =>
+  /** explode_multi_parts, distributed. */
+  def explodeD(kept: Dataset[FidCons]): Dataset[FidCons] = {
+    val spark = kept.sparkSession
+    import spark.implicits._
+    kept.flatMap { case FidCons(fid, f) =>
       require(f.geometry.length <= 64, "explode fid arithmetic caps at 64 parts")
       f.geometry.toSeq.zipWithIndex.map { case (poly, pi) =>
         FidCons(fid * 64 + pi, f.copy(geometry = Array(poly)))
       }
     }
+  }
 
-    // ---- delete_invalid (moves map is spike-bounded; broadcast) ----
+  /** delete_invalid_geometries, distributed (the moves map is spike-bounded
+    * and broadcast — the one accepted driver touch in the chain). */
+  def deleteInvalidD(exploded: Dataset[FidCons]): Dataset[FidCons] = {
+    val spark = exploded.sparkSession
+    import spark.implicits._
     val cleanedRaw = exploded.map { fc =>
       val r = DeleteInvalid.cleanFeature(fc.f.geometry, querySmall = fc.f.kind != "part")
       (fc.fid, fc.f, r.geometry, r.moves.toSeq)
     }.persist()
     val moves = cleanedRaw.flatMap(_._4).collect().toMap
     val bMoves = spark.sparkContext.broadcast(moves)
-    val cleaned = cleanedRaw.flatMap { case (fid, f, g, _) =>
+    cleanedRaw.flatMap { case (fid, f, g, _) =>
       g.map(mp => FidCons(fid, f.copy(geometry = DeleteInvalid.applyMoves(mp, bMoves.value))))
     }
+  }
 
-    // ---- topology over outer rings (holes pass through) ----
+  /** topology over outer rings (holes pass through), distributed. */
+  def topologyD(cleaned: Dataset[FidCons]): Dataset[FidCons] = {
+    val spark = cleaned.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
     val topoIn = cleaned.map(fc => Feature(fc.fid, fc.f.geometry.head.head))
     val repaired = Topology.repair(topoIn).map(f => (f.fid, f.ring)).toDF("fid", "ring")
-    val afterTopo = cleaned.toDF().as("c")
+    cleaned.toDF().as("c")
       .join(repaired.as("r"), col("c.fid") === col("r.fid"))
       .select(col("c.fid"), col("c.f"), col("r.ring"))
       .as[(Long, ConsF, Array[Pt])]
       .map { case (fid, f, ring) =>
         FidCons(fid, f.copy(geometry = Array(ring +: f.geometry.head.tail)))
       }
+  }
 
-    // ---- merge_building_parts (ref cogroup; unique row ids via fid) ----
+  /** merge_building_parts (ref cogroup; unique row ids via fid), distributed. */
+  def mergePartsD(afterTopo: Dataset[FidCons]): Dataset[FidCons] = {
+    val spark = afterTopo.sparkSession
+    import spark.implicits._
     val mergeIn = afterTopo.map { fc =>
       BuildingParts.ConsRow(s"${fc.f.localId}#${fc.fid}", fc.f.ref, fc.f.kind,
         math.max(0, fc.f.levAbove), math.max(0, fc.f.levBelow), 0, "", fc.f.geometry)
     }
-    val merged = BuildingParts.mergeBuildingParts(mergeIn).map { r =>
+    BuildingParts.mergeBuildingParts(mergeIn).map { r =>
       val Array(lid, fid) = r.localId.split("#")
       FidCons(fid.toLong, ConsF(lid, r.ref, r.kind, r.levAbove, r.levBelow, r.geometry))
     }
+  }
 
-    // ---- shared-vertex simplify over every ring ----
+  /** shared-vertex simplify over every ring, distributed. */
+  def simplifyD(merged: Dataset[FidCons]): Dataset[FidCons] = {
+    val spark = merged.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
     val simpIn = merged.flatMap { fc =>
       fc.f.geometry.toSeq.zipWithIndex.flatMap { case (poly, pi) =>
         require(pi < 16 && poly.length <= 16, "simplify ring arithmetic caps at 16")
@@ -231,21 +252,31 @@ object ConsChain {
     val simplified = Simplify.simplifyShared(simpIn)
       .map(f => (f.fid >> 8, ((f.fid & 255L) / 16L).toInt, (f.fid & 15L).toInt, f.ring))
       .toDF("fid", "pi", "ri", "ring")
-    val rebuilt = merged.toDF().as("m")
+    merged.toDF().as("m")
       .join(simplified.as("s"), col("m.fid") === col("s.fid"))
       .select(col("m.fid"), col("m.f"), col("s.pi"), col("s.ri"), col("s.ring"))
       .as[(Long, ConsF, Int, Int, Array[Pt])]
       .groupByKey(_._1)
-      .mapGroups { (_, it) =>
+      .mapGroups { (fid, it) =>
         val rows = it.toSeq
         val f = rows.head._2
         val byIdx = rows.map(r => (r._3, r._4) -> r._5).toMap
-        f.copy(geometry = f.geometry.zipWithIndex.map { case (poly, pi) =>
+        FidCons(fid, f.copy(geometry = f.geometry.zipWithIndex.map { case (poly, pi) =>
           poly.zipWithIndex.map { case (ring, ri) => byIdx.getOrElse((pi, ri), ring) }
-        })
+        }))
       }
+  }
 
-    // ---- delete_small ----
-    rebuilt.filter(f => Geom.area(f.geometry) >= Geom.MinArea)
+  def deleteSmallD(rebuilt: Dataset[FidCons]): Dataset[FidCons] =
+    rebuilt.filter(fc => Geom.area(fc.f.geometry) >= Geom.MinArea)
+
+  /** prepare(), distributed, with caller-assigned input order (fid =
+    * position in layer order): semantically equal to the Seq chain — set
+    * equality spec on the reference fixture. */
+  def prepareDistributedOrdered(consOrdered: Dataset[FidCons]): Dataset[ConsF] = {
+    val spark = consOrdered.sparkSession
+    import spark.implicits._
+    deleteSmallD(simplifyD(mergePartsD(topologyD(
+      deleteInvalidD(explodeD(removeOutsidePartsD(consOrdered))))))).map(_.f)
   }
 }

@@ -32,26 +32,9 @@ object AppRun {
       taskDocs: Map[String, String],
       report: Report)
 
-  def run(
-      spark: SparkSession,
-      consRaw: Seq[ConsF],
-      parcelsRaw: Seq[Parcel],
-      addrs: Dataset[MoveAddress.Addr],
-      munCode: String,
-      maxParts: Int = 20,
-      buffer: Double = 30.0): Result = {
-    import spark.implicits._
-    val report = new Report
-
-    // ---- get_building --------------------------------------------------
-    report.set("inp_features", consRaw.length)
-    report.set("inp_buildings", consRaw.count(_.kind == "building"))
-    report.set("inp_parts", consRaw.count(_.kind == "part"))
-    report.set("inp_pools", consRaw.count(_.kind == "pool"))
-
-    // ---- process_building (app.py:241-263) ------------------------------
-    // underground vs outside split mirrors remove_outside_parts's two rules
-    val buildingsByRef = consRaw.filter(_.kind == "building").map(b => b.localId -> b).toMap
+  /** process_building via the Seq chain, tallying stage deletions. */
+  private def runChainSeq(
+      spark: SparkSession, consRaw: Seq[ConsF], report: Report): Seq[ConsF] = {
     val underground = consRaw.count(f => f.kind == "part" &&
       f.levAbove == 0 && f.levBelow != 0 && f.levBelow != -1)
     val afterOutside = ConsChain.removeOutsideParts(consRaw)
@@ -73,6 +56,63 @@ object AppRun {
     report.set("geom_invalid_building",
       (afterExplode.length - afterInvalid.length) +
         (afterSimplify.length - prepared.length))
+    prepared
+  }
+
+  /** process_building via the fully-distributed staged chain; the same
+    * metrics come from Dataset counts between stages. */
+  private def runChainDistributed(
+      spark: SparkSession, consRaw: Seq[ConsF], report: Report): Seq[ConsF] = {
+    import spark.implicits._
+    val underground = consRaw.count(f => f.kind == "part" &&
+      f.levAbove == 0 && f.levBelow != 0 && f.levBelow != -1)
+    val ordered = spark.createDataset(
+      consRaw.zipWithIndex.map { case (f, i) => ConsChain.FidCons(i.toLong, f) })
+    val afterOutside = ConsChain.removeOutsidePartsD(ordered).persist()
+    val nOutside = afterOutside.count()
+    report.set("underground_parts", underground)
+    report.set("outside_parts", consRaw.length - nOutside - underground)
+    val afterExplode = ConsChain.explodeD(afterOutside).persist()
+    val nExplode = afterExplode.count()
+    report.set("exploded_parts_building", nExplode - nOutside)
+    val afterInvalid = ConsChain.deleteInvalidD(afterExplode).persist()
+    val nInvalid = afterInvalid.count()
+    val afterTopo = ConsChain.topologyD(afterInvalid).persist()
+    val afterMerge = ConsChain.mergePartsD(afterTopo).persist()
+    val bLost = afterTopo.filter(_.f.kind == "building").count() -
+      afterMerge.filter(_.f.kind == "building").count()
+    report.set("buildings_in_pools", bLost)
+    report.set("parts_to_outline", afterTopo.count() - afterMerge.count() - bLost)
+    val afterSimplify = ConsChain.simplifyD(afterMerge).persist()
+    val preparedDs = ConsChain.deleteSmallD(afterSimplify).persist()
+    val nPrepared = preparedDs.count()
+    report.set("geom_invalid_building",
+      (nExplode - nInvalid) + (afterSimplify.count() - nPrepared))
+    preparedDs.collect().sortBy(_.fid).map(_.f).toSeq
+  }
+
+  def run(
+      spark: SparkSession,
+      consRaw: Seq[ConsF],
+      parcelsRaw: Seq[Parcel],
+      addrs: Dataset[MoveAddress.Addr],
+      munCode: String,
+      maxParts: Int = 20,
+      buffer: Double = 30.0,
+      distributedChain: Boolean = false): Result = {
+    import spark.implicits._
+    val report = new Report
+
+    // ---- get_building --------------------------------------------------
+    report.set("inp_features", consRaw.length)
+    report.set("inp_buildings", consRaw.count(_.kind == "building"))
+    report.set("inp_parts", consRaw.count(_.kind == "part"))
+    report.set("inp_pools", consRaw.count(_.kind == "pool"))
+
+    // ---- process_building (app.py:241-263) ------------------------------
+    val prepared =
+      if (distributedChain) runChainDistributed(spark, consRaw, report)
+      else runChainSeq(spark, consRaw, report)
     report.set("out_features", prepared.length)
 
     // ---- process_address (move_address over the prepared layer) ---------

@@ -102,6 +102,24 @@ class AppRunSpec extends AnyFunSuite {
     }
   }
 
+  test("distributedChain=true run matches the Seq-chain run bit for bit") {
+    import spark.implicits._
+    val ads = InspireGml.addresses(spark, "/root/reference/test/fixtures/address.gml")
+      .select(col("localId"),
+        element_at(split(col("localId"), "\\."), -1).as("ref"),
+        col("spec"), col("x"), col("y"))
+      .as[MoveAddress.Addr]
+    val dist = AppRun.run(spark, consRaw, parcels, ads, "38012",
+      distributedChain = true)
+    val r = result
+    assert(dist.report.values.toMap === r.report.values.toMap,
+      s"metrics diverge: ${dist.report.values.toMap} vs ${r.report.values.toMap}")
+    assert(dist.parcels.map(p => (p.localId, p.parts)).sortBy(_._1) ===
+      r.parcels.map(p => (p.localId, p.parts)).sortBy(_._1))
+    assert(dist.tasks === r.tasks)
+    assert(dist.report.validate().isEmpty)
+  }
+
   test("report.validate() closes the conservation books on the same run") {
     val r = result
     val errs = r.report.validate()
