@@ -117,9 +117,14 @@ object Dedup {
       shingleN: Int = 3, threshold: Double = 0.6): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = split(col(textCol), " ")
+    // candidate generation shuffles 8-byte shingle HASHES, not strings —
+    // same prefix-filter theorem (any consistent global total order works;
+    // (df, hash) is one), a fraction of the shuffle bytes. A 64-bit hash
+    // collision could only add a candidate pair; exactness comes from the
+    // verify stage either way.
     val sh = docs.select(
       col(idCol).as("id"),
-      explode(array_distinct(shingles(toks, shingleN))).as("sh"))
+      explode(array_distinct(transform(shingles(toks, shingleN), s => xxhash64(s)))).as("sh"))
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val ranked = sh.join(dfreq, "sh")
     val byDoc = Window.partitionBy("id")
