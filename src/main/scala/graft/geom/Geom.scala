@@ -350,4 +350,69 @@ object Geom {
     if (aSub <= 0) return false
     clipAreaConvex(subject, zone) / aSub >= 0.5
   }
+
+  /** One Sutherland–Hodgman step: clip `poly` against the halfplane LEFT of
+    * the directed line a→b (side(p) >= 0 kept). */
+  def clipRingHalfplane(poly: IndexedSeq[Pt], a: Pt, b: Pt): IndexedSeq[Pt] = {
+    if (poly.isEmpty) return poly
+    def side(p: Pt): Double = (b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x)
+    val out = ArrayBuffer[Pt]()
+    val m = poly.length
+    var j = 0
+    while (j < m) {
+      val p = poly(j); val q = poly((j + 1) % m)
+      val sp = side(p); val sq = side(q)
+      if (sp >= 0) out += p
+      if ((sp < 0) != (sq < 0)) {
+        val t = sp / (sp - sq)
+        out += Pt(p.x + (q.x - p.x) * t, p.y + (q.y - p.y) * t)
+      }
+      j += 1
+    }
+    out.toIndexedSeq
+  }
+
+  /** EXACT difference ring − CONVEX ring, by halfplane decomposition:
+    * subject − B = ⋃ᵢ (subject ∩ in(e₀..eᵢ₋₁) ∩ out(eᵢ)) over B's CCW edges —
+    * the pieces are disjoint by construction and each is one clip chain.
+    * Returns CCW pieces (possibly empty); the union of the pieces IS the
+    * difference, represented unmerged (no boolean-op seam stitching needed).
+    * This is the general case the reference's PolygonLayer.difference
+    * (polygon.py:576-596) needs for its pool/part rectangles; non-convex
+    * subtrahends remain out of scope by design. */
+  def differenceConvexOne(subject: Ring, bRaw: Ring): Seq[Ring] = {
+    val b = if (signedArea(bRaw) < 0) bRaw.reverse else bRaw // CCW
+    var inside: IndexedSeq[Pt] =
+      (if (signedArea(subject) < 0) subject.reverse else subject).toIndexedSeq
+    val pieces = ArrayBuffer[Ring]()
+    val n = b.length
+    var i = 0
+    while (i < n && inside.nonEmpty) {
+      val p = b(i); val q = b((i + 1) % n)
+      // out(eᵢ) = RIGHT of the CCW edge p→q = LEFT of q→p
+      val piece = clipRingHalfplane(inside, q, p)
+      if (piece.length >= 3 && math.abs(ringArea(piece.toArray)) > 1e-12)
+        pieces += dedupeRing(piece.toArray)
+      inside = clipRingHalfplane(inside, p, q)
+      i += 1
+    }
+    pieces.toSeq.filter(_.length >= 3)
+  }
+
+  /** subject − ⋃(convex subtrahends): sequential subtraction (exactly the
+    * union subtraction: (A−B₁)−B₂ = A−(B₁∪B₂)), with a bbox skip. Output
+    * pieces carry the subject's original ring orientation. */
+  def differenceConvex(subject: Ring, bs: Seq[Ring]): Seq[Ring] = {
+    val cw = signedArea(subject) < 0
+    val bb = bbox(Array(Array(subject)))
+    val relevant = bs.filter { b =>
+      val b2 = bbox(Array(Array(b)))
+      b2.xmin <= bb.xmax && b2.xmax >= bb.xmin && b2.ymin <= bb.ymax && b2.ymax >= bb.ymin
+    }
+    val pieces = relevant.foldLeft(Seq(
+      if (cw) subject.reverse else subject)) { (ps, b) =>
+      ps.flatMap(p => differenceConvexOne(p, b))
+    }
+    if (cw) pieces.map(_.reverse) else pieces
+  }
 }

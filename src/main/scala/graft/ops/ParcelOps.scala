@@ -121,6 +121,32 @@ object ParcelOps {
     }
   }
 
+  /** PolygonLayer.difference (polygon.py:576-596), the general CONVEX-
+    * subtrahend case: every feature loses the union of the intersecting
+    * subtrahend rings via exact halfplane decomposition
+    * (Geom.differenceConvex) — sequential subtraction equals union
+    * subtraction. Subtrahends broadcast (the reference's layer side is one
+    * municipality's pools/parts); the feature side never shuffles. Each
+    * input polygon's outer ring becomes 0..n disjoint pieces; existing
+    * holes reattach to the piece containing their first vertex. */
+  def differenceLayer(
+      features: Dataset[(Long, MultiPolygon)],
+      subtrahends: Seq[Array[Pt]]): Dataset[(Long, MultiPolygon)] = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    val bSub = spark.sparkContext.broadcast(subtrahends)
+    features.map { case (fid, mp) =>
+      val out = mp.flatMap { poly =>
+        val pieces = Geom.differenceConvex(poly.head, bSub.value)
+        pieces.map { piece =>
+          val holes = poly.tail.filter(h => Geom.pointInRing(h.head, piece))
+          (piece +: holes.toSeq).toArray
+        }
+      }
+      (fid, out)
+    }
+  }
+
   /** count_parts (parcel.py:232-242): features per ref, written to parcels.
     * Distributed: map-side partial count on ref, then an equi-join back onto
     * parcels (same key → AQE can co-locate; no driver map). */

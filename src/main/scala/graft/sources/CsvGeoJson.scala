@@ -26,6 +26,26 @@ object CsvGeoJson {
       .as[(String, String)].collect().toMap
   }
 
+  /** ZoningLayer.export_poly (zoning.py:80-93): the Osmosis boundary-polygon
+    * text format — header line, one numbered section per ring ('!' prefix
+    * marks holes), '%f %f' coordinate lines, END terminators. The input is
+    * the merged municipality multipolygon (Adjacency.unionByComponent's
+    * ring output). */
+  def exportPoly(mun: Array[Array[Array[graft.geom.Pt]]], name: String = "admin_boundary"): String = {
+    val sb = new StringBuilder
+    sb ++= s"$name\n"
+    var i = 0
+    for (part <- mun; (ring, j) <- part.zipWithIndex) {
+      i += 1
+      val prefix = if (j > 0) "!" else ""
+      sb ++= s"$prefix$i\n"
+      // '%f %f' lines exactly like the reference (it writes no END
+      // terminators — observable behavior replicated, zoning.py:84-93)
+      for (p <- ring) sb ++= f"${p.x}%f ${p.y}%f\n"
+    }
+    sb.toString
+  }
+
   /** export_fixmes (cons.py:580-587 + fixme.py:15-21): features with a
     * nonempty fixme become Point features at their geometry CENTROID with
     * the fixme text as the only property — as GeoJSON Feature lines. Layout

@@ -73,6 +73,36 @@ object InspireGml {
     }.toDF("gml_id", "text")
   }
 
+  /** INSPIRE CadastralZoning reader — the reference's zoning.gml layer
+    * (ZoningLayer, geo/layer/zoning.py): per cp:CadastralZoning member,
+    * (localId, label, level, geometry) where level is the first character
+    * of the localised level name ('M' urban manzana / 'P' rustic poligono,
+    * zoning.py:52-61) and geometry collects every gml:Surface's
+    * PolygonPatch (exterior ring + interior holes, posList pairs). */
+  def cadastralZonings(
+      path: String): Seq[(String, String, String, Array[Array[Array[graft.geom.Pt]]])] = {
+    val xml = Files.readString(Paths.get(path))
+    def ring(posList: String): Array[graft.geom.Pt] = {
+      val nums = posList.trim.split("\\s+").filter(_.nonEmpty).map(_.toDouble)
+      val pts = nums.grouped(2).map(a => graft.geom.Pt(a(0), a(1))).toArray
+      if (pts.length > 1 && pts.head == pts.last) pts.dropRight(1) else pts
+    }
+    members(xml, "cp:CadastralZoning").map { m =>
+      val localId = field(m, "localId")
+      val label = field(m, "cp:label")
+      val level = "(?s)<gmd:LocalisedCharacterString[^>]*>\\s*(.)".r
+        .findFirstMatchIn(m).map(_.group(1)).getOrElse("")
+      val polys = "(?s)<gml:PolygonPatch>.*?</gml:PolygonPatch>".r.findAllIn(m).map { pp =>
+        val ext = "(?s)<gml:exterior>.*?<gml:posList[^>]*>(.*?)</gml:posList>".r
+          .findFirstMatchIn(pp).map(_.group(1)).getOrElse("")
+        val ints = "(?s)<gml:interior>.*?<gml:posList[^>]*>(.*?)</gml:posList>.*?</gml:interior>".r
+          .findAllMatchIn(pp).map(_.group(1)).toSeq
+        (ring(ext) +: ints.map(ring)).toArray
+      }.toArray
+      (localId, label, level, polys)
+    }
+  }
+
   /** The reference's resolve step (xlink → id columns via regex) followed by
     * its three join_field denormalizations (app.py:556-559) — all broadcast
     * hash joins here. */

@@ -91,6 +91,46 @@ class DifferenceSpec extends AnyFunSuite {
     assert(math.abs(area - 15.0) < 1e-12)
   }
 
+  test("reference golden: test_difference (test_polygon.py:106-188) via convex decomposition") {
+    import graft.TestSpark
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def rect(x0: Double, y0: Double, x1: Double, y1: Double): Array[Pt] =
+      Array(Pt(x0, y0), Pt(x1, y0), Pt(x1, y1), Pt(x0, y1))
+    val g1 = rect(10, 10, 20, 20)
+    val g2 = rect(30, 10, 40, 20)
+    val h1 = rect(14, 14, 16, 16)   // interior of g1 -> hole
+    val h2 = rect(20, 10, 30, 20)   // touches g1/g2 boundaries only
+    val h3 = rect(38, 10, 42, 20)   // clips g2's right strip
+    val h4 = rect(30, 30, 40, 40)   // disjoint
+    val features = spark.createDataset(Seq(
+      (1L, Array(Array(g1)): Geom.MultiPolygon),
+      (2L, Array(Array(g2)): Geom.MultiPolygon)))
+    val out = ParcelOps.differenceLayer(features, Seq(h1, h2, h3, h4))
+      .collect().toMap
+    assert(out.size === 2) // featureCount stays 2, like the reference
+    def areaOf(mp: Geom.MultiPolygon): Double =
+      mp.map(p => Geom.ringArea(p.head) - p.tail.map(Geom.ringArea).sum).sum
+    // f1 == g1.difference(h1): area 100 - 4 = 96
+    assert(math.abs(areaOf(out(1L)) - 96.0) < 1e-9, s"f1 area ${areaOf(out(1L))}")
+    // f2 == g2.difference(h3): area 100 - 20 = 80
+    assert(math.abs(areaOf(out(2L)) - 80.0) < 1e-9, s"f2 area ${areaOf(out(2L))}")
+    // sampled point-in-polygon agreement with the analytic difference
+    def inMp(p: Pt, mp: Geom.MultiPolygon) = Geom.pointInMultiPolygon(p, mp)
+    for (x <- BigDecimal(10.25) to BigDecimal(19.75) by 0.5;
+         y <- BigDecimal(10.25) to BigDecimal(19.75) by 0.5) {
+      val p = Pt(x.toDouble, y.toDouble)
+      val expected = !(p.x > 14 && p.x < 16 && p.y > 14 && p.y < 16)
+      assert(inMp(p, out(1L)) === expected, s"f1 sample $p")
+    }
+    for (x <- BigDecimal(30.25) to BigDecimal(39.75) by 0.5;
+         y <- BigDecimal(10.25) to BigDecimal(19.75) by 0.5) {
+      val p = Pt(x.toDouble, y.toDouble)
+      val expected = p.x < 38
+      assert(inMp(p, out(2L)) === expected, s"f2 sample $p")
+    }
+  }
+
   test("non-snapped input FAILS LOUDLY instead of returning a wrong shape") {
     val a: Geom.MultiPolygon = Array(
       Array(Array(Pt(0, 0), Pt(2, 0), Pt(2, 2), Pt(0, 2))))
