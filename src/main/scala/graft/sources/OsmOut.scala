@@ -251,6 +251,80 @@ object OsmOut {
     sb.toString
   }
 
+  /** Osm.merge_duplicated over a FULL document (osm.py:87-120 +
+    * test_osm.py:77-119's observable semantics), deterministic where the
+    * reference iterates a set:
+    *
+    *  - nodes with one geometry merge, EXCEPT: non-new elements (id > 0,
+    *    already uploaded) always survive, and distinctly-tagged elements
+    *    survive separately (Element.__eq__ zeroes tags only when one side
+    *    is untagged); untagged new nodes sink into the tagged/fixed
+    *    representative (max id = smallest |negative id|);
+    *  - way nd refs remap to the surviving nodes, consecutive duplicates
+    *    collapse (clean_duplicated_nodes), then ways merge by nd sequence
+    *    under the same tag rules;
+    *  - relation member refs rewrite to the surviving ways/nodes. */
+  def mergeDuplicatedDoc(doc: OsmDoc): OsmDoc = {
+    final case class El(id: Long, tags: Map[String, String])
+    // generic one-geometry-group merge: returns (survivor ids, old->new)
+    def mergeGroup(els: Seq[El]): (Seq[Long], Map[Long, Long]) = {
+      val (fixed, fresh) = els.partition(_.id > 0)
+      val (tagged, untagged) = fresh.partition(_.tags.nonEmpty)
+      val tagReps = tagged.groupBy(_.tags).values.map(_.maxBy(_.id)).toSeq.sortBy(_.id)
+      val survivors = fixed ++ tagReps
+      if (survivors.isEmpty) {
+        val keep = untagged.maxBy(_.id)
+        (Seq(keep.id), els.map(e => e.id -> keep.id).toMap)
+      } else {
+        val sink = (tagReps ++ fixed.sortBy(e => -e.id)).last // prefer fixed, else max tagged
+        val m = Map.newBuilder[Long, Long]
+        survivors.foreach(e => m += e.id -> e.id)
+        tagged.foreach(e => m += e.id -> tagReps.find(_.tags == e.tags).get.id)
+        untagged.foreach(e => m += e.id -> sink.id)
+        (survivors.map(_.id), m.result())
+      }
+    }
+    // nodes
+    val nodeMapB = Map.newBuilder[Long, Long]
+    val keptNodeIds = scala.collection.mutable.Set[Long]()
+    for ((_, g) <- doc.nodes.groupBy(n => (n.lon, n.lat)).toSeq.sortBy(_._1)) {
+      val (surv, m) = mergeGroup(g.map(n => El(n.id, n.tags)))
+      keptNodeIds ++= surv
+      nodeMapB ++= m
+    }
+    val nodeMap = nodeMapB.result()
+    val keptNodes = doc.nodes.filter(n => keptNodeIds.contains(n.id))
+    // ways: remap + clean consecutive dups, then merge by nd sequence
+    val remapped = doc.ways.map { w =>
+      val refs = w.ndRefs.map(r => nodeMap.getOrElse(r, r))
+      val cleaned = refs.headOption.map(h =>
+        h +: refs.sliding(2).collect { case Seq(a, b) if a != b => b }.toSeq)
+        .getOrElse(refs)
+      w.copy(ndRefs = cleaned)
+    }
+    val wayMapB = Map.newBuilder[Long, Long]
+    val keptWayIds = scala.collection.mutable.Set[Long]()
+    for ((_, g) <- remapped.groupBy(_.ndRefs).toSeq.sortBy(_._1.mkString(","))) {
+      val (surv, m) = mergeGroup(g.map(w => El(w.id, w.tags)))
+      keptWayIds ++= surv
+      wayMapB ++= m
+    }
+    val wayMap = wayMapB.result()
+    val keptWays = remapped.filter(w => keptWayIds.contains(w.id))
+    // relations: rewrite member refs
+    val rels = doc.rels.map { r =>
+      r.copy(members = r.members.map { case (t, ref, role) =>
+        val nref = t match {
+          case "way" => wayMap.getOrElse(ref, ref)
+          case "node" => nodeMap.getOrElse(ref, ref)
+          case _ => ref
+        }
+        (t, nref, role)
+      })
+    }
+    OsmDoc(keptNodes, keptWays, rels)
+  }
+
   final case class TaskFeature(task: Long, localId: String,
       geometry: Array[Array[Array[graft.geom.Pt]]], tags: Map[String, String])
 

@@ -123,6 +123,55 @@ class OsmOutSpec extends AnyFunSuite {
     assert(n3.length === 1 && w3.isEmpty)
   }
 
+  test("reference golden: Osm.merge_duplicated observable semantics (test_osm.py:77-119)") {
+    import OsmOut.{OsmDoc, RawNode, RawRel, RawWay}
+    // the reference fixture: negative ids are new elements; n4/n6 carry
+    // POSITIVE ids (already uploaded); w1 untagged == w2 tagged by geometry
+    val n1 = RawNode(-1, 1, 1, Map.empty)
+    val n2 = RawNode(-2, 2, 2, Map.empty)
+    val n3 = RawNode(-3, 3, 3, Map("a" -> "b"))
+    val n4 = RawNode(1, 4, 4, Map.empty)   // id set to 1 (not new)
+    val n5 = RawNode(-5, 4, 4, Map.empty)
+    val n6 = RawNode(2, 4, 4, Map.empty)   // id set to 2 (not new)
+    val n7 = RawNode(-7, 3, 3, Map.empty)
+    val n8 = RawNode(-8, 5, 5, Map("a" -> "1"))
+    val n9 = RawNode(-9, 5, 5, Map("b" -> "2"))
+    val n10 = RawNode(-10, 5, 5, Map.empty)
+    // w1's own vertices duplicate n1/n2/n3's coordinates
+    val w1n = Seq(RawNode(-11, 1, 1, Map.empty), RawNode(-12, 1, 0, Map.empty),
+      RawNode(-13, 2, 2, Map.empty), RawNode(-14, 3, 2, Map.empty),
+      RawNode(-15, 3, 3, Map.empty))
+    val w2n = Seq(RawNode(-16, 1, 1, Map.empty), RawNode(-17, 1, 0, Map.empty),
+      RawNode(-18, 2, 2, Map.empty), RawNode(-19, 3, 2, Map.empty),
+      RawNode(-20, 3, 3, Map.empty))
+    val w1 = RawWay(-30, w1n.map(_.id), Map.empty)
+    val w2 = RawWay(-31, w2n.map(_.id), Map("x" -> "y"))
+    val r1 = RawRel(-40, Seq(("way", w1.id, ""), ("node", n3.id, "")), Map.empty)
+    val r2 = RawRel(-41, Seq(("way", w2.id, "")), Map.empty)
+    val doc = OsmDoc(
+      Seq(n1, n2, n3, n4, n5, n6, n7, n8, n9, n10) ++ w1n ++ w2n,
+      Seq(w1, w2), Seq(r1, r2))
+    val out = OsmOut.mergeDuplicatedDoc(doc)
+    val byPos = out.nodes.groupBy(n => (n.lon, n.lat))
+    for ((pos, g) <- byPos) {
+      if (pos == ((4.0, 4.0)) || pos == ((5.0, 5.0)))
+        assert(g.length === 2, s"$pos") // fixed-id pair / distinctly-tagged pair
+      else assert(g.length === 1, s"$pos")
+    }
+    // n3 survives with its id and tags; the way's (3,3) vertex resolves to it
+    val at33 = byPos((3.0, 3.0)).head
+    assert(at33.id === n3.id && at33.tags("a") === "b")
+    // the untagged way merged into the tagged one; relations re-point to it
+    assert(out.ways.length === 1)
+    assert(out.ways.head.id === w2.id && out.ways.head.tags("x") === "y")
+    assert(out.rels.find(_.id == r1.id).get.members.head._2 === w2.id)
+    assert(out.rels.find(_.id == r2.id).get.members.head._2 === w2.id)
+    // surviving way's nd refs all resolve to surviving nodes
+    val nodeIds = out.nodes.map(_.id).toSet
+    assert(out.ways.head.ndRefs.forall(nodeIds.contains))
+    assert(out.ways.head.ndRefs.contains(n3.id))
+  }
+
   test("perTaskXml emits one document per task with that task's nodes") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
