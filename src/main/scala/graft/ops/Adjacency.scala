@@ -36,12 +36,16 @@ object Adjacency {
     }.toDF("bid", "ax", "ay", "bx", "by")
   }
 
-  /** Canonical segment key columns (order-independent endpoint sort). */
+  /** Canonical segment key columns (order-independent endpoint sort).
+    * The key is xxhash64 of the canonical endpoint order — an 8-byte
+    * shuffle key instead of a ~40-byte string; a 64-bit collision within
+    * one municipality's edge set is ~impossible and the oracle-gated
+    * queries guard the output. */
   private def withSegKey(edges: DataFrame): DataFrame =
     edges.withColumn("seg",
       when(struct(col("ax"), col("ay")) < struct(col("bx"), col("by")),
-        concat_ws(":", col("ax"), col("ay"), col("bx"), col("by")))
-        .otherwise(concat_ws(":", col("bx"), col("by"), col("ax"), col("ay"))))
+        xxhash64(col("ax"), col("ay"), col("bx"), col("by")))
+        .otherwise(xxhash64(col("bx"), col("by"), col("ax"), col("ay"))))
 
   /** Adjacency pairs: buildings sharing a full segment
     * (is_shared_segment, polygon.py:86-97). */
