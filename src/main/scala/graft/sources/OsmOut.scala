@@ -178,20 +178,28 @@ object OsmOut {
     */
   def featuresToOsm(
       polys: Seq[(String, Array[Array[Array[graft.geom.Pt]]], Map[String, String])],
-      points: Seq[(Double, Double, Map[String, String])] = Seq.empty): OsmDoc = {
+      points: Seq[(Double, Double, Map[String, String])] = Seq.empty,
+      dedupWays: Boolean = true): OsmDoc = {
     var counter = 0L
     def nextId(): Long = { counter -= 1; counter }
     val nodeIds = scala.collection.mutable.LinkedHashMap[(Double, Double), Long]()
     val nodeTags = scala.collection.mutable.Map[(Double, Double), Map[String, String]]()
-    val wayIds = scala.collection.mutable.LinkedHashMap[Seq[Long], Long]()
-    val wayTags = scala.collection.mutable.Map[Seq[Long], Map[String, String]]()
+    // dedupWays=false reproduces the reference's raw to_osm (one way PER
+    // RING, merge_duplicated collapses later); true folds the merge in
+    val ways = scala.collection.mutable.ArrayBuffer[(Seq[Long], Long, Map[String, String])]()
+    val wayIndex = scala.collection.mutable.Map[Seq[Long], Int]()
     val rels = scala.collection.mutable.ArrayBuffer[RawRel]()
     def nodeOf(x: Double, y: Double): Long =
       nodeIds.getOrElseUpdate((x, y), nextId())
-    def wayOf(ring: Array[graft.geom.Pt]): (Seq[Long], Long) = {
+    def wayOf(ring: Array[graft.geom.Pt]): Int = {
       val refs = ring.map(p => nodeOf(p.x, p.y)).toSeq
       val closed = if (refs.nonEmpty && refs.head != refs.last) refs :+ refs.head else refs
-      (closed, wayIds.getOrElseUpdate(closed, nextId()))
+      if (dedupWays && wayIndex.contains(closed)) wayIndex(closed)
+      else {
+        ways += ((closed, nextId(), Map.empty))
+        wayIndex(closed) = ways.length - 1
+        ways.length - 1
+      }
     }
     for ((x, y, tags) <- points) {
       nodeOf(x, y)
@@ -200,19 +208,18 @@ object OsmOut {
     for ((_, geom, tags) <- polys.sortBy(_._1)) {
       val simple = geom.length == 1 && geom.head.length == 1
       if (simple) {
-        val (key, _) = wayOf(geom.head.head)
-        wayTags(key) = wayTags.getOrElse(key, Map.empty) ++ tags
+        val i = wayOf(geom.head.head)
+        ways(i) = (ways(i)._1, ways(i)._2, ways(i)._3 ++ tags)
       } else {
         val members = for (part <- geom.toSeq; (ring, ri) <- part.toSeq.zipWithIndex)
-          yield ("way", wayOf(ring)._2, if (ri == 0) "outer" else "inner")
+          yield ("way", ways(wayOf(ring))._2, if (ri == 0) "outer" else "inner")
         rels += RawRel(nextId(), members, tags + ("type" -> "multipolygon"))
       }
     }
     OsmDoc(
       nodeIds.toSeq.map { case ((x, y), id) =>
         RawNode(id, x, y, nodeTags.getOrElse((x, y), Map.empty)) },
-      wayIds.toSeq.map { case (refs, id) =>
-        RawWay(id, refs, wayTags.getOrElse(refs, Map.empty)) },
+      ways.toSeq.map { case (refs, id, tags) => RawWay(id, refs, tags) },
       rels.toSeq)
   }
 

@@ -123,6 +123,43 @@ class OsmOutSpec extends AnyFunSuite {
     assert(n3.length === 1 && w3.isEmpty)
   }
 
+  test("reference law: to_osm way/relation counts on cons.shp (test_cons.py:495-509)") {
+    val cons = Shapefile.read("/root/reference/test/fixtures/cons.shp")
+    val polys = cons.zipWithIndex.map { case (f, i) =>
+      (s"${f.attrs("localId")}#$i", f.geometry, Map("building" -> "yes"))
+    }
+    // dedupWays=false reproduces the reference's raw to_osm counting
+    val doc = OsmOut.featuresToOsm(polys, dedupWays = false)
+    val expWays = cons.map(f => f.geometry.map(_.length).sum).sum
+    val expRels = cons.count(f => f.geometry.length + f.geometry.head.length > 2)
+    assert(doc.ways.length === expWays, "one way per ring")
+    assert(doc.rels.length === expRels, "a relation iff multipart or holed")
+    assert(expRels > 0 && expWays > cons.length)
+  }
+
+  test("reference law: address to_osm tags (test_address.py:92-114)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ads = graft.sources.InspireGml
+      .resolvedAddresses(spark, "/root/reference/test/fixtures/address.gml")
+      .select(col("localId"), col("TN_text"), col("designator"), col("x"), col("y"))
+      .as[(String, String, String, Double, Double)].collect()
+    val nodes = ads.map { case (lid, tn, des, x, y) =>
+      val ref = lid.split("\\.").last
+      (x, y, Map("ref" -> ref,
+        "addr:street" -> Option(tn).getOrElse(""),
+        "addr:housenumber" -> Option(des).getOrElse("")))
+    }
+    val doc = OsmOut.featuresToOsm(Seq.empty, nodes.toSeq)
+    assert(doc.nodes.length === ads.length) // featureCount nodes (+1 seed in ref)
+    val byRef = doc.nodes.flatMap(n => n.tags.get("ref").map(r =>
+      r -> (n.tags("addr:street") + n.tags("addr:housenumber")))).toMap
+    for ((lid, tn, des, _, _) <- ads) {
+      val t = byRef(lid.split("\\.").last)
+      assert(t === Option(tn).getOrElse("") + Option(des).getOrElse(""), lid)
+    }
+  }
+
   test("reference golden: Osm.merge_duplicated observable semantics (test_osm.py:77-119)") {
     import OsmOut.{OsmDoc, RawNode, RawRel, RawWay}
     // the reference fixture: negative ids are new elements; n4/n6 carry
