@@ -742,6 +742,16 @@ object Queries {
       Some("""SELECT doc_id, length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
               FROM documents ORDER BY doc_id""")),
 
+    // BPE-ish pre-token count (GPT-2-style alternation; both engines run
+    // the same leftmost-first regex)
+    "q_bpe_tokens" -> Q(
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), TextFns.bpeTokenCount(col("text")).as("n_bpe"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, len(regexp_extract_all(text,
+                '${TextFns.BpePattern.replace("'", "''")}')) AS n_bpe
+              FROM documents ORDER BY doc_id""")),
+
     "q_word_freq" -> Q(
       (s, d) => t(s, d, "documents")
         .select(explode(split(col("text"), " ")).as("w"))

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling evidence for the DEDUP path (the LLM-pipeline flank of the north
+  * rule): MinHash+LSH near-dup over a deterministically replicated corpus,
+  * run at two parallelism levels with constant per-core work.
+  *
+  * Replication suffixes every token with the replica index, so all shingles
+  * differ across replicas: the planted near-dup pairs stay WITHIN replicas
+  * and the expected pair count is exactly repl × pairs(sf) — a correctness
+  * invariant checked at scale, not just a wall time. */
+object ScaleDedup {
+
+  /** documents table replicated repl× with per-replica token suffixes —
+    * pure column math, no RNG, no driver loops. */
+  def docs(spark: SparkSession, sfDir: String, repl: Int, cores: Int): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .withColumn("r", explode(sequence(lit(0), lit(repl - 1))))
+      .select(
+        (col("doc_id") * repl + col("r")).as("doc_id"),
+        concat(
+          regexp_replace(col("text"), lit(" "), concat(lit("_"), col("r"), lit(" "))),
+          lit("_"), col("r")).as("text"))
+      // the source parquet is 1-2 partitions; without this the whole
+      // replicated corpus would compute signatures in 1-2 tasks
+      .repartition(cores * 2, col("doc_id"))
+
+  def timed(cores: Int, sfDir: String, repl: Int): (Double, Long, Long) = {
+    val spark = Scale.makeSession(cores)
+    val d = docs(spark, sfDir, repl, cores)
+    val nDocs = d.count()
+    val t0 = System.nanoTime()
+    val pairs = graft.dedup.Dedup
+      .minhashNearDups(d, "doc_id", "text", threshold = 0.6)
+      .count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    spark.stop()
+    (sec, nDocs, pairs)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // reference pair count per replica from an unreplicated run
+    val base = {
+      val spark = Scale.makeSession(8)
+      val p = graft.dedup.Dedup
+        .minhashNearDups(spark.read.parquet(s"$sfDir/documents.parquet"),
+          "doc_id", "text", threshold = 0.6).count()
+      spark.stop()
+      p
+    }
+    timed(8, sfDir, 2) // warmup
+    val pair = sys.env.getOrElse("SPARK_GRAFT_PAIR", "8,32")
+      .split(",").map(_.trim.toInt).toSeq
+    val perCore = sys.env.getOrElse("SPARK_GRAFT_REPL_PER_CORE", "4").toInt
+    val runs = pair.map { c =>
+      val repl = perCore * c // constant per-core corpus
+      val (sec, nDocs, pairs) = Seq.fill(2)(timed(c, sfDir, repl)).minBy(_._1)
+      // cap-induced loss is possible at scale (maxBucket drops hot random
+      // band collisions) — report recall against the exact expectation
+      val recall = pairs.toDouble / (base * repl)
+      (c, sec, nDocs, pairs, recall, nDocs / sec)
+    }
+    val thr = runs.map(r => r._1 -> r._6).toMap
+    val eff = (thr(pair.last) / thr(pair.head)) / (pair.last.toDouble / pair.head)
+    val pts = runs.map { case (c, sec, n, p, r, t) =>
+      f""""local$c":{"sec":$sec%.2f,"docs":$n,"pairs":$p,"recall":$r%.4f,"docs_per_sec":${t.round}}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"job":"minhash_dedup_scale","points":$pts,"eff_${pair.head}_to_${pair.last}":${f"$eff%.3f"},"base_pairs":$base}""")
+  }
+}

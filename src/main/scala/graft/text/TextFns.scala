@@ -21,6 +21,15 @@ object TextFns {
   def subwordCount(text: Column): Column =
     size(filter(split(text, "[^A-Za-z0-9]+"), t => length(t) > lit(0))).cast("long")
 
+  /** GPT-2-style pre-tokenizer alternation (ASCII form, so Java regex and
+    * DuckDB's RE2 tokenize identically — both leftmost-first): contractions,
+    * space-prefixed words / numbers / punctuation runs, residual spaces. */
+  val BpePattern = "'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +"
+
+  /** BPE-ish pre-token count over the alternation above. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0))).cast("long")
+
   /** Occurrences of `word` as a standalone token, via length arithmetic so
     * the DuckDB oracle can reproduce it exactly: in ' '||text||' ' replace
     * ' word ' by ' ' and divide the length delta by len(word)+1. */
