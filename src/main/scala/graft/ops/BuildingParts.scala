@@ -63,6 +63,18 @@ object BuildingParts {
   private def unionParts(polys: Seq[Array[Array[Pt]]]): Array[Array[Array[Pt]]] =
     ParcelOps.unionOuterRings(polys.map(p => Array(p.head)))
 
+  /** get_parts (cons.py:175-192): of the given parts, those inside the
+    * outline grouped by (lev_above, lev_below), plus the max of each. */
+  def getParts(
+      outline: ConsRow, parts: Seq[ConsRow])
+      : (Map[(Int, Int), Seq[ConsRow]], Int, Int) = {
+    val inside = parts.filter(p => isInside(p.geometry, outline.geometry))
+    val byLevel = inside.groupBy(p => (p.levAbove, p.levBelow))
+    val maxLevel = (0 +: inside.map(_.levAbove)).max
+    val minLevel = (0 +: inside.map(_.levBelow)).max
+    (byLevel, maxLevel, minLevel)
+  }
+
   def mergeBuildingParts(rows: Dataset[ConsRow]): Dataset[ConsRow] = {
     val spark = rows.sparkSession
     import spark.implicits._
