@@ -80,11 +80,15 @@ object Dedup {
     val bandRows = withSig
       .select(col("id"), explode(lshBands(col("sig"), bands, nPerm / bands)).as("b"))
       .select(col("id"), col("b.band_id"), col("b.band_hash"))
-    // skew guard: drop degenerate buckets wider than maxBucket
+    // skew guard: drop degenerate buckets wider than maxBucket. The hot
+    // set is found with a map-side-combined groupBy (tiny result: only
+    // over-cap buckets) and removed with a broadcast anti join — no full
+    // sort of the band rows, unlike a count-over-window
+    val hot = bandRows.groupBy("band_id", "band_hash")
+      .agg(count(lit(1)).as("w")).filter(col("w") > maxBucket)
+      .select("band_id", "band_hash")
     val bucketed = bandRows
-      .withColumn("w", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band_id", "band_hash")))
-      .filter(col("w") <= maxBucket)
+      .join(broadcast(hot), Seq("band_id", "band_hash"), "left_anti")
     val cand = bucketed.as("l")
       .join(bucketed.as("r"),
         col("l.band_id") === col("r.band_id") &&
