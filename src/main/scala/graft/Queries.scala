@@ -719,6 +719,35 @@ object Queries {
               128 + n_chars % 256 AS n_bytes
               FROM documents ORDER BY doc_id""")),
 
+    // media resize: EXACT aspect-preserving fit metadata (pixel transform
+    // is the stubbed codec step)
+    "q_media_resize" -> Q(
+      (s, d) => graft.multimodal.Media
+        .resizeMeta(graft.multimodal.Media.synth(s, d), maxSide = 32)
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+              CASE WHEN doc_id % 3 = 0 THEN 'image' ELSE 'audio' END AS kind,
+              CAST(doc_id % 64 + 1 AS INT) AS width,
+              CAST(doc_id % 48 + 1 AS INT) AS height,
+              CAST(CASE WHEN greatest(doc_id%64+1, doc_id%48+1) <= 32
+                THEN doc_id%64+1
+                ELSE greatest(1, (doc_id%64+1)*32 // greatest(doc_id%64+1, doc_id%48+1)) END AS INT) AS out_w,
+              CAST(CASE WHEN greatest(doc_id%64+1, doc_id%48+1) <= 32
+                THEN doc_id%48+1
+                ELSE greatest(1, (doc_id%48+1)*32 // greatest(doc_id%64+1, doc_id%48+1)) END AS INT) AS out_h
+              FROM documents ORDER BY doc_id""")),
+
+    // video frame sampling: one row per sampled timestamp (plumbing real,
+    // frame decode stubbed)
+    "q_frame_sample" -> Q(
+      (s, d) => graft.multimodal.Media
+        .sampleFrames(graft.multimodal.Media.synthVideo(s, d), everyMs = 700L)
+        .orderBy("doc_id", "frame_idx"),
+      Some("""WITH v AS (SELECT doc_id, 1000 + n_chars % 60 * 1000 AS dur FROM documents)
+              SELECT doc_id, unnest(range(0, (dur + 699) // 700)) AS frame_idx,
+                unnest(range(0, (dur + 699) // 700)) * 700 AS t_ms
+              FROM v ORDER BY doc_id, frame_idx""")),
+
     // OSM output model: deterministic negative-id assignment over total key
     // order (osm.py id discipline re-expressed as two-phase global rank)
     "q_osm_ids" -> Q(

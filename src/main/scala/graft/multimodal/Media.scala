@@ -70,4 +70,40 @@ object Media {
       }
       .toDF()
   }
+
+  /** Resize: the metadata side is EXACT pure-column integer math
+    * (aspect-preserving fit into maxSide, floor with a 1-pixel floor); the
+    * pixel transform itself is the stubbed codec step. Partition-preserving,
+    * whole-stage codegen (no UDF). */
+  def resizeMeta(media: DataFrame, maxSide: Int): DataFrame = {
+    val longest = greatest(col("width"), col("height"))
+    def fit(side: org.apache.spark.sql.Column) =
+      when(longest <= maxSide, side)
+        .otherwise(greatest(lit(1), floor(side * maxSide / longest).cast("int")))
+    media.select(
+      col("doc_id"), col("kind"), col("width"), col("height"),
+      fit(col("width")).cast("int").as("out_w"),
+      fit(col("height")).cast("int").as("out_h"))
+    // >>> STUB: a real resize would transform `payload` here per (out_w, out_h)
+  }
+
+  /** Deterministic synthetic video table (duration derives from n_chars). */
+  def synthVideo(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(
+        col("doc_id"),
+        (lit(1000L) + col("n_chars") % 60 * 1000L).as("duration_ms"),
+        lit(30).as("fps"))
+
+  /** Frame sampling: one output row per sampled timestamp (t = 0, every,
+    * 2·every … < duration) — the row-explosion plumbing a video pipeline
+    * needs, as pure Catalyst sequence/explode; the frame decode itself is
+    * the stubbed codec step. */
+  def sampleFrames(video: DataFrame, everyMs: Long): DataFrame =
+    video.select(
+      col("doc_id"),
+      explode(sequence(lit(0L), col("duration_ms") - 1, lit(everyMs))).as("t_ms"))
+      .select(col("doc_id"), (col("t_ms") / everyMs).cast("long").as("frame_idx"),
+        col("t_ms"))
+    // >>> STUB: a real sampler would seek+decode the frame at t_ms here
 }
