@@ -21,6 +21,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
   }
 
+  test("partitioned scale paths never plan a nested-loop or cartesian join") {
+    import spark.implicits._
+    val pts = SynthGeo.points(spark, TestSpark.sf001)
+    val sites = spark.createDataset(SynthGeo.sites)
+    val radius = SpatialJoin.radiusJoinPartitioned(
+      pts, sites, CellGrid(6.5, origin = 0.0, rowWidth = 1L << 20), 6.5)
+    radius.collect()
+    val rPlan = radius.queryExecution.executedPlan.toString
+    assert(!rPlan.contains("BroadcastNestedLoop") && !rPlan.contains("Cartesian"),
+      s"radius join must stay an equi-join:\n$rPlan")
+    val zonesDs = spark.createDataset(SynthGeo.zones)
+    val pip = SpatialJoin.pipJoinPartitioned(pts, zonesDs, grid)
+    pip.collect()
+    val pPlan = pip.queryExecution.executedPlan.toString
+    assert(!pPlan.contains("BroadcastNestedLoop") && !pPlan.contains("Cartesian"),
+      s"partitioned PIP must stay an equi-join:\n$pPlan")
+  }
+
+  test("jaccard prefix candidate join is an equi-join with partial aggregation") {
+    val docs = spark.read.parquet(s"${TestSpark.sf001}/documents.parquet")
+    val q = graft.dedup.Dedup.jaccardPairsExact(docs, "doc_id", "text", 3, 0.6)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
+      s"prefix join must stay an equi-join:\n$plan")
+    assert(plan.contains("HashAggregate"), s"expected partial aggregation:\n$plan")
+  }
+
   test("parquet scan prunes columns for the PIP query") {
     val pts = SynthGeo.points(spark, TestSpark.sf001).toDF()
     val plan = pts.queryExecution.executedPlan.toString
