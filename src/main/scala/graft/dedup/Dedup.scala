@@ -77,9 +77,13 @@ object Dedup {
         col(idCol).as("id"),
         array_distinct(shingles(toks, shingleN)).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), nPerm))
+    // persisted: the hot-bucket scan and the candidate join both read the
+    // banded signatures; without this the (dominant) signature computation
+    // would run twice
     val bandRows = withSig
       .select(col("id"), explode(lshBands(col("sig"), bands, nPerm / bands)).as("b"))
       .select(col("id"), col("b.band_id"), col("b.band_hash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // skew guard: drop degenerate buckets wider than maxBucket. The hot
     // set is found with a map-side-combined groupBy (tiny result: only
     // over-cap buckets) and removed with a broadcast anti join — no full
