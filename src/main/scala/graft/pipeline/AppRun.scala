@@ -99,7 +99,8 @@ object AppRun {
       munCode: String,
       maxParts: Int = 20,
       buffer: Double = 30.0,
-      distributedChain: Boolean = false): Result = {
+      distributedChain: Boolean = false,
+      addrTags: Map[String, Map[String, String]] = Map.empty): Result = {
     import spark.implicits._
     val report = new Report
 
@@ -174,10 +175,13 @@ object AppRun {
           if (f.kind == "pool") "openAirPool" else null,
           math.max(0, f.levAbove), math.max(0, f.levBelow), 0, ""))
     })
+    // node tags: the caller supplies the translate.address_tags output per
+    // localId (Translate.addressTagsRow over the resolved layer); addr:ref
+    // is always added so task docs stay self-describing
     val addrNodes = spark.createDataset(addressesOut.toSeq.map { a =>
-      val tags = Map("addr:ref" -> a._1) ++
-        (if (a._3 == "Entrance") Map("entrance" -> "yes") else Map.empty)
-      (labelId(labelOf(a._2)), a._4, a._5, tags)
+      val base = addrTags.getOrElse(a._1,
+        if (a._3 == "Entrance") Map("entrance" -> "yes") else Map.empty[String, String])
+      (labelId(labelOf(a._2)), a._4, a._5, base + ("addr:ref" -> a._1))
     })
     val docs = OsmOut.perTaskOsmXml(taskFeats, addrNodes).collect().toMap
     val byLabel = labels.map(l => l -> docs(labelId(l))).toMap

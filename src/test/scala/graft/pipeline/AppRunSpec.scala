@@ -120,6 +120,36 @@ class AppRunSpec extends AnyFunSuite {
     assert(dist.report.validate().isEmpty)
   }
 
+  test("translate.address_tags output flows into the task documents") {
+    import spark.implicits._
+    val resolved = InspireGml
+      .resolvedAddresses(spark, "/root/reference/test/fixtures/address.gml")
+      .select(col("localId"), col("TN_text"), col("designator"),
+        col("postCode").cast("string"), col("spec"), col("x"), col("y"))
+      .as[(String, String, String, String, String, Double, Double)].collect()
+    val tags = resolved.map { case (lid, tn, des, pc, spec, _, _) =>
+      lid -> graft.text.Translate.addressTagsRow(lid,
+        Option(tn).getOrElse(""), Option(des).getOrElse(""),
+        Option(pc).getOrElse(""), spec, "")
+    }.toMap
+    val ads = spark.createDataset(resolved.toSeq.map { case (lid, _, _, _, spec, x, y) =>
+      MoveAddress.Addr(lid, lid.split("\\.").last, spec, x, y)
+    })
+    val r = AppRun.run(spark, consRaw, parcels, ads, "38012", addrTags = tags)
+    for ((lid, _, spec, _, _) <- r.addressesOut if tags.getOrElse(lid, Map.empty).nonEmpty) {
+      val label = r.tasks.getOrElse(lid.split("\\.").last, lid.split("\\.").last)
+      val (ns, _, _) = OsmOut.parseOsm(r.taskDocs(label))
+      val node = ns.find(_.tags.get("addr:ref").contains(lid)).get
+      val exp = tags(lid)
+      // translated street/place name and housenumber land on the node
+      assert(exp.get("addr:street").forall(v => node.tags.get("addr:street").contains(v)), lid)
+      assert(exp.get("addr:place").forall(v => node.tags.get("addr:place").contains(v)), lid)
+      assert(exp.get("addr:housenumber").forall(v =>
+        node.tags.get("addr:housenumber").contains(v)), lid)
+      if (spec == "Entrance") assert(node.tags.get("entrance").contains("yes"), lid)
+    }
+  }
+
   test("report.validate() closes the conservation books on the same run") {
     val r = result
     val errs = r.report.validate()
