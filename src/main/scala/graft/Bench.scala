@@ -42,6 +42,7 @@ object Bench {
           val n = fn(spark, sfDir).count()
           if (name == "q_pip_join") nPoints = n
         } catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+        finally CacheBin.drain() // release operator-internal persists per query
         name -> (System.nanoTime() - t0) / 1e9
       }
     }

@@ -79,11 +79,11 @@ object Dedup {
       .withColumn("sig", minhashSignature(col("sh"), nPerm))
     // persisted: the hot-bucket scan and the candidate join both read the
     // banded signatures; without this the (dominant) signature computation
-    // would run twice
-    val bandRows = withSig
+    // would run twice. Registered in CacheBin — the session driver drains
+    // registered handles after its terminal action (ADVICE r2).
+    val bandRows = graft.CacheBin.persist(withSig
       .select(col("id"), explode(lshBands(col("sig"), bands, nPerm / bands)).as("b"))
-      .select(col("id"), col("b.band_id"), col("b.band_hash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("id"), col("b.band_id"), col("b.band_hash")))
     // skew guard: drop degenerate buckets wider than maxBucket. The hot
     // set is found with a map-side-combined groupBy (tiny result: only
     // over-cap buckets) and removed with a broadcast anti join — no full
@@ -129,10 +129,12 @@ object Dedup {
     // same prefix-filter theorem (any consistent global total order works;
     // (df, hash) is one), a fraction of the shuffle bytes. A 64-bit hash
     // collision could only add a candidate pair; exactness comes from the
-    // verify stage either way.
-    val sh = docs.select(
+    // verify stage either way. The exploded table is persisted (CacheBin —
+    // caller drains) so the document-frequency pass and the ranking pass
+    // read ONE shingle generation instead of two.
+    val sh = graft.CacheBin.persist(docs.select(
       col(idCol).as("id"),
-      explode(array_distinct(transform(shingles(toks, shingleN), s => xxhash64(s)))).as("sh"))
+      explode(array_distinct(transform(shingles(toks, shingleN), s => xxhash64(s)))).as("sh")))
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val ranked = sh.join(dfreq, "sh")
     val byDoc = Window.partitionBy("id")

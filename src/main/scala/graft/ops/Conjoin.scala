@@ -109,12 +109,13 @@ object Conjoin {
           .otherwise(col("px")).as("x"),
         when(col("spec") === "PENDING" && col("isShared").isNull, col("my"))
           .otherwise(col("py")).as("y"))
-      .cache()
+    // persisted via CacheBin (two consumers); the session driver drains
+    val resolvedP = graft.CacheBin.persist(resolved)
 
     // insert moved entrance vertices into their building rings: cogroup the
     // buildings with the moved points on the cluster key (reference
     // move_entrance's insertVertex), no driver map
-    val moved = resolved.filter(col("spec") === "Entrance")
+    val moved = resolvedP.filter(col("spec") === "Entrance")
       .select(col("ref"), col("x"), col("y")).as[(Long, Double, Double)]
     val buildingsOut = buildings.groupByKey(_.cluster)
       .cogroup(moved.groupByKey(_._1)) { (_, bIt, mIt) =>
@@ -136,7 +137,7 @@ object Conjoin {
           b.copy(ring = out.toArray)
         }
       }
-    (resolved, buildingsOut)
+    (resolvedP, buildingsOut)
   }
 
   /** (bid, px, py) addresses × buildings → snapped projection + distance².

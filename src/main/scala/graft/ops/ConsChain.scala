@@ -45,32 +45,38 @@ object ConsChain {
     }
   }
 
-  /** topology over the outer rings of every part, holes passed through. */
+  /** topology over the outer rings of every part, holes passed through.
+    * Ring keys use a data-derived width (max parts per feature), so no
+    * fixed cap can crash on a legitimately large multipolygon. */
   def topology(spark: SparkSession, cons: Seq[ConsF]): Seq[ConsF] = {
     import spark.implicits._
     val indexed = cons.zipWithIndex
+    val w = math.max(1L, cons.iterator.map(_.geometry.length.toLong).maxOption.getOrElse(1L))
     val feats = indexed.flatMap { case (f, i) =>
       f.geometry.toSeq.zipWithIndex.map { case (poly, pi) =>
-        Feature(i.toLong * 64 + pi, poly.head)
+        Feature(i.toLong * w + pi, poly.head)
       }
     }
     val repaired = Topology.repair(spark.createDataset(feats))
       .collect().map(f => f.fid -> f.ring).toMap
     indexed.map { case (f, i) =>
       f.copy(geometry = f.geometry.zipWithIndex.map { case (poly, pi) =>
-        repaired.getOrElse(i.toLong * 64 + pi, poly.head) +: poly.tail
+        repaired.getOrElse(i.toLong * w + pi, poly.head) +: poly.tail
       })
     }
   }
 
-  /** shared-vertex simplify over all rings. */
+  /** shared-vertex simplify over all rings (data-derived key widths). */
   def simplify(spark: SparkSession, cons: Seq[ConsF]): Seq[ConsF] = {
     import spark.implicits._
     val indexed = cons.zipWithIndex
+    val wp = math.max(1L, cons.iterator.map(_.geometry.length.toLong).maxOption.getOrElse(1L))
+    val wr = math.max(1L, cons.iterator.flatMap(_.geometry.iterator.map(_.length.toLong))
+      .maxOption.getOrElse(1L))
     val feats = indexed.flatMap { case (f, i) =>
       f.geometry.toSeq.zipWithIndex.flatMap { case (poly, pi) =>
         poly.toSeq.zipWithIndex.map { case (ring, ri) =>
-          Feature(i.toLong * 256 + pi * 16 + ri, ring)
+          Feature((i.toLong * wp + pi) * wr + ri, ring)
         }
       }
     }
@@ -79,7 +85,7 @@ object ConsChain {
     indexed.map { case (f, i) =>
       f.copy(geometry = f.geometry.zipWithIndex.map { case (poly, pi) =>
         poly.zipWithIndex.map { case (ring, ri) =>
-          out.getOrElse(i.toLong * 256 + pi * 16 + ri, ring)
+          out.getOrElse((i.toLong * wp + pi) * wr + ri, ring)
         }
       })
     }
@@ -178,14 +184,26 @@ object ConsChain {
     others.union(keptParts)
   }
 
-  /** explode_multi_parts, distributed. */
+  /** explode_multi_parts, distributed. The child-fid width is derived from
+    * the DATA (max parts per feature, one cheap max-aggregate job), so the
+    * encoding is collision-free for any input — no fixed cap that a large
+    * cadastre multipolygon could crash (a 10^12-row layer with fid < 2^40
+    * and even 2^20-part monsters stays far below Long overflow, which the
+    * require guards as a pure sanity bound). */
   def explodeD(kept: Dataset[FidCons]): Dataset[FidCons] = {
     val spark = kept.sparkSession
     import spark.implicits._
+    import org.apache.spark.sql.functions.{abs, coalesce, col, lit, max, size}
+    val bounds = kept.select(
+      coalesce(max(size(col("f.geometry"))), lit(1)).as("w"),
+      coalesce(max(abs(col("fid"))), lit(0L)).as("maxFid")).head()
+    val w = math.max(1L, bounds.getInt(0).toLong)
+    val maxFid = bounds.getLong(1)
+    require(maxFid <= Long.MaxValue / w - w,
+      s"explode fid encoding would overflow Long (maxFid=$maxFid width=$w)")
     kept.flatMap { case FidCons(fid, f) =>
-      require(f.geometry.length <= 64, "explode fid arithmetic caps at 64 parts")
       f.geometry.toSeq.zipWithIndex.map { case (poly, pi) =>
-        FidCons(fid * 64 + pi, f.copy(geometry = Array(poly)))
+        FidCons(fid * w + pi, f.copy(geometry = Array(poly)))
       }
     }
   }
@@ -236,21 +254,42 @@ object ConsChain {
     }
   }
 
-  /** shared-vertex simplify over every ring, distributed. */
+  /** shared-vertex simplify over every ring, distributed. Ring-key widths
+    * are data-derived (max polys per feature × max rings per poly) — no
+    * fixed cap, same collision-free encoding argument as explodeD. */
   def simplifyD(merged: Dataset[FidCons]): Dataset[FidCons] = {
     val spark = merged.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions.col
+    val bounds = merged.map { fc =>
+      (fc.f.geometry.length.toLong,
+        fc.f.geometry.iterator.map(_.length.toLong).maxOption.getOrElse(1L),
+        math.abs(fc.fid))
+    }.toDF("np", "nr", "afid")
+      .select(
+        org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.max(col("np")),
+          org.apache.spark.sql.functions.lit(1L)),
+        org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.max(col("nr")),
+          org.apache.spark.sql.functions.lit(1L)),
+        org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.max(col("afid")),
+          org.apache.spark.sql.functions.lit(0L)))
+      .head()
+    val wp = math.max(1L, bounds.getLong(0))
+    val wr = math.max(1L, bounds.getLong(1))
+    require(bounds.getLong(2) <= Long.MaxValue / (wp * wr) - wp * wr,
+      s"simplify ring-key encoding would overflow Long (wp=$wp wr=$wr)")
     val simpIn = merged.flatMap { fc =>
       fc.f.geometry.toSeq.zipWithIndex.flatMap { case (poly, pi) =>
-        require(pi < 16 && poly.length <= 16, "simplify ring arithmetic caps at 16")
         poly.toSeq.zipWithIndex.map { case (ring, ri) =>
-          Feature((fc.fid << 8) + pi * 16 + ri, ring)
+          Feature((fc.fid * wp + pi) * wr + ri, ring)
         }
       }
     }
     val simplified = Simplify.simplifyShared(simpIn)
-      .map(f => (f.fid >> 8, ((f.fid & 255L) / 16L).toInt, (f.fid & 15L).toInt, f.ring))
+      .map(f => (f.fid / (wp * wr), ((f.fid / wr) % wp).toInt, (f.fid % wr).toInt, f.ring))
       .toDF("fid", "pi", "ri", "ring")
     merged.toDF().as("m")
       .join(simplified.as("s"), col("m.fid") === col("s.fid"))
@@ -276,7 +315,12 @@ object ConsChain {
   def prepareDistributedOrdered(consOrdered: Dataset[FidCons]): Dataset[ConsF] = {
     val spark = consOrdered.sparkSession
     import spark.implicits._
-    deleteSmallD(simplifyD(mergePartsD(topologyD(
-      deleteInvalidD(explodeD(removeOutsidePartsD(consOrdered))))))).map(_.f)
+    // persist the two stages whose outputs feed a bounds-aggregate job AND
+    // the stage transform itself (explodeD/simplifyD derive key widths from
+    // the data), so neither input recomputes
+    val kept = removeOutsidePartsD(consOrdered).persist()
+    val merged = mergePartsD(topologyD(deleteInvalidD(explodeD(kept)))).persist()
+    val out = deleteSmallD(simplifyD(merged)).map(_.f)
+    out
   }
 }

@@ -22,8 +22,12 @@ import graft.geom.{Geom, Pt}
   * of the construction features with the moved points on the refcat key.
   */
 object MoveAddress {
-  final case class ConsFeature(localId: String, ref: String, isBuilding: Boolean,
-      geometry: Array[Array[Array[Pt]]])
+  /** kind ∈ building | part | pool (ConsF's field, carried explicitly —
+    * never inferred from the id string). */
+  final case class ConsFeature(localId: String, ref: String, kind: String,
+      geometry: Array[Array[Array[Pt]]]) {
+    def isBuilding: Boolean = kind == "building"
+  }
   final case class Addr(localId: String, ref: String, spec: String, x: Double, y: Double)
 
   /** Classification row before the shared-wall join: `pending` rows carry
@@ -126,7 +130,9 @@ object MoveAddress {
       addresses: Dataset[Addr], cons: Dataset[ConsFeature]): (DataFrame, Dataset[ConsFeature]) = {
     val spark = cons.sparkSession
     import spark.implicits._
-    val resolved = moveAddressResolved(addresses, cons).cache()
+    // persisted via CacheBin (two consumers: the address output and the
+    // vertex-insert cogroup); the session driver drains after its action
+    val resolved = graft.CacheBin.persist(moveAddressResolved(addresses, cons).toDF())
     val out = resolved.select("localId", "ref", "spec", "x", "y")
     val moved = resolved
       .filter(col("spec") === "Entrance" && col("segA").isNotNull)
@@ -137,7 +143,7 @@ object MoveAddress {
         val pts = mIt.map(t => (Pt(t._2, t._3), t._4, t._5)).toSeq
         if (pts.isEmpty) cIt
         else cIt.map { c =>
-          if (!c.isBuilding && !c.localId.contains("part")) c
+          if (!c.isBuilding && c.kind != "part") c
           else insertAtSegments(c, pts)
         }
       }

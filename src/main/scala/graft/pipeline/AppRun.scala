@@ -118,7 +118,7 @@ object AppRun {
 
     // ---- process_address (move_address over the prepared layer) ---------
     val consFeat = spark.createDataset(prepared.zipWithIndex.map { case (f, i) =>
-      MoveAddress.ConsFeature(s"${f.localId}#$i", f.ref, f.kind == "building", f.geometry)
+      MoveAddress.ConsFeature(s"${f.localId}#$i", f.ref, f.kind, f.geometry)
     })
     val addrRows = addrs.collect()
     report.set("inp_address", addrRows.length)
@@ -178,9 +178,13 @@ object AppRun {
     // node tags: the caller supplies the translate.address_tags output per
     // localId (Translate.addressTagsRow over the resolved layer); addr:ref
     // is always added so task docs stay self-describing
+    // entrance=yes follows the spec RESOLVED by move_address (the reference
+    // computes address_tags after move_address): an address demoted from
+    // Entrance drops the tag, one classified Entrance gains it
     val addrNodes = spark.createDataset(addressesOut.toSeq.map { a =>
-      val base = addrTags.getOrElse(a._1,
-        if (a._3 == "Entrance") Map("entrance" -> "yes") else Map.empty[String, String])
+      val base0 = addrTags.getOrElse(a._1, Map.empty[String, String])
+      val base = if (a._3 == "Entrance") base0 + ("entrance" -> "yes")
+        else base0 - "entrance"
       (labelId(labelOf(a._2)), a._4, a._5, base + ("addr:ref" -> a._1))
     })
     val docs = OsmOut.perTaskOsmXml(taskFeats, addrNodes).collect().toMap

@@ -182,43 +182,66 @@ object OsmOut {
       dedupWays: Boolean = true): OsmDoc = {
     var counter = 0L
     def nextId(): Long = { counter -= 1; counter }
-    val nodeIds = scala.collection.mutable.LinkedHashMap[(Double, Double), Long]()
-    val nodeTags = scala.collection.mutable.Map[(Double, Double), Map[String, String]]()
-    // dedupWays=false reproduces the reference's raw to_osm (one way PER
-    // RING, merge_duplicated collapses later); true folds the merge in
+    // Element.__eq__ merge rule (osm.py:192-210, same as mergeDuplicatedDoc):
+    // coincident elements merge ONLY when one side is untagged or the tags
+    // are equal — distinctly-tagged duplicates survive separately.
+    val nodes = scala.collection.mutable.ArrayBuffer[(Double, Double, Long, Map[String, String])]()
+    val nodesAt = scala.collection.mutable.Map[(Double, Double), scala.collection.mutable.ArrayBuffer[Int]]()
     val ways = scala.collection.mutable.ArrayBuffer[(Seq[Long], Long, Map[String, String])]()
-    val wayIndex = scala.collection.mutable.Map[Seq[Long], Int]()
+    val waysAt = scala.collection.mutable.Map[Seq[Long], scala.collection.mutable.ArrayBuffer[Int]]()
     val rels = scala.collection.mutable.ArrayBuffer[RawRel]()
+    def newNode(x: Double, y: Double, tags: Map[String, String]): Int = {
+      nodes += ((x, y, nextId(), tags))
+      nodesAt.getOrElseUpdate((x, y), scala.collection.mutable.ArrayBuffer()) += nodes.length - 1
+      nodes.length - 1
+    }
+    /** Node for an UNTAGGED use (ring vertex): reuse the first node at the
+      * coordinate (the geometry node, possibly tagged — untagged sinks). */
     def nodeOf(x: Double, y: Double): Long =
-      nodeIds.getOrElseUpdate((x, y), nextId())
-    def wayOf(ring: Array[graft.geom.Pt]): Int = {
-      val refs = ring.map(p => nodeOf(p.x, p.y)).toSeq
-      val closed = if (refs.nonEmpty && refs.head != refs.last) refs :+ refs.head else refs
-      if (dedupWays && wayIndex.contains(closed)) wayIndex(closed)
-      else {
-        ways += ((closed, nextId(), Map.empty))
-        wayIndex(closed) = ways.length - 1
-        ways.length - 1
+      nodesAt.get((x, y)).map(is => nodes(is.head)._3)
+        .getOrElse(nodes(newNode(x, y, Map.empty))._3)
+    /** Node for a TAGGED point: adopt an untagged or equal-tagged node at
+      * the coordinate; a distinctly-tagged one stays separate. */
+    def taggedNodeOf(x: Double, y: Double, tags: Map[String, String]): Unit = {
+      val here = nodesAt.getOrElseUpdate((x, y), scala.collection.mutable.ArrayBuffer())
+      here.find(i => nodes(i)._4.isEmpty || nodes(i)._4 == tags) match {
+        case Some(i) => nodes(i) = (x, y, nodes(i)._3, tags)
+        case None => newNode(x, y, tags)
       }
     }
-    for ((x, y, tags) <- points) {
-      nodeOf(x, y)
-      nodeTags((x, y)) = nodeTags.getOrElse((x, y), Map.empty) ++ tags
+    /** Way for `refs` with `tags`: merge only into an untagged or
+      * equal-tagged existing way (dedupWays=false reproduces the raw to_osm,
+      * one way per ring; merge_duplicated collapses later). */
+    def wayOf(ring: Array[graft.geom.Pt], tags: Map[String, String]): Int = {
+      val refs = ring.map(p => nodeOf(p.x, p.y)).toSeq
+      val closed = if (refs.nonEmpty && refs.head != refs.last) refs :+ refs.head else refs
+      val here = waysAt.getOrElseUpdate(closed, scala.collection.mutable.ArrayBuffer())
+      val hit = if (dedupWays)
+        here.find(i => tags.isEmpty || ways(i)._3.isEmpty || ways(i)._3 == tags)
+      else None
+      hit match {
+        case Some(i) =>
+          if (tags.nonEmpty) ways(i) = (ways(i)._1, ways(i)._2, tags)
+          i
+        case None =>
+          ways += ((closed, nextId(), tags))
+          here += ways.length - 1
+          ways.length - 1
+      }
     }
+    for ((x, y, tags) <- points)
+      if (tags.isEmpty) nodeOf(x, y) else taggedNodeOf(x, y, tags)
     for ((_, geom, tags) <- polys.sortBy(_._1)) {
       val simple = geom.length == 1 && geom.head.length == 1
-      if (simple) {
-        val i = wayOf(geom.head.head)
-        ways(i) = (ways(i)._1, ways(i)._2, ways(i)._3 ++ tags)
-      } else {
+      if (simple) wayOf(geom.head.head, tags)
+      else {
         val members = for (part <- geom.toSeq; (ring, ri) <- part.toSeq.zipWithIndex)
-          yield ("way", ways(wayOf(ring))._2, if (ri == 0) "outer" else "inner")
+          yield ("way", ways(wayOf(ring, Map.empty))._2, if (ri == 0) "outer" else "inner")
         rels += RawRel(nextId(), members, tags + ("type" -> "multipolygon"))
       }
     }
     OsmDoc(
-      nodeIds.toSeq.map { case ((x, y), id) =>
-        RawNode(id, x, y, nodeTags.getOrElse((x, y), Map.empty)) },
+      nodes.toSeq.map { case (x, y, id, tags) => RawNode(id, x, y, tags) },
       ways.toSeq.map { case (refs, id, tags) => RawWay(id, refs, tags) },
       rels.toSeq)
   }

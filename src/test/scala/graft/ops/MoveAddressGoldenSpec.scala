@@ -18,7 +18,8 @@ class MoveAddressGoldenSpec extends AnyFunSuite {
   def consFeatures: Seq[ConsFeature] =
     Shapefile.read("/root/reference/test/fixtures/cons.shp").map { f =>
       val lid = f.attrs("localId")
-      ConsFeature(lid, lid.split("_")(0).split("\\.").last, !lid.contains("_"), f.geometry)
+      ConsFeature(lid, lid.split("_")(0).split("\\.").last,
+        graft.ops.ParcelOps.kindOf(lid), f.geometry)
     }
 
   test("reference golden: move_address survivors and classifications") {
@@ -73,7 +74,7 @@ class MoveAddressSecondPassSpec extends AnyFunSuite {
         val lid = f.attrs("localId")
         f.geometry.toSeq.map(poly =>
           ConsFeature(lid, lid.split("_")(0).split("\\.").last,
-            !lid.contains("_"), Array(poly)))
+            graft.ops.ParcelOps.kindOf(lid), Array(poly)))
       })
     val ads = InspireGml.addresses(spark, "/root/reference/test/fixtures/address.gml")
       .select(org.apache.spark.sql.functions.col("localId"),

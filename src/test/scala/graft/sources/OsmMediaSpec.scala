@@ -86,16 +86,34 @@ class OsmOutSpec extends AnyFunSuite {
     assert(rs.exists(_.members.map(_._3) === Seq("outer", "inner", "outer")))
   }
 
-  test("shared walls dedup nodes, identical rings dedup ways (merge_duplicated)") {
+  test("shared walls dedup nodes; Element.__eq__ way-merge rule (osm.py:192-210)") {
     import graft.geom.Pt
     val ring = Array(Pt(0, 0), Pt(1, 0), Pt(1, 1), Pt(0, 1))
-    // building and its single part share the exact ring -> ONE way, tags merged
+    // DISTINCTLY-tagged coincident rings survive as separate ways (the
+    // reference merges only when one side is untagged or tags are equal)
     val doc = OsmOut.featuresToOsm(Seq(
       ("b", Array(Array(ring)), Map("building" -> "yes")),
       ("b_part1", Array(Array(ring)), Map("building:levels" -> "2"))))
-    assert(doc.ways.length === 1)
-    assert(doc.nodes.length === 4)
-    assert(doc.ways.head.tags === Map("building" -> "yes", "building:levels" -> "2"))
+    assert(doc.ways.length === 2)
+    assert(doc.nodes.length === 4) // untagged nodes still dedup by coordinate
+    assert(doc.ways.map(_.tags).toSet ===
+      Set(Map("building" -> "yes"), Map("building:levels" -> "2")))
+    // equal tags merge to one way; an untagged duplicate sinks into it
+    val doc2 = OsmOut.featuresToOsm(Seq(
+      ("a", Array(Array(ring)), Map("building" -> "yes")),
+      ("b", Array(Array(ring)), Map("building" -> "yes"))))
+    assert(doc2.ways.length === 1)
+    assert(doc2.ways.head.tags === Map("building" -> "yes"))
+    // a multipolygon member ring (untagged use) reuses the tagged way
+    val outer = Array(Pt(0, 0), Pt(9, 0), Pt(9, 9), Pt(0, 9))
+    val doc3 = OsmOut.featuresToOsm(Seq(
+      ("w", Array(Array(ring)), Map("building" -> "yes")),
+      ("mp", Array(Array(outer, ring)), Map("building" -> "house"))))
+    assert(doc3.ways.length === 2) // outer + the shared inner==w ring
+    val rel = doc3.rels.head
+    val taggedWay = doc3.ways.find(_.tags.nonEmpty).get
+    assert(rel.members.exists { case (t, ref, role) =>
+      t == "way" && ref == taggedWay.id && role == "inner" })
   }
 
   test("perTaskOsmXml: one full document per tile, ways+relations intact") {
