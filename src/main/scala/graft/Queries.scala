@@ -596,29 +596,60 @@ object Queries {
               FROM b ORDER BY bid""")),
 
     // polygon->zone assignment by the >=50%-area rule (set_zones +
-    // is_inside_area; exact convex clipping — brute-force-verified in
-    // AreaAssignSpec, no closed-form SQL for diamond∩square -> rows-only)
+    // is_inside_area, parcel.py:91-114 / geo/tools.py:11-19). The ENGINE
+    // runs its generic convex-clipping operator; the zones are axis-aligned
+    // rectangles so the oracle's overlap is closed-form (w_x × w_y, with
+    // w_y exactly 4 by construction — see SynthGeo.rectZoneParams margins).
+    // The diamond-zone flavor of the same operator stays brute-force-
+    // verified in AreaAssignSpec.
     "q_zone_assign_area" -> Q(
       (s, d) => {
         import s.implicits._
-        val parcels = graft.layers.SynthCadastre.buildings(s, d)
-          .map { b =>
-            // site a 4x4 parcel square near zone (bid%12) so overlaps vary
-            // from fully-inside to straddling to outside
-            val z = graft.spatial.SynthGeo.zoneParams((b.bid % 12).toInt)
-            val x0 = z._2 - 12.0 + (b.bid % 7) * 3.5
-            val y0 = z._3 - 12.0 + (b.bid % 11) * 2.5
+        val parcels = graft.spatial.SynthGeo.parcelParams(s, d)
+          .map { case (id, px0, py0) =>
             val ring = Array(
-              graft.geom.Pt(x0, y0), graft.geom.Pt(x0 + 4, y0),
-              graft.geom.Pt(x0 + 4, y0 + 4), graft.geom.Pt(x0, y0 + 4))
-            (b.bid, ring)
+              graft.geom.Pt(px0, py0), graft.geom.Pt(px0 + 4, py0),
+              graft.geom.Pt(px0 + 4, py0 + 4), graft.geom.Pt(px0, py0 + 4))
+            (id, ring)
           }
         graft.spatial.SpatialJoin.assignZonesByArea(
-          parcels, graft.spatial.SynthGeo.zones,
+          parcels, graft.spatial.SynthGeo.rectZones,
           graft.spatial.CellGrid(8.0, origin = -100.0, rowWidth = 1L << 20))
           .orderBy("id", "zone_id")
       },
-      None),
+      Some(s"""WITH p AS (${graft.spatial.SynthGeo.parcelSql})
+              SELECT p.id, z.zone_id
+              FROM p JOIN ${graft.spatial.SynthGeo.rectZonesSql}
+                ON z.zrow = p.id % 3
+               AND least(p.px0 + 4, z.zx1) - greatest(p.px0, z.zx0) >= 2
+              ORDER BY id, zone_id""")),
+
+    // END-TO-END multi-municipality pipeline (app.run over N muns at once,
+    // Dataset-native orchestration): 4 coordinate-disjoint synthetic
+    // municipalities flow through the full chain + tiling merges +
+    // move_address + task documents with zero driver feature collects;
+    // per-mun task/feature/address/parcel counts are closed-form
+    "q_apprun_multi" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val (cons, parcels, addrs) = graft.layers.SynthMuni.inputs(s, d)
+        val mr = graft.pipeline.AppRun.runMulti(
+          s, cons, parcels, addrs, graft.layers.SynthMuni.munOf)
+        val summary = s.createDataset(mr.metrics).toDF("mun", "key", "value")
+          .groupBy("mun")
+          .agg(
+            max(when(col("key") === "tasks", col("value"))).as("n_tasks"),
+            max(when(col("key") === "out_features", col("value"))).as("n_features"),
+            max(when(col("key") === "out_address", col("value"))).as("n_address"))
+          .join(mr.parcels.groupBy("mun").agg(count(lit(1)).as("n_parcels")), "mun")
+          .orderBy("mun")
+        summary
+      },
+      Some("""WITH c AS (SELECT (count(*)//100) AS t FROM events)
+              SELECT 'M' || CAST(m AS VARCHAR) AS mun, t AS n_tasks,
+                5*t AS n_features, 5*t AS n_address, t AS n_parcels
+              FROM c CROSS JOIN (VALUES (0),(1),(2),(3)) AS ms(m)
+              ORDER BY mun""")),
 
     // entrance snapping with classification (move_entrance, cons.py:371-426):
     // each building's entrance probes its left wall — shared for every

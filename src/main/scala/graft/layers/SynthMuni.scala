@@ -1,0 +1,67 @@
+package graft.layers
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.geom.Pt
+import graft.geom.Geom.MultiPolygon
+import graft.ops.ParcelOps
+import graft.ops.ParcelOps.{ConsF, Parcel}
+import graft.pipeline.AppRun.{MunAddr, MunSeqCons}
+
+/** Deterministic multi-municipality cadastre synthesized from the events
+  * table — the closed-form end-to-end input for AppRun.runMulti's oracle
+  * (q_apprun_multi).
+  *
+  * Shape: U = (|events| / 100) * 20 feature ids; municipality m = id % 4
+  * ("M0".."M3", coordinate-disjoint by a 100 km y offset); within a mun,
+  * k = id / 4 indexes unit-square buildings grouped in clusters of 5
+  * (c = k / 5, 500 m apart; slots 5 m apart inside a cluster, so squares
+  * never touch). Every chain stage is provably the identity (no parts, no
+  * near vertices, areas ≫ MinArea); adjacency merging finds no shared
+  * vertices; the parts-count packing merges each 5-cluster into its seed
+  * (cluster == cadastral zone via the localId's first 5 chars, distances
+  * ≤ 20 < buffer 30, parts sum 5 ≤ 20). Input parcels exist only for even
+  * k — create_missing_parcels synthesizes the rest. One non-Entrance
+  * address per building survives move_address untouched.
+  *
+  * Closed form per municipality: out_features = 5t, out_address = 5t,
+  * tasks = n_parcels = t, where t = |events| / 100.
+  */
+object SynthMuni {
+
+  def lid(c: Long, m: Long, k: Long): String = f"$c%05dM${m}K$k%06d"
+
+  /** ref → municipality (chars 5..6 of the localId: "M<digit>"). */
+  val munOf: String => String = (ref: String) => ref.substring(5, 7)
+
+  private def square(x0: Double, y0: Double): MultiPolygon =
+    Array(Array(Array(Pt(x0, y0), Pt(x0 + 1, y0), Pt(x0 + 1, y0 + 1), Pt(x0, y0 + 1))))
+
+  def inputs(spark: SparkSession, sfDir: String)
+      : (Dataset[MunSeqCons], Dataset[ParcelOps.MunParcel], Dataset[MunAddr]) = {
+    import spark.implicits._
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val u = (events.count() / 100L) * 20L
+    val ids = events.select(col("event_id").cast("long"))
+      .filter(col("event_id") < u).as[Long]
+    val cons = ids.map { id =>
+      val m = id % 4; val k = id / 4; val c = k / 5; val s = k % 5
+      val l = lid(c, m, k)
+      MunSeqCons(s"M$m", k, ConsF(l, l, "building", 2, 0,
+        square(c * 500.0 + s * 5.0, m * 100000.0)))
+    }
+    val parcels = ids.flatMap { id =>
+      val m = id % 4; val k = id / 4; val c = k / 5; val s = k % 5
+      if (k % 2 == 0)
+        Some(ParcelOps.MunParcel(s"M$m", k,
+          Parcel(lid(c, m, k), null, 0, square(c * 500.0 + s * 5.0, m * 100000.0))))
+      else None
+    }
+    val addrs = ids.map { id =>
+      val m = id % 4; val k = id / 4; val c = k / 5; val s = k % 5
+      MunAddr(s"M$m", s"A$id", lid(c, m, k), "Parcel",
+        c * 500.0 + s * 5.0 + 0.5, m * 100000.0 + 0.5)
+    }
+    (cons, parcels, addrs)
+  }
+}

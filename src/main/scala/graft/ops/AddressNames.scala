@@ -50,6 +50,71 @@ object AddressNames {
     }
   }
 
+  /** A named highway/place feature row for the Dataset form: `side` is
+    * "highway" or "place"; `idx` preserves the source layer order so the
+    * fuzzy-match argmax tie-break equals the Seq kernel's. */
+  final case class NamedRow(side: String, idx: Long, name: String,
+      x0: Double, y0: Double, x1: Double, y1: Double)
+
+  /** get_names, Dataset-native (address.py:95-142, the reference's own 127×
+    * grouped rewrite in Spark shape): one shuffle groups addresses by street
+    * name into a bbox; a coarse-cell equi-join against the named layers
+    * generates candidates (two intersecting rectangles always share a
+    * covering cell — lossless); the exact bbox test and the
+    * token-sort-ratio argmax run per street group. Streets with an empty
+    * candidate pool still resolve (to the parsed CAT name), exactly like
+    * the Seq kernel. */
+  def getNamesD(
+      addresses: org.apache.spark.sql.Dataset[(String, Double, Double)],
+      named: org.apache.spark.sql.Dataset[NamedRow],
+      bboxBuffer: Double = 0.002 * 100000,
+      cellSize: Double = 512.0): org.apache.spark.sql.DataFrame = {
+    val spark = addresses.sparkSession
+    import spark.implicits._
+    val grid = graft.spatial.CellGrid(cellSize, origin = -1e7, rowWidth = 1L << 31)
+    val grouped = addresses.toDF("tn", "x", "y")
+      .filter(col("tn").isNotNull && col("tn") =!= "")
+      .groupBy("tn")
+      .agg(min("x").as("x0"), min("y").as("y0"),
+        max("x").as("x1"), max("y").as("y1"))
+    val streetCells = grouped
+      .as[(String, Double, Double, Double, Double)]
+      .flatMap { case (tn, x0, y0, x1, y1) =>
+        val g = Geom.BBox(x0, y0, x1, y1).grow(bboxBuffer)
+        grid.cover(g).map(c => (c, tn, g.xmin, g.ymin, g.xmax, g.ymax))
+      }
+      .toDF("cell", "tn", "gx0", "gy0", "gx1", "gy1")
+    val namedCells = named
+      .flatMap(n => grid.cover(Geom.BBox(n.x0, n.y0, n.x1, n.y1))
+        .map(c => (c, n.side, n.idx, n.name, n.x0, n.y0, n.x1, n.y1)))
+      .toDF("cell", "side", "idx", "name", "nx0", "ny0", "nx1", "ny1")
+    val cand = streetCells.join(namedCells, "cell")
+      .filter(col("gx0") <= col("nx1") && col("nx0") <= col("gx1") &&
+        col("gy0") <= col("ny1") && col("ny0") <= col("gy1"))
+      .select("tn", "side", "idx", "name").distinct()
+    val pools = cand
+      .groupBy("tn")
+      .agg(collect_list(struct(col("side"), col("idx"), col("name"))).as("pool"))
+    grouped.select("tn")
+      .join(pools, Seq("tn"), "left")
+      .as[(String, Option[Seq[(String, Long, String)]])]
+      .map { case (tn, poolOpt) =>
+        val pool = poolOpt.getOrElse(Seq.empty).sortBy(t => (t._1, t._2))
+        val hw = pool.collect { case ("highway", _, n) => n }
+        val pl = pool.collect { case ("place", _, n) => n }
+        val hgwType = TextFns.parseStreetName(tn).split(" ")(0).toLowerCase
+        val r =
+          if (PlaceTypes.contains(hgwType)) TextFns.matchName(tn, pl)
+          else if (tn.split(" ")(0) == "PZ") {
+            val m = TextFns.matchName(tn, pl)
+            if (m._2 == "CAT") TextFns.matchName(tn, hw)
+            else ("square" + m._1, m._2)
+          } else TextFns.matchName(tn, hw)
+        (tn, r._1, r._2)
+      }
+      .toDF("tn", "matched", "source")
+  }
+
   /** AddressLayer.conflate (address.py:69-93): drop addresses whose
     * street+number key exists in OSM, and 'S-N' (no-number) addresses. */
   def conflateAddresses(

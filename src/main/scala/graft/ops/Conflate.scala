@@ -99,6 +99,89 @@ object Conflate {
 
   private val RelBit = 1L << 62 // distinguishes relation ids in the poly set
 
+  /** conflateDoc, Dataset-native (VERDICT r2 item 4): ways and relations
+    * stay in Dataset land end-to-end — relation outer rings are assembled
+    * by a member-explode join + per-relation cogroup, conflict marking is
+    * the distributed cell-join probe, and the delete flavor is expressed as
+    * anti-joins (dropped candidates, then member ways orphaned by dropped
+    * relations). The cadastre side broadcasts, exactly like markConflicts.
+    * Output equals conflateDoc (golden-tested both flavors). */
+  def conflateDocD(
+      spark: org.apache.spark.sql.SparkSession,
+      ways: Dataset[OsmWayG], rels: Dataset[OsmRelG],
+      cons: Seq[MultiPolygon], grid: CellGrid,
+      delete: Boolean = true): (Dataset[OsmWayG], Dataset[OsmRelG]) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def cand(tags: Map[String, String]) =
+      tags.contains("building") || tags.get("leisure").contains("swimming_pool")
+    def ringsValid(mp: MultiPolygon): Boolean =
+      mp.forall(_.forall(r => !graft.clean.DeleteInvalid.selfIntersects(r)))
+    val wayCands = ways
+      .filter(w => cand(w.tags) && isClosed(w.pts))
+      .map(w => OsmPoly(w.id, w.tags, Array(Array(w.pts.dropRight(1)))))
+      .filter(p => ringsValid(p.geometry))
+    // relation outer rings: member explode -> equi-join way geometry ->
+    // per-relation chain (outerGeometry is per-relation bounded work).
+    // Relations and ways mark in two separate passes, so their id spaces
+    // never need the Seq flavor's RelBit packing.
+    val members = rels.filter(r => cand(r.tags))
+      .flatMap(r => r.memberWays.zipWithIndex.map { case (w, i) => (r.id, i, w, r.tags) })
+      .toDF("rel_id", "pos", "way_id", "tags")
+    val wayGeom = ways.map(w => (w.id, w.pts)).toDF("way_id", "pts")
+    val relCands = members.join(wayGeom, "way_id")
+      .select(col("rel_id"), col("pos"), col("pts"), col("tags"))
+      .as[(Long, Int, Array[Pt], Map[String, String])]
+      .groupByKey(_._1)
+      .flatMapGroups { (relId, it) =>
+        val rows = it.toSeq.sortBy(_._2)
+        val rings = outerGeometry(rows.map(_._3))
+        if (rings.isEmpty || !rings.forall(isClosed)) Iterator.empty
+        else Iterator(OsmPoly(relId, rows.head._4,
+          rings.map(rr => Array(rr.dropRight(1))).toArray))
+      }
+      .filter(p => ringsValid(p.geometry))
+    def markOf(cands: Dataset[OsmPoly]) =
+      markConflicts(cands, cons, grid)
+        .map(p => (p.id, p.tags.contains("conflict")))
+        .toDF("mid", "hit")
+        .localCheckpoint()
+    val markedW = markOf(wayCands)
+    val markedR = markOf(relCands)
+    if (!delete) {
+      val outW = ways.toDF().as("w")
+        .join(markedW.as("m"), col("w.id") === col("m.mid"), "left")
+        .select(struct(col("w.id"), col("w.tags"), col("w.pts")).as("_1"),
+          col("m.hit").as("_2"))
+        .as[(OsmWayG, Option[Boolean])]
+        .map { case (w, hit) =>
+          if (hit.contains(true)) w.copy(tags = w.tags + ("conflict" -> "yes")) else w
+        }
+      val outR = rels.toDF().as("r")
+        .join(markedR.as("m"), col("r.id") === col("m.mid"), "left")
+        .select(struct(col("r.id"), col("r.tags"), col("r.memberWays")).as("_1"),
+          col("m.hit").as("_2"))
+        .as[(OsmRelG, Option[Boolean])]
+        .map { case (r, hit) =>
+          if (hit.contains(true)) r.copy(tags = r.tags + ("conflict" -> "yes")) else r
+        }
+      (outW, outR)
+    } else {
+      val dropWays = markedW.filter(!col("hit")).select(col("mid").as("id"))
+      val dropRels = markedR.filter(!col("hit")).select(col("mid").as("id"))
+      val keptRels = rels.toDF().join(dropRels, Seq("id"), "left_anti").as[OsmRelG]
+      val stillRef = keptRels.flatMap(_.memberWays).toDF("id").distinct()
+      val orphaned = rels.toDF().join(dropRels, Seq("id"), "left_semi").as[OsmRelG]
+        .flatMap(_.memberWays).toDF("id").distinct()
+        .join(stillRef, Seq("id"), "left_anti")
+      val outW = ways.toDF()
+        .join(dropWays, Seq("id"), "left_anti")
+        .join(orphaned, Seq("id"), "left_anti")
+        .as[OsmWayG]
+      (outW, keptRels)
+    }
+  }
+
   /** ConsLayer.conflate over a full parsed document (cons.py:524-578):
     * candidates are closed building/pool ways plus building/pool relations
     * (outer rings chained); conflict detection runs distributed through

@@ -59,36 +59,38 @@ object AppRun {
     prepared
   }
 
-  /** process_building via the fully-distributed staged chain; the same
-    * metrics come from Dataset counts between stages. */
-  private def runChainDistributed(
-      spark: SparkSession, consRaw: Seq[ConsF], report: Report): Seq[ConsF] = {
+  /** Single-municipality entry over the DATASET path: builds the Dataset
+    * inputs, delegates to runMulti (zero feature collects between stages),
+    * and collects the small outputs into the Seq-shaped Result — so the
+    * reference-fixture goldens exercise the same orchestration that runs N
+    * municipalities at scale. */
+  private def runViaMulti(
+      spark: SparkSession,
+      consRaw: Seq[ConsF], parcelsRaw: Seq[Parcel],
+      addrs: Dataset[MoveAddress.Addr], munCode: String,
+      maxParts: Int, buffer: Double,
+      addrTags: Map[String, Map[String, String]]): Result = {
     import spark.implicits._
-    val underground = consRaw.count(f => f.kind == "part" &&
-      f.levAbove == 0 && f.levBelow != 0 && f.levBelow != -1)
-    val ordered = spark.createDataset(
-      consRaw.zipWithIndex.map { case (f, i) => ConsChain.FidCons(i.toLong, f) })
-    val afterOutside = ConsChain.removeOutsidePartsD(ordered).persist()
-    val nOutside = afterOutside.count()
-    report.set("underground_parts", underground)
-    report.set("outside_parts", consRaw.length - nOutside - underground)
-    val afterExplode = ConsChain.explodeD(afterOutside).persist()
-    val nExplode = afterExplode.count()
-    report.set("exploded_parts_building", nExplode - nOutside)
-    val afterInvalid = ConsChain.deleteInvalidD(afterExplode).persist()
-    val nInvalid = afterInvalid.count()
-    val afterTopo = ConsChain.topologyD(afterInvalid).persist()
-    val afterMerge = ConsChain.mergePartsD(afterTopo).persist()
-    val bLost = afterTopo.filter(_.f.kind == "building").count() -
-      afterMerge.filter(_.f.kind == "building").count()
-    report.set("buildings_in_pools", bLost)
-    report.set("parts_to_outline", afterTopo.count() - afterMerge.count() - bLost)
-    val afterSimplify = ConsChain.simplifyD(afterMerge).persist()
-    val preparedDs = ConsChain.deleteSmallD(afterSimplify).persist()
-    val nPrepared = preparedDs.count()
-    report.set("geom_invalid_building",
-      (nExplode - nInvalid) + (afterSimplify.count() - nPrepared))
-    preparedDs.collect().sortBy(_.fid).map(_.f).toSeq
+    val consDs = spark.createDataset(consRaw.zipWithIndex.map { case (f, i) =>
+      MunSeqCons(munCode, i.toLong, f) })
+    val parcelsDs = spark.createDataset(parcelsRaw.zipWithIndex.map { case (p, i) =>
+      ParcelOps.MunParcel(munCode, i.toLong, p) })
+    val addrDs = addrs.map(a => MunAddr(munCode, a.localId, a.ref, a.spec, a.x, a.y))
+    val tagsDs = spark.createDataset(addrTags.toSeq)
+    val mc = munCode
+    val mr = runMulti(spark, consDs, parcelsDs, addrDs, (_: String) => mc,
+      maxParts, buffer, Some(tagsDs))
+    val report = new Report
+    mr.metrics.filter(_._1 == munCode).foreach { case (_, k, v) => report.set(k, v) }
+    val prepared = mr.prepared.collect().sortBy(_.fid).map(_.f).toSeq
+    val parcels2 = mr.parcels.collect().sortBy(_.seq).map(_.parcel).toSeq
+    val tasks = mr.taskMap.as[(String, String)].collect().toMap
+    val addressesOut = mr.addressesOut
+      .select("localId", "ref", "spec", "x", "y")
+      .as[(String, String, String, Double, Double)].collect()
+    val docs = mr.taskDocs.collect().map(d => d.label -> d.xml).toMap
+    graft.CacheBin.drain()
+    Result(prepared, parcels2, tasks, addressesOut, docs, report)
   }
 
   def run(
@@ -101,6 +103,9 @@ object AppRun {
       buffer: Double = 30.0,
       distributedChain: Boolean = false,
       addrTags: Map[String, Map[String, String]] = Map.empty): Result = {
+    if (distributedChain)
+      return runViaMulti(spark, consRaw, parcelsRaw, addrs, munCode,
+        maxParts, buffer, addrTags)
     import spark.implicits._
     val report = new Report
 
@@ -111,9 +116,7 @@ object AppRun {
     report.set("inp_pools", consRaw.count(_.kind == "pool"))
 
     // ---- process_building (app.py:241-263) ------------------------------
-    val prepared =
-      if (distributedChain) runChainDistributed(spark, consRaw, report)
-      else runChainSeq(spark, consRaw, report)
+    val prepared = runChainSeq(spark, consRaw, report)
     report.set("out_features", prepared.length)
 
     // ---- process_address (move_address over the prepared layer) ---------
@@ -191,5 +194,237 @@ object AppRun {
     val byLabel = labels.map(l => l -> docs(labelId(l))).toMap
 
     Result(prepared, parcels2, tasks, addressesOut, byLabel, report)
+  }
+
+  // ------------------------------------------------------------------
+  // Dataset-native, multi-municipality orchestration: N municipalities'
+  // features flow stage-to-stage in Dataset land with NO feature collect
+  // between stages — the chain runs globally (cadastral refs and
+  // coordinates are municipality-disjoint), the greedy tiling merges run
+  // per-municipality through the cogroup wrappers, the task-relabel map is
+  // composed as Dataset joins, and task documents are emitted by a
+  // label-keyed cogroup ready for `.write`. Only per-mun AGGREGATES are
+  // collected (the metrics rows, O(muns × keys)).
+  // ------------------------------------------------------------------
+
+  /** One municipality's construction feature with its within-mun layer
+    * order (seq) — cadastral refs must be globally unique, as Spanish
+    * refcats are. */
+  final case class MunSeqCons(mun: String, seq: Long, f: ConsF)
+  final case class MunAddr(mun: String, localId: String, ref: String,
+      spec: String, x: Double, y: Double)
+  final case class TaskDoc(mun: String, label: String, xml: String)
+
+  final case class MultiResult(
+      prepared: Dataset[ConsChain.FidCons],
+      parcels: Dataset[ParcelOps.MunParcel],
+      taskMap: DataFrame, // (ref, label)
+      addressesOut: DataFrame, // (mun, localId, ref, spec, x, y)
+      taskDocs: Dataset[TaskDoc],
+      metrics: Seq[(String, String, Long)]) // (mun, key, value)
+
+  def runMulti(
+      spark: SparkSession,
+      cons: Dataset[MunSeqCons],
+      parcels: Dataset[ParcelOps.MunParcel],
+      addrs: Dataset[MunAddr],
+      munOfRef: String => String,
+      maxParts: Int = 20,
+      buffer: Double = 30.0,
+      addrTags: Option[Dataset[(String, Map[String, String])]] = None): MultiResult = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val munOf = munOfRef
+
+    val metrics = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    /** Per-mun feature count of a chain stage (collects ≤ |muns| rows). */
+    def stageCounts(ds: Dataset[ConsChain.FidCons],
+        pred: ConsF => Boolean = _ => true): Map[String, Long] =
+      ds.filter(fc => pred(fc.f)).map(fc => munOf(fc.f.ref)).toDF("mun")
+        .groupBy("mun").agg(count(lit(1)).as("n"))
+        .as[(String, Long)].collect().toMap.withDefaultValue(0L)
+    def addDiff(key: String, terms: (Map[String, Long], Long)*): Unit = {
+      val muns = terms.flatMap(_._1.keys).distinct.sorted
+      muns.foreach { m =>
+        metrics += ((m, key, terms.map { case (c, s) => s * c(m) }.sum))
+      }
+    }
+
+    // ---- get_building: fid = global rank over (mun, within-mun seq) ------
+    val keyed = cons.map(m => (f"${m.mun}|${m.seq}%019d", m.f)).toDF("k", "f")
+    // every stage boundary is an EAGER localCheckpoint: it caches the rows
+    // AND truncates the logical plan, so downstream stages (which reference
+    // their input several times inside joins/cogroups) never build
+    // multiplicatively growing plans
+    val ordered = OsmOut.withGlobalRank(keyed, "k", "fid")
+      .select(col("fid"), col("f")).as[(Long, ConsF)]
+      .map { case (fid, f) => ConsChain.FidCons(fid, f) }
+      .localCheckpoint()
+    val inpAll = stageCounts(ordered)
+    val inpB = stageCounts(ordered, _.kind == "building")
+    val inpP = stageCounts(ordered, _.kind == "part")
+    val inpPool = stageCounts(ordered, _.kind == "pool")
+    addDiff("inp_features", (inpAll, 1L))
+    addDiff("inp_buildings", (inpB, 1L))
+    addDiff("inp_parts", (inpP, 1L))
+    addDiff("inp_pools", (inpPool, 1L))
+    val underground = stageCounts(ordered, f => f.kind == "part" &&
+      f.levAbove == 0 && f.levBelow != 0 && f.levBelow != -1)
+    addDiff("underground_parts", (underground, 1L))
+
+    // ---- process_building: the distributed chain, globally --------------
+    val afterOutside = ConsChain.removeOutsidePartsD(ordered).localCheckpoint()
+    val nOutside = stageCounts(afterOutside)
+    addDiff("outside_parts", (inpAll, 1L), (nOutside, -1L), (underground, -1L))
+    val afterExplode = ConsChain.explodeD(afterOutside).localCheckpoint()
+    val nExplode = stageCounts(afterExplode)
+    addDiff("exploded_parts_building", (nExplode, 1L), (nOutside, -1L))
+    val afterInvalid = ConsChain.deleteInvalidD(afterExplode).localCheckpoint()
+    val nInvalid = stageCounts(afterInvalid)
+    val afterTopo = ConsChain.topologyD(afterInvalid).localCheckpoint()
+    val afterMerge = ConsChain.mergePartsD(afterTopo).localCheckpoint()
+    val topoB = stageCounts(afterTopo, _.kind == "building")
+    val mergeB = stageCounts(afterMerge, _.kind == "building")
+    val nTopo = stageCounts(afterTopo)
+    val nMerge = stageCounts(afterMerge)
+    addDiff("buildings_in_pools", (topoB, 1L), (mergeB, -1L))
+    addDiff("parts_to_outline",
+      (nTopo, 1L), (nMerge, -1L), (topoB, -1L), (mergeB, 1L))
+    val afterSimplify = ConsChain.simplifyD(afterMerge).localCheckpoint()
+    val prepared = ConsChain.deleteSmallD(afterSimplify).localCheckpoint()
+    val nSimplify = stageCounts(afterSimplify)
+    val nPrepared = stageCounts(prepared)
+    addDiff("geom_invalid_building",
+      (nExplode, 1L), (nInvalid, -1L), (nSimplify, 1L), (nPrepared, -1L))
+    addDiff("out_features", (nPrepared, 1L))
+
+    // ---- process_address: move_address over the prepared layer ----------
+    val consFeat = prepared.map(fc =>
+      MoveAddress.ConsFeature(s"${fc.f.localId}#${fc.fid}", fc.f.ref, fc.f.kind,
+        fc.f.geometry))
+    val inpAddr = addrs.map(_.mun).toDF("mun").groupBy("mun")
+      .agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap.withDefaultValue(0L)
+    val inpAddrE = addrs.filter(_.spec == "Entrance").map(_.mun).toDF("mun")
+      .groupBy("mun").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap.withDefaultValue(0L)
+    addDiff("inp_address", (inpAddr, 1L))
+    addDiff("inp_address_entrance", (inpAddrE, 1L))
+    addDiff("inp_address_parcel", (inpAddr, 1L), (inpAddrE, -1L))
+    val plainAddrs = addrs.map(a => MoveAddress.Addr(a.localId, a.ref, a.spec, a.x, a.y))
+    val addressesOut = MoveAddress.moveAddressFull(plainAddrs, consFeat)
+      .as[(String, String, String, Double, Double)]
+      .map(t => (munOf(t._2), t._1, t._2, t._3, t._4, t._5))
+      .toDF("mun", "localId", "ref", "spec", "x", "y")
+      .localCheckpoint()
+    val outAddr = addressesOut.groupBy("mun").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap.withDefaultValue(0L)
+    val outAddrE = addressesOut.filter(col("spec") === "Entrance")
+      .groupBy("mun").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap.withDefaultValue(0L)
+    addDiff("out_address", (outAddr, 1L))
+    addDiff("out_address_entrance", (outAddrE, 1L))
+    addDiff("out_address_parcel", (outAddr, 1L), (outAddrE, -1L))
+    addDiff("out_addr_str", (outAddr, 1L))
+    addDiff("out_addr_plc", (outAddr, 0L))
+    // orphaned = no building for the refcat (left_anti on ref, no driver set)
+    val buildingRefs = prepared.filter(_.f.kind == "building")
+      .map(_.f.ref).distinct().toDF("ref")
+    val orphaned = addrs.toDF().join(buildingRefs, Seq("ref"), "left_anti")
+      .groupBy("mun").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap.withDefaultValue(0L)
+    addDiff("orphaned_addresses", (orphaned, 1L))
+    addDiff("multiple_addresses",
+      (inpAddr, 1L), (outAddr, -1L), (orphaned, -1L))
+
+    // ---- process_parcel (app.py:286-308) ---------------------------------
+    val preparedCons = prepared.map(_.f)
+    val pcl1 = ParcelOps.deleteVoidParcels(parcels.map(_.parcel), preparedCons)
+    val pcl2 = ParcelOps.createMissingParcels(pcl1, preparedCons)
+    val counted = ParcelOps.countParts(pcl2, preparedCons)
+    // per-mun layer order = localId rank within the municipality (the
+    // single-mun driver sorts counted parcels by localId the same way)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("mun").orderBy("localId")
+    val mp1 = counted
+      .map(p => (munOf(p.localId), p))
+      .toDF("mun", "parcel")
+      .withColumn("localId", col("parcel.localId"))
+      .withColumn("seq", row_number().over(w).cast("long") - 1L)
+      .select(col("mun"), col("seq"), col("parcel"))
+      .as[ParcelOps.MunParcel]
+      .localCheckpoint()
+    val mc1 = preparedCons.map(c => ParcelOps.MunCons(munOf(c.ref), c))
+    val rows1 = ParcelOps.mergeByAdjacentBuildingsByMun(mp1, mc1).localCheckpoint()
+    val mp2 = rows1.filter(_.parcel != null)
+      .map(r => ParcelOps.MunParcel(r.mun, r.seq, r.parcel))
+    val rows2 = ParcelOps.mergeByPartsCountByMun(mp2, maxParts, buffer).localCheckpoint()
+    val parcelsOut = rows2.filter(_.parcel != null)
+      .map(r => ParcelOps.MunParcel(r.mun, r.seq, r.parcel))
+
+    // ---- task map composed as Dataset joins (no driver Map) --------------
+    val t1 = rows1.filter(_.taskFrom != null)
+      .map(r => (r.taskFrom, r.taskTo)).toDF("from1", "to1")
+    val t2 = rows2.filter(_.taskFrom != null)
+      .map(r => (r.taskFrom, r.taskTo)).toDF("from2", "to2")
+    val taskMap = counted.map(_.localId).toDF("ref")
+      .join(t1, col("ref") === col("from1"), "left")
+      .select(col("ref"), coalesce(col("to1"), col("ref")).as("mid"))
+      .join(t2, col("mid") === col("from2"), "left")
+      .select(col("ref"), coalesce(col("to2"), col("mid")).as("label"))
+      .localCheckpoint()
+
+    // ---- get_tasks / process_tasks: label-keyed document cogroup ---------
+    val taskFeats = prepared.toDF().as("p")
+      .join(taskMap.as("t"), col("p.f.ref") === col("t.ref"), "left")
+      .select(coalesce(col("t.label"), col("p.f.ref")).as("task"),
+        col("p.fid"), col("p.f"))
+      .as[(String, Long, ConsF)]
+      .map { case (task, fid, f) =>
+        OsmOut.TaskFeatureS(task, s"${f.localId}#$fid", f.geometry,
+          Translate.buildingTagsRow(f.localId, null, null,
+            if (f.kind == "pool") "openAirPool" else null,
+            math.max(0, f.levAbove), math.max(0, f.levBelow), 0, ""))
+      }
+    val tagsDs = addrTags.getOrElse(
+      spark.emptyDataset[(String, Map[String, String])]).toDF("localId", "btags")
+    val addrNodes = addressesOut.as("a")
+      .join(taskMap.as("t"), col("a.ref") === col("t.ref"), "left")
+      .join(tagsDs.as("g"), Seq("localId"), "left")
+      .select(coalesce(col("t.label"), col("a.ref")).as("task"),
+        col("a.localId"), col("a.spec"), col("a.x"), col("a.y"), col("g.btags"))
+      .as[(String, String, String, Double, Double, Option[Map[String, String]])]
+      .map { case (task, lid, spec, x, y, tags) =>
+        // entrance=yes follows the spec RESOLVED by move_address
+        val base0 = tags.getOrElse(Map.empty)
+        val base = if (spec == "Entrance") base0 + ("entrance" -> "yes")
+          else base0 - "entrance"
+        (task, x, y, base + ("addr:ref" -> lid))
+      }
+    val taskDocs = OsmOut.perTaskOsmXmlS(taskFeats, addrNodes)
+      .map { case (label, xml) => TaskDoc(munOf(label), label, xml) }
+      .localCheckpoint()
+    val nTasks = taskDocs.map(_.mun).toDF("mun").groupBy("mun")
+      .agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap.withDefaultValue(0L)
+    val nTasksU = taskDocs.filter(_.label.length > 9).map(_.mun).toDF("mun")
+      .groupBy("mun").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap.withDefaultValue(0L)
+    addDiff("tasks", (nTasks, 1L))
+    addDiff("tasks_u", (nTasksU, 1L))
+    addDiff("tasks_r", (nTasks, 1L), (nTasksU, -1L))
+
+
+    // densify: every (mun, key) pair present, 0 where a stage saw no rows —
+    // so per-mun Reports have the full key set regardless of data shape
+    val allMuns = (inpAll.keySet ++ inpAddr.keySet).toSeq.sorted
+    val byMk = metrics.map(t => (t._1, t._2) -> t._3).toMap
+    val keys = Seq("inp_features", "inp_buildings", "inp_parts", "inp_pools",
+      "underground_parts", "outside_parts", "exploded_parts_building",
+      "buildings_in_pools", "parts_to_outline", "geom_invalid_building",
+      "out_features", "inp_address", "inp_address_entrance",
+      "inp_address_parcel", "out_address", "out_address_entrance",
+      "out_address_parcel", "out_addr_str", "out_addr_plc",
+      "orphaned_addresses", "multiple_addresses", "tasks", "tasks_u", "tasks_r")
+    val dense = for (m <- allMuns; k <- keys) yield (m, k, byMk.getOrElse((m, k), 0L))
+    MultiResult(prepared, parcelsOut, taskMap, addressesOut, taskDocs, dense)
   }
 }

@@ -375,6 +375,27 @@ object OsmOut {
       }
   }
 
+  final case class TaskFeatureS(task: String, localId: String,
+      geometry: Array[Array[Array[graft.geom.Pt]]], tags: Map[String, String])
+
+  /** perTaskOsmXml keyed by the task LABEL string (the parcel refcat) —
+    * the multi-municipality AppRun path, where labels come straight from
+    * the Dataset task-map join and never round-trip through a driver-side
+    * label→Long index. */
+  def perTaskOsmXmlS(
+      features: Dataset[TaskFeatureS],
+      addrNodes: Dataset[(String, Double, Double, Map[String, String])]): Dataset[(String, String)] = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    features.groupByKey(_.task)
+      .cogroup(addrNodes.groupByKey(_._1)) { (task, fIt, aIt) =>
+        val polys = fIt.toSeq.sortBy(_.localId).map(f => (f.localId, f.geometry, f.tags))
+        val pts = aIt.toSeq.sortBy(t => (t._2, t._3)).map(t => (t._2, t._3, t._4))
+        if (polys.isEmpty && pts.isEmpty) Iterator.empty
+        else Iterator((task, osmToXml(featuresToOsm(polys, pts))))
+      }
+  }
+
   /** One .osm XML document per task (process_tasks, app.py:310-389):
     * groupByKey(task) -> serialize per group — one file per tile. */
   def perTaskXml(nodes: DataFrame, taskCol: String): Dataset[(Long, String)] = {

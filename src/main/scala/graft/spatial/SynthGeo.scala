@@ -59,6 +59,51 @@ object SynthGeo {
     .map { case (k, cx, cy, r) => s"($k, $cx, $cy, $r)" }
     .mkString("(VALUES ", ", ", ") AS z(zone_id, cx, cy, r)")
 
+  // ---- axis-aligned zones for the ≥50%-area assignment oracle ----------
+  //
+  // Rectangles make the clipped overlap closed-form (w_x × w_y), so the
+  // area rule gets a DuckDB-gateable oracle while the ENGINE still runs its
+  // generic convex-clipping operator. Design guarantees an fp margin:
+  // zone x-bounds sit on a 0.005 offset from the parcels' 0.01 coordinate
+  // grid, so the w_x >= 2 decision is never closer than 0.005 to the
+  // boundary (clipping noise is ~1e-11); zones span their whole 33-unit
+  // row in y and parcels sit strictly inside it, so w_y is exactly 4.
+  /** (zone_id, zx0, zx1, row): 3 rows × 4 columns of rectangles. */
+  val rectZoneParams: Seq[(Long, Double, Double, Long)] =
+    (0L until 12L).map { k =>
+      val zx0 = (k % 4) * 25.0 + 3.005
+      val width = 12.0 + (k % 3) * 3.0
+      (k, zx0, zx0 + width, k / 4)
+    }
+
+  def rectZones: Seq[Zone] = rectZoneParams.map { case (k, zx0, zx1, row) =>
+    val y0 = row * 33.0; val y1 = y0 + 33.0
+    Zone(k, f"$k%05d", if (k % 3 == 0) "P" else "M",
+      Array(Array(Array(Pt(zx0, y0), Pt(zx1, y0), Pt(zx1, y1), Pt(zx0, y1)))))
+  }
+
+  /** DuckDB VALUES table for the rect zones. */
+  val rectZonesSql: String = rectZoneParams
+    .map { case (k, zx0, zx1, row) => s"($k, $zx0, $zx1, $row)" }
+    .mkString("(VALUES ", ", ", ") AS z(zone_id, zx0, zx1, zrow)")
+
+  /** 4×4 parcels in closed form: x on the 0.01 grid, y strictly inside the
+    * id%3 row band (so the y-overlap with that row's zones is exactly 4). */
+  def parcelParams(spark: SparkSession, sfDir: String): Dataset[(Long, Double, Double)] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .select(
+        col("event_id").as("id"),
+        (col("event_id") * lit(7919L) % lit(9000L) / lit(100.0)).as("px0"),
+        (col("event_id") % lit(3L) * lit(33.0) + lit(5.0) +
+          col("event_id") * lit(104729L) % lit(2000L) / lit(100.0)).as("py0"))
+      .as[(Long, Double, Double)]
+  }
+
+  val parcelSql: String =
+    "SELECT event_id AS id, ((event_id*7919)%9000)/100.0 AS px0, " +
+      "(event_id%3)*33.0 + 5.0 + ((event_id*104729)%2000)/100.0 AS py0 FROM events"
+
   /** kNN sites. */
   val siteParams: Seq[(Long, Double, Double)] =
     (0L until 20L).map { k =>

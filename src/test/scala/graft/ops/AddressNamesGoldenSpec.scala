@@ -52,4 +52,37 @@ class AddressNamesGoldenSpec extends AnyFunSuite {
       assert(v === golden(k), s"$k")
     }
   }
+
+  test("Dataset get_names path reproduces the Seq kernel's full table") {
+    import spark.implicits._
+    val addresses = spark.read.option("multiLine", true).json(s"$fx/address.geojson")
+      .select(explode(col("features")).as("f"))
+      .select(col("f.properties.TN_text").as("tn"),
+        col("f.geometry.coordinates").as("c"))
+      .collect()
+      .map(r => (r.getAs[String]("tn"),
+        Pt(r.getSeq[Double](1).head, r.getSeq[Double](1)(1))))
+      .toSeq
+    val highways = AddressNames.loadNamed(spark, s"$fx/highway.geojson")
+    val places = AddressNames.loadNamed(spark, s"$fx/place.geojson")
+    val expect = AddressNames.getNames(addresses, highways, places)
+
+    val addrDs = spark.createDataset(addresses.map(a => (a._1, a._2.x, a._2.y)))
+    val namedDs = spark.createDataset(
+      highways.zipWithIndex.map { case (n, i) =>
+        AddressNames.NamedRow("highway", i.toLong, n.name,
+          n.bbox.xmin, n.bbox.ymin, n.bbox.xmax, n.bbox.ymax) } ++
+      places.zipWithIndex.map { case (n, i) =>
+        AddressNames.NamedRow("place", i.toLong, n.name,
+          n.bbox.xmin, n.bbox.ymin, n.bbox.xmax, n.bbox.ymax) })
+    val got = AddressNames.getNamesD(addrDs, namedDs)
+      .as[(String, String, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got === expect)
+    // and the Dataset path is partitioning-invariant
+    val got8 = AddressNames.getNamesD(addrDs.repartition(8), namedDs.repartition(5))
+      .as[(String, String, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got8 === expect)
+  }
 }

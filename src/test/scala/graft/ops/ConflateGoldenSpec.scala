@@ -103,5 +103,20 @@ class ConflateGoldenSpec extends AnyFunSuite {
     assert(keptWays.length === 12, s"ways: ${keptWays.map(_.id)}")
     assert(keptRels.length === 2)
     assert(keptWays.flatMap(_.tags.get("ref")).toSet === Set("3", "4", "5", "6", "7", "8"))
+
+    // the Dataset-native path reproduces both flavors, at any partitioning
+    val waysDs = spark.createDataset(ways).repartition(7)
+    val relsDs = spark.createDataset(rels).repartition(3)
+    val (dWays, dRels) = Conflate.conflateDocD(spark, waysDs, relsDs, cons, grid)
+    assert(dWays.collect().map(w => (w.id, w.tags)).toSet ===
+      keptWays.map(w => (w.id, w.tags)).toSet)
+    assert(dRels.collect().map(r => (r.id, r.tags, r.memberWays)).toSet ===
+      keptRels.map(r => (r.id, r.tags, r.memberWays)).toSet)
+    val (mWays, mRels) = Conflate.conflateDoc(spark, ways, rels, cons, grid, delete = false)
+    val (dmWays, dmRels) = Conflate.conflateDocD(spark, waysDs, relsDs, cons, grid, delete = false)
+    assert(dmWays.collect().map(w => (w.id, w.tags)).toSet ===
+      mWays.map(w => (w.id, w.tags)).toSet)
+    assert(dmRels.collect().map(r => (r.id, r.tags)).toSet ===
+      mRels.map(r => (r.id, r.tags)).toSet)
   }
 }

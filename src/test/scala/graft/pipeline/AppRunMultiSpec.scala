@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.layers.SynthMuni
+import graft.sources.OsmOut
+
+/** Dataset-native multi-municipality orchestration (VERDICT r2 item 1):
+  * N municipalities flow through AppRun.runMulti together; the result must
+  * equal N independent runs (municipality isolation), and the emitted task
+  * documents must be complete, well-formed OSM files.
+  */
+class AppRunMultiSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  lazy val multi: AppRun.MultiResult = {
+    val (cons, parcels, addrs) = SynthMuni.inputs(spark, sf)
+    AppRun.runMulti(spark, cons, parcels, addrs, SynthMuni.munOf)
+  }
+
+  test("municipality isolation: joint run == per-mun runs (metrics)") {
+    import spark.implicits._
+    val (cons, parcels, addrs) = SynthMuni.inputs(spark, sf)
+    val solo = AppRun.runMulti(spark,
+      cons.filter(_.mun == "M2"), parcels.filter(_.mun == "M2"),
+      addrs.filter(_.mun == "M2"), SynthMuni.munOf)
+    val jointM2 = multi.metrics.filter(_._1 == "M2").toSet
+    assert(solo.metrics.toSet === jointM2,
+      s"solo=${solo.metrics.toSet}\njoint=$jointM2")
+    // and the task docs for M2 are byte-identical between the two runs
+    val soloDocs = solo.taskDocs.collect().map(d => d.label -> d.xml).toMap
+    val jointDocs = multi.taskDocs.filter(_.mun == "M2").collect()
+      .map(d => d.label -> d.xml).toMap
+    assert(soloDocs === jointDocs)
+  }
+
+  test("per-mun metrics close the conservation laws") {
+    for (m <- Seq("M0", "M1", "M2", "M3")) {
+      val r = new Report
+      multi.metrics.filter(_._1 == m).foreach { case (_, k, v) => r.set(k, v) }
+      assert(r.validate().isEmpty, s"$m: ${r.validate()} values=${r.values}")
+    }
+  }
+
+  test("task docs are complete OSM documents with the addresses attached") {
+    val docs = multi.taskDocs.collect()
+    assert(docs.nonEmpty)
+    for (d <- docs) {
+      val (ns, ws, rels) = OsmOut.parseOsm(d.xml)
+      // every cluster doc carries its 5 building ways (disjoint unit squares
+      // never form relations) and 5 address nodes
+      assert(ws.count(_.tags.contains("building")) === 5, d.label)
+      assert(rels.isEmpty, d.label)
+      assert(ns.count(_.tags.contains("addr:ref")) === 5, d.label)
+      val nodeIds = ns.map(_.id).toSet
+      assert(ws.forall(_.ndRefs.forall(nodeIds.contains)), s"dangling refs in ${d.label}")
+    }
+  }
+
+  test("task map is a fixpoint onto surviving parcels") {
+    import spark.implicits._
+    val tm = multi.taskMap.as[(String, String)].collect().toMap
+    val survivors = multi.parcels.collect().map(_.parcel.localId).toSet
+    for ((from, to) <- tm) {
+      assert(survivors.contains(to), s"$from -> $to not a survivor")
+      assert(tm.getOrElse(to, to) === to, s"$to not a fixpoint")
+    }
+  }
+}
