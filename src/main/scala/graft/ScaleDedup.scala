@@ -28,15 +28,27 @@ object ScaleDedup {
       // replicated corpus would compute signatures in 1-2 tasks
       .repartition(cores * 2, col("doc_id"))
 
+  /** Ablation knobs (VERDICT r2 item 8): SPARK_GRAFT_NPERM halves the
+    * signature width (bands scale to keep 4 rows/band), SPARK_GRAFT_SER=1
+    * switches the band-row cache to serialized storage — if 8->32
+    * efficiency tracks signature bytes, the bound is host memory
+    * bandwidth, not the operator. */
   def timed(cores: Int, sfDir: String, repl: Int): (Double, Long, Long) = {
+    val nPerm = sys.env.getOrElse("SPARK_GRAFT_NPERM", "64").toInt
+    val storage =
+      if (sys.env.get("SPARK_GRAFT_SER").contains("1"))
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+      else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val spark = Scale.makeSession(cores)
     val d = docs(spark, sfDir, repl, cores)
     val nDocs = d.count()
     val t0 = System.nanoTime()
     val pairs = graft.dedup.Dedup
-      .minhashNearDups(d, "doc_id", "text", threshold = 0.6)
+      .minhashNearDups(d, "doc_id", "text", threshold = 0.6,
+        nPerm = nPerm, bands = nPerm / 4, storage = storage)
       .count()
     val sec = (System.nanoTime() - t0) / 1e9
+    graft.CacheBin.drain()
     spark.stop()
     (sec, nDocs, pairs)
   }
@@ -46,9 +58,11 @@ object ScaleDedup {
     // reference pair count per replica from an unreplicated run
     val base = {
       val spark = Scale.makeSession(8)
+      val nPerm = sys.env.getOrElse("SPARK_GRAFT_NPERM", "64").toInt
       val p = graft.dedup.Dedup
         .minhashNearDups(spark.read.parquet(s"$sfDir/documents.parquet"),
-          "doc_id", "text", threshold = 0.6).count()
+          "doc_id", "text", threshold = 0.6, nPerm = nPerm, bands = nPerm / 4)
+        .count()
       spark.stop()
       p
     }

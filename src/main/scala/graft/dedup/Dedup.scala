@@ -70,7 +70,9 @@ object Dedup {
   def minhashNearDups(
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, nPerm: Int = 64, bands: Int = 16,
-      threshold: Double = 0.6, maxBucket: Int = 64): DataFrame = {
+      threshold: Double = 0.6, maxBucket: Int = 64,
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val toks = split(col(textCol), " ")
     val withSig = docs
       .select(
@@ -83,7 +85,7 @@ object Dedup {
     // registered handles after its terminal action (ADVICE r2).
     val bandRows = graft.CacheBin.persist(withSig
       .select(col("id"), explode(lshBands(col("sig"), bands, nPerm / bands)).as("b"))
-      .select(col("id"), col("b.band_id"), col("b.band_hash")))
+      .select(col("id"), col("b.band_id"), col("b.band_hash")), storage)
     // skew guard: drop degenerate buckets wider than maxBucket. The hot
     // set is found with a map-side-combined groupBy (tiny result: only
     // over-cap buckets) and removed with a broadcast anti join — no full

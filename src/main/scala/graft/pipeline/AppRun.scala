@@ -231,10 +231,28 @@ object AppRun {
       munOfRef: String => String,
       maxParts: Int = 20,
       buffer: Double = 30.0,
-      addrTags: Option[Dataset[(String, Map[String, String])]] = None): MultiResult = {
+      addrTags: Option[Dataset[(String, Map[String, String])]] = None,
+      checkpoint: Option[(CheckpointedPipeline, String)] = None): MultiResult = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val munOf = munOfRef
+
+    // Stage boundary: with a CheckpointedPipeline each stage is a
+    // fingerprinted parquet table (manifest hit -> the stage is read back,
+    // not recomputed — the reference's stop/resume lifecycle,
+    // app.py:581-624, generalized to content-addressed stages); without
+    // one, an eager localCheckpoint caches rows and truncates lineage.
+    def ckDs[T](name: String)(ds: => Dataset[T])(
+        implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] =
+      checkpoint match {
+        case Some((cp, fp)) => cp.stage(name, fp)(ds.toDF()).as[T]
+        case None => ds.localCheckpoint()
+      }
+    def ckDf(name: String)(df: => DataFrame): DataFrame =
+      checkpoint match {
+        case Some((cp, fp)) => cp.stage(name, fp)(df)
+        case None => df.localCheckpoint()
+      }
 
     val metrics = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
     /** Per-mun feature count of a chain stage (collects ≤ |muns| rows). */
@@ -256,10 +274,11 @@ object AppRun {
     // AND truncates the logical plan, so downstream stages (which reference
     // their input several times inside joins/cogroups) never build
     // multiplicatively growing plans
-    val ordered = OsmOut.withGlobalRank(keyed, "k", "fid")
-      .select(col("fid"), col("f")).as[(Long, ConsF)]
-      .map { case (fid, f) => ConsChain.FidCons(fid, f) }
-      .localCheckpoint()
+    val ordered = ckDs("s00_ordered") {
+      OsmOut.withGlobalRank(keyed, "k", "fid")
+        .select(col("fid"), col("f")).as[(Long, ConsF)]
+        .map { case (fid, f) => ConsChain.FidCons(fid, f) }
+    }
     val inpAll = stageCounts(ordered)
     val inpB = stageCounts(ordered, _.kind == "building")
     val inpP = stageCounts(ordered, _.kind == "part")
@@ -273,16 +292,16 @@ object AppRun {
     addDiff("underground_parts", (underground, 1L))
 
     // ---- process_building: the distributed chain, globally --------------
-    val afterOutside = ConsChain.removeOutsidePartsD(ordered).localCheckpoint()
+    val afterOutside = ckDs("s01_outside")(ConsChain.removeOutsidePartsD(ordered))
     val nOutside = stageCounts(afterOutside)
     addDiff("outside_parts", (inpAll, 1L), (nOutside, -1L), (underground, -1L))
-    val afterExplode = ConsChain.explodeD(afterOutside).localCheckpoint()
+    val afterExplode = ckDs("s02_explode")(ConsChain.explodeD(afterOutside))
     val nExplode = stageCounts(afterExplode)
     addDiff("exploded_parts_building", (nExplode, 1L), (nOutside, -1L))
-    val afterInvalid = ConsChain.deleteInvalidD(afterExplode).localCheckpoint()
+    val afterInvalid = ckDs("s03_invalid")(ConsChain.deleteInvalidD(afterExplode))
     val nInvalid = stageCounts(afterInvalid)
-    val afterTopo = ConsChain.topologyD(afterInvalid).localCheckpoint()
-    val afterMerge = ConsChain.mergePartsD(afterTopo).localCheckpoint()
+    val afterTopo = ckDs("s04_topology")(ConsChain.topologyD(afterInvalid))
+    val afterMerge = ckDs("s05_mergeparts")(ConsChain.mergePartsD(afterTopo))
     val topoB = stageCounts(afterTopo, _.kind == "building")
     val mergeB = stageCounts(afterMerge, _.kind == "building")
     val nTopo = stageCounts(afterTopo)
@@ -290,8 +309,8 @@ object AppRun {
     addDiff("buildings_in_pools", (topoB, 1L), (mergeB, -1L))
     addDiff("parts_to_outline",
       (nTopo, 1L), (nMerge, -1L), (topoB, -1L), (mergeB, 1L))
-    val afterSimplify = ConsChain.simplifyD(afterMerge).localCheckpoint()
-    val prepared = ConsChain.deleteSmallD(afterSimplify).localCheckpoint()
+    val afterSimplify = ckDs("s06_simplify")(ConsChain.simplifyD(afterMerge))
+    val prepared = ckDs("s07_prepared")(ConsChain.deleteSmallD(afterSimplify))
     val nSimplify = stageCounts(afterSimplify)
     val nPrepared = stageCounts(prepared)
     addDiff("geom_invalid_building",
@@ -311,11 +330,12 @@ object AppRun {
     addDiff("inp_address_entrance", (inpAddrE, 1L))
     addDiff("inp_address_parcel", (inpAddr, 1L), (inpAddrE, -1L))
     val plainAddrs = addrs.map(a => MoveAddress.Addr(a.localId, a.ref, a.spec, a.x, a.y))
-    val addressesOut = MoveAddress.moveAddressFull(plainAddrs, consFeat)
-      .as[(String, String, String, Double, Double)]
-      .map(t => (munOf(t._2), t._1, t._2, t._3, t._4, t._5))
-      .toDF("mun", "localId", "ref", "spec", "x", "y")
-      .localCheckpoint()
+    val addressesOut = ckDf("s08_addresses") {
+      MoveAddress.moveAddressFull(plainAddrs, consFeat)
+        .as[(String, String, String, Double, Double)]
+        .map(t => (munOf(t._2), t._1, t._2, t._3, t._4, t._5))
+        .toDF("mun", "localId", "ref", "spec", "x", "y")
+    }
     val outAddr = addressesOut.groupBy("mun").agg(count(lit(1)).as("n"))
       .as[(String, Long)].collect().toMap.withDefaultValue(0L)
     val outAddrE = addressesOut.filter(col("spec") === "Entrance")
@@ -352,12 +372,12 @@ object AppRun {
       .withColumn("seq", row_number().over(w).cast("long") - 1L)
       .select(col("mun"), col("seq"), col("parcel"))
       .as[ParcelOps.MunParcel]
-      .localCheckpoint()
+    val mp1ck = ckDs("s09_counted")(mp1)
     val mc1 = preparedCons.map(c => ParcelOps.MunCons(munOf(c.ref), c))
-    val rows1 = ParcelOps.mergeByAdjacentBuildingsByMun(mp1, mc1).localCheckpoint()
+    val rows1 = ckDs("s10_mergeadj")(ParcelOps.mergeByAdjacentBuildingsByMun(mp1ck, mc1))
     val mp2 = rows1.filter(_.parcel != null)
       .map(r => ParcelOps.MunParcel(r.mun, r.seq, r.parcel))
-    val rows2 = ParcelOps.mergeByPartsCountByMun(mp2, maxParts, buffer).localCheckpoint()
+    val rows2 = ckDs("s11_mergecnt")(ParcelOps.mergeByPartsCountByMun(mp2, maxParts, buffer))
     val parcelsOut = rows2.filter(_.parcel != null)
       .map(r => ParcelOps.MunParcel(r.mun, r.seq, r.parcel))
 
@@ -371,11 +391,11 @@ object AppRun {
       .select(col("ref"), coalesce(col("to1"), col("ref")).as("mid"))
       .join(t2, col("mid") === col("from2"), "left")
       .select(col("ref"), coalesce(col("to2"), col("mid")).as("label"))
-      .localCheckpoint()
+    val taskMapCk = ckDf("s12_taskmap")(taskMap)
 
     // ---- get_tasks / process_tasks: label-keyed document cogroup ---------
     val taskFeats = prepared.toDF().as("p")
-      .join(taskMap.as("t"), col("p.f.ref") === col("t.ref"), "left")
+      .join(taskMapCk.as("t"), col("p.f.ref") === col("t.ref"), "left")
       .select(coalesce(col("t.label"), col("p.f.ref")).as("task"),
         col("p.fid"), col("p.f"))
       .as[(String, Long, ConsF)]
@@ -388,7 +408,7 @@ object AppRun {
     val tagsDs = addrTags.getOrElse(
       spark.emptyDataset[(String, Map[String, String])]).toDF("localId", "btags")
     val addrNodes = addressesOut.as("a")
-      .join(taskMap.as("t"), col("a.ref") === col("t.ref"), "left")
+      .join(taskMapCk.as("t"), col("a.ref") === col("t.ref"), "left")
       .join(tagsDs.as("g"), Seq("localId"), "left")
       .select(coalesce(col("t.label"), col("a.ref")).as("task"),
         col("a.localId"), col("a.spec"), col("a.x"), col("a.y"), col("g.btags"))
@@ -400,9 +420,10 @@ object AppRun {
           else base0 - "entrance"
         (task, x, y, base + ("addr:ref" -> lid))
       }
-    val taskDocs = OsmOut.perTaskOsmXmlS(taskFeats, addrNodes)
-      .map { case (label, xml) => TaskDoc(munOf(label), label, xml) }
-      .localCheckpoint()
+    val taskDocs = ckDs("s13_taskdocs") {
+      OsmOut.perTaskOsmXmlS(taskFeats, addrNodes)
+        .map { case (label, xml) => TaskDoc(munOf(label), label, xml) }
+    }
     val nTasks = taskDocs.map(_.mun).toDF("mun").groupBy("mun")
       .agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap.withDefaultValue(0L)
     val nTasksU = taskDocs.filter(_.label.length > 9).map(_.mun).toDF("mun")
@@ -425,6 +446,6 @@ object AppRun {
       "out_address_parcel", "out_addr_str", "out_addr_plc",
       "orphaned_addresses", "multiple_addresses", "tasks", "tasks_u", "tasks_r")
     val dense = for (m <- allMuns; k <- keys) yield (m, k, byMk.getOrElse((m, k), 0L))
-    MultiResult(prepared, parcelsOut, taskMap, addressesOut, taskDocs, dense)
+    MultiResult(prepared, parcelsOut, taskMapCk, addressesOut, taskDocs, dense)
   }
 }

@@ -48,6 +48,44 @@ object EventStream {
       .toDF("k", "keep_id")
   }
 
+  /** streamingDedup with BOUNDED state (VERDICT r2 item 6): event-time
+    * watermark + per-key timeout eviction. Semantics change vs the
+    * unbounded flavor, documented: a key emits once per TTL window — after
+    * its state is evicted (no occurrence for `ttl` past the watermark), a
+    * reappearance emits again. State is therefore ∝ keys ACTIVE within the
+    * watermark horizon, not all keys ever seen — the 10^12-distinct-key
+    * shape a 100 TB stream needs. */
+  def streamingDedupTtl(
+      keyed: org.apache.spark.sql.Dataset[(String, Long, java.sql.Timestamp)],
+      ttlMs: Long = 10 * 60 * 1000L,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = keyed.sparkSession
+    import spark.implicits._
+    keyed.toDF("k", "id", "ets")
+      .withWatermark("ets", watermarkDelay)
+      .as[(String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (k: String, it: Iterator[(String, Long, java.sql.Timestamp)],
+         state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove() // evicted: the key may emit again later
+            Iterator.empty
+          } else if (state.exists) {
+            // key still hot: push the eviction horizon out, swallow rows
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs + ttlMs)
+            Iterator.empty
+          } else {
+            val keepId = it.map(_._2).min
+            state.update(keepId)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs + ttlMs)
+            Iterator((k, keepId))
+          }
+      }
+      .toDF("k", "keep_id")
+  }
+
   /** Run streamingDedup over the documents table synchronously. */
   def runDedupOnce(spark: SparkSession, sfDir: String, queryName: String): DataFrame = {
     import spark.implicits._

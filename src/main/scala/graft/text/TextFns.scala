@@ -121,8 +121,53 @@ object TextFns {
     val x = norm(a); val y = norm(b)
     val tot = x.length + y.length
     if (tot == 0) 100
-    else BigDecimal(200.0 * lcsLen(x, y) / tot)
+    else BigDecimal(200.0 * difflibMatches(x, y) / tot)
       .setScale(0, BigDecimal.RoundingMode.HALF_EVEN).toInt
+  }
+
+  /** difflib.SequenceMatcher's total matching-block size — the M of the
+    * ratio when python-Levenshtein is absent, which is the reference
+    * environment's fuzzywuzzy backend (the municipalities.csv golden
+    * discriminates: "MAO MAHON" vs "Manacor" scores 50 under difflib
+    * blocks but 62 under LCS). Faithful port of find_longest_match +
+    * get_matching_blocks incl. the autojunk rule (no junk at these
+    * lengths). */
+  def difflibMatches(a: String, b: String): Int = {
+    if (a.isEmpty || b.isEmpty) return 0
+    val b2j = scala.collection.mutable.Map[Char, List[Int]]()
+    for (j <- b.length - 1 to 0 by -1) b2j(b(j)) = j :: b2j.getOrElse(b(j), Nil)
+    if (b.length >= 200) {
+      val ntest = b.length / 100 + 1
+      for ((c, js) <- b2j.toSeq if js.length > ntest) b2j.remove(c)
+    }
+    def longestMatch(alo: Int, ahi: Int, blo: Int, bhi: Int): (Int, Int, Int) = {
+      var besti = alo; var bestj = blo; var bestsize = 0
+      var j2len = Map.empty[Int, Int]
+      var i = alo
+      while (i < ahi) {
+        var newj2len = Map.empty[Int, Int]
+        for (j <- b2j.getOrElse(a(i), Nil) if j >= blo && j < bhi) {
+          val k = j2len.getOrElse(j - 1, 0) + 1
+          newj2len += (j -> k)
+          if (k > bestsize) { besti = i - k + 1; bestj = j - k + 1; bestsize = k }
+        }
+        j2len = newj2len
+        i += 1
+      }
+      (besti, bestj, bestsize)
+    }
+    var total = 0
+    val queue = scala.collection.mutable.Stack[(Int, Int, Int, Int)]((0, a.length, 0, b.length))
+    while (queue.nonEmpty) {
+      val (alo, ahi, blo, bhi) = queue.pop()
+      val (i, j, k) = longestMatch(alo, ahi, blo, bhi)
+      if (k > 0) {
+        total += k
+        if (alo < i && blo < j) queue.push((alo, i, blo, j))
+        if (i + k < ahi && j + k < bhi) queue.push((i + k, ahi, j + k, bhi))
+      }
+    }
+    total
   }
 
   /** Longest-common-subsequence length (the M of difflib's ratio). */

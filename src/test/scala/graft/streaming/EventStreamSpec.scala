@@ -44,4 +44,28 @@ class EventStreamSpec extends AnyFunSuite {
     val got = spark.table("dedup_two_batches").as[(String, Long)].collect().toMap
     assert(got === Map("a" -> 3L, "b" -> 7L, "c" -> 9L))
   }
+
+  test("TTL dedup: state evicts past the watermark and the key re-emits") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val input = MemoryStream[(String, Long, java.sql.Timestamp)]
+    val q = EventStream.streamingDedupTtl(input.toDS(), ttlMs = 10 * 60000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_ttl").start()
+    input.addData(("a", 5L, ts(0)), ("a", 3L, ts(1))) // first-seen: emit a->3
+    q.processAllAvailable()
+    input.addData(("c", 9L, ts(40))) // advances watermark to 30min >> a's TTL
+    q.processAllAvailable()
+    input.addData(("b", 7L, ts(41))) // batch that FIRES a's pending timeout
+    q.processAllAvailable()
+    input.addData(("a", 1L, ts(42))) // a evicted -> re-emits with the new id
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_ttl").as[(String, Long)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(got === Map("a" -> Seq(1L, 3L), "b" -> Seq(7L), "c" -> Seq(9L)),
+      s"got $got")
+  }
 }
