@@ -56,8 +56,17 @@ object Bench {
     val flagRows = Scale.flagship(spark, sfDir, repl, cpus.toInt)
     val flagSec = (System.nanoTime() - t0) / 1e9
     val docsPerSec = (flagRows / flagSec).round
+    // end-to-end multi-municipality pipeline (runMulti over 4 synthetic
+    // muns), reported separately so the headline set stays comparable
+    // across rounds
+    val tp0 = System.nanoTime()
+    val pipeRows = try {
+      val n = SparkEntry.queries("q_apprun_multi")(spark, sfDir).count()
+      CacheBin.drain(); n
+    } catch { case e: Throwable => System.err.println(s"[bench] pipeline: $e"); 0L }
+    val pipeSec = (System.nanoTime() - tp0) / 1e9
     println(
-      s"""{"metric":"headline_total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"docs_per_sec":$docsPerSec,"flagship_rows":$flagRows,"cpus":"$cpus","sf":"$sfDir"}""")
+      s"""{"metric":"headline_total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"docs_per_sec":$docsPerSec,"flagship_rows":$flagRows,"pipeline_sec":${f"$pipeSec%.3f"},"pipeline_rows":$pipeRows,"cpus":"$cpus","sf":"$sfDir"}""")
     spark.stop()
   }
 }

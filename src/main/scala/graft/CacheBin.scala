@@ -26,9 +26,13 @@ object CacheBin {
       p
     }
 
-  /** Unpersist every registered handle (non-blocking). */
+  /** Unpersist every registered handle (non-blocking). Handles whose
+    * SparkContext has already stopped are simply dropped. */
   def drain(): Unit = synchronized {
-    held.foreach(_.unpersist(blocking = false))
+    held.foreach { ds =>
+      try ds.unpersist(blocking = false)
+      catch { case _: Throwable => () }
+    }
     held.clear()
   }
 

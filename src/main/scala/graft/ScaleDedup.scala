@@ -63,6 +63,7 @@ object ScaleDedup {
         .minhashNearDups(spark.read.parquet(s"$sfDir/documents.parquet"),
           "doc_id", "text", threshold = 0.6, nPerm = nPerm, bands = nPerm / 4)
         .count()
+      graft.CacheBin.drain()
       spark.stop()
       p
     }

@@ -74,15 +74,23 @@ object Dedup {
       storage: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val toks = split(col(textCol), " ")
-    val withSig = docs
+    // shingles are HASHED to 8-byte longs at the scan (xxhash64): the
+    // signature permutes the hashes (native codegen expr) and the verify
+    // join shuffles long arrays instead of 3-gram strings — ~3× fewer
+    // bytes through every exchange. A 64-bit collision can only MERGE two
+    // distinct shingles (≈n²/2^64 odds), indistinguishable in practice.
+    val hashed = graft.CacheBin.persist(docs
       .select(
         col(idCol).as("id"),
-        array_distinct(shingles(toks, shingleN)).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), nPerm))
+        array_distinct(transform(shingles(toks, shingleN), s => xxhash64(s))).as("sh")),
+      storage)
+    val withSig = hashed
+      .withColumn("sig",
+        graft.functions.MinHashSigExpr.minhashSigHashed(col("sh"), nPerm))
     // persisted: the hot-bucket scan and the candidate join both read the
-    // banded signatures; without this the (dominant) signature computation
-    // would run twice. Registered in CacheBin — the session driver drains
-    // registered handles after its terminal action (ADVICE r2).
+    // banded signatures; without this the signature computation would run
+    // twice. Registered in CacheBin — the session driver drains registered
+    // handles after its terminal action (ADVICE r2).
     val bandRows = graft.CacheBin.persist(withSig
       .select(col("id"), explode(lshBands(col("sig"), bands, nPerm / bands)).as("b"))
       .select(col("id"), col("b.band_id"), col("b.band_hash")), storage)
@@ -102,7 +110,7 @@ object Dedup {
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
-    val sets = withSig.select(col("id"), col("sh"))
+    val sets = hashed // verify over the cached hashed-shingle sets
     cand
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")

@@ -71,6 +71,51 @@ object MinHashSigExpr {
     new GenericArrayData(mins) // primitive long[] overload
   }
 
+  /** Signature over PRE-HASHED shingles (array<long>): the permutation
+    * loop only — used when the pipeline carries 8-byte shingle hashes
+    * instead of strings (3× fewer shuffle bytes on the verify join). */
+  def signatureFromHashes(arr: ArrayData, nPerm: Int): GenericArrayData = {
+    val mins = Array.fill(nPerm)(Long.MaxValue)
+    val b0 = 0x9E3779B97F4A7C15L
+    val bStep = 0x6C62272E07BB0142L
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      var b = b0
+      while (j < nPerm) {
+        val a = 2L * j + 1L
+        val v = java.lang.Math.floorMod(a * h + b, P)
+        if (v < mins(j)) mins(j) = v
+        b += bStep
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   def minhashSig(shingles: Column, nPerm: Int): Column =
     GraftColumnBridge.column(MinHashSigExpr(GraftColumnBridge.expression(shingles), nPerm))
+
+  def minhashSigHashed(hashes: Column, nPerm: Int): Column =
+    GraftColumnBridge.column(MinHashSigHashedExpr(GraftColumnBridge.expression(hashes), nPerm))
+}
+
+/** MinHashSigExpr over an array<long> of pre-hashed shingles. */
+case class MinHashSigHashedExpr(child: Expression, nPerm: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_sig_hashed"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSigExpr.signatureFromHashes(input.asInstanceOf[ArrayData], nPerm)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashSigExpr.signatureFromHashes($c, $nPerm);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
