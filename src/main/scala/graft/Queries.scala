@@ -887,12 +887,28 @@ object Queries {
               WHERE inter*1.0/(na.sz + nb.sz - inter) >= 0.6
               ORDER BY id_a, id_b""")),
 
-    // MinHash+LSH near-dup (scale path; recall<1 by design -> rows-only)
+    // MinHash+LSH near-dup (scale path). Gated against the EXACT-Jaccard
+    // pair oracle: precision is 1.0 by construction (candidates verify
+    // exact Jaccard) and at this corpus the planted pairs sit at s >= 0.9
+    // where the 16x4 banding's miss probability is (1-s^4)^16 < 1e-7 and
+    // deterministic (fixed hashes) — so LSH output == exact output, and the
+    // DuckDB row gates recall, not just shape.
     "q_dedup_minhash" -> Q(
       (s, d) => Dedup.minhashNearDups(t(s, d, "documents"), "doc_id", "text",
         shingleN = 3, threshold = 0.6)
         .orderBy("id_a", "id_b"),
-      None),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              x AS (SELECT doc_id, w, unnest(range(1, greatest(len(w)-1, 2))) AS i FROM t),
+              g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh FROM x),
+              n AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+              c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                    FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+              SELECT id_a, id_b,
+                round(inter*1.0/(na.sz + nb.sz - inter), 6) AS jaccard
+              FROM c JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
+              WHERE inter*1.0/(na.sz + nb.sz - inter) >= 0.6
+              ORDER BY id_a, id_b""")),
 
     // SimHash near-dup (rows-only)
     "q_dedup_simhash" -> Q(
@@ -933,26 +949,54 @@ object Queries {
         .orderBy("vec_id", "rank"),
       None),
 
-    // heuristic language id (classifier -> rows-only)
+    // heuristic language id — the classifier is deterministic column math
+    // (stopword-hit argmax, earliest language wins ties), so the oracle
+    // replays the identical decision rule in DuckDB
     "q_lang_id" -> Q(
       (s, d) => t(s, d, "documents")
         .select(col("doc_id"), col("lang"),
           TextFns.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id"),
-      None),
+      Some {
+        val langs = TextFns.langLexicon.toSeq.sortBy(_._1)
+        val scoreCols = langs.map { case (lang, words) =>
+          val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+          s"len(list_intersect(toks, $arr)) AS s_$lang"
+        }.mkString(", ")
+        val m = langs.map(l => s"s_${l._1}").mkString("greatest(", ", ", ")")
+        val pick = langs.map { case (lang, _) =>
+          s"WHEN s_$lang = m THEN '$lang'"
+        }.mkString(" ")
+        s"""WITH t AS (SELECT doc_id, lang,
+              list_distinct(regexp_split_to_array(lower(text), '[^\\p{L}]+')) AS toks
+              FROM documents),
+            sc AS (SELECT doc_id, lang, $scoreCols FROM t),
+            mm AS (SELECT *, $m AS m FROM sc)
+            SELECT doc_id, lang,
+              CASE WHEN m = 0 THEN 'und' $pick END AS lang_pred
+            FROM mm ORDER BY doc_id"""
+      }),
 
-    // rolling-hash fingerprint dedup groups (rows-only)
+    // rolling-hash fingerprint dedup groups. The 64-bit hash value itself is
+    // not SQL-expressible, but its CONTRACT is: constant on equal texts,
+    // injective on distinct ones (at corpus size) — so the groups the
+    // fingerprint induces must equal the groups induced by text equality,
+    // which DuckDB computes directly.
     "q_fingerprint" -> Q(
       (s, d) => {
         import s.implicits._
-        t(s, d, "documents")
+        val fp = t(s, d, "documents")
           .select(col("doc_id"), col("text"))
           .as[(Long, String)]
           .map { case (id, txt) => (id, TextFns.fingerprint64(txt)) }
           .toDF("doc_id", "fp")
+        fp.join(
+            fp.groupBy("fp").agg(min("doc_id").as("fp_group")), "fp")
+          .select("doc_id", "fp_group")
           .orderBy("doc_id")
       },
-      None),
+      Some("""SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS fp_group
+              FROM documents ORDER BY doc_id""")),
 
     // tumbling-window event aggregation (batch form of the streaming op)
     "q_event_windows" -> Q(
