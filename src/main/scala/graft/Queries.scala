@@ -640,14 +640,22 @@ object Queries {
           .agg(
             max(when(col("key") === "tasks", col("value"))).as("n_tasks"),
             max(when(col("key") === "out_features", col("value"))).as("n_features"),
-            max(when(col("key") === "out_address", col("value"))).as("n_address"))
+            max(when(col("key") === "out_address", col("value"))).as("n_address"),
+            max(when(col("key") === "out_address_entrance", col("value")))
+              .as("n_entrance"),
+            max(when(col("key") === "parts_to_outline", col("value")))
+              .as("n_parts_merged"))
           .join(mr.parcels.groupBy("mun").agg(count(lit(1)).as("n_parcels")), "mun")
           .orderBy("mun")
         summary
       },
+      // closed forms per mun (K = 5t buildings): parts exist for k%3==0 and
+      // merge to the outline; entrances for k%2==0 survive moved
       Some("""WITH c AS (SELECT (count(*)//100) AS t FROM events)
               SELECT 'M' || CAST(m AS VARCHAR) AS mun, t AS n_tasks,
-                5*t AS n_features, 5*t AS n_address, t AS n_parcels
+                5*t AS n_features, 5*t AS n_address,
+                (5*t+1)//2 AS n_entrance, (5*t+2)//3 AS n_parts_merged,
+                t AS n_parcels
               FROM c CROSS JOIN (VALUES (0),(1),(2),(3)) AS ms(m)
               ORDER BY mun""")),
 

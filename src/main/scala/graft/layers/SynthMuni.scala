@@ -44,11 +44,18 @@ object SynthMuni {
     val u = (events.count() / 100L) * 20L
     val ids = events.select(col("event_id").cast("long"))
       .filter(col("event_id") < u).as[Long]
-    val cons = ids.map { id =>
+    val cons = ids.flatMap { id =>
       val m = id % 4; val k = id / 4; val c = k / 5; val s = k % 5
       val l = lid(c, m, k)
-      MunSeqCons(s"M$m", k, ConsF(l, l, "building", 2, 0,
-        square(c * 500.0 + s * 5.0, m * 100000.0)))
+      val ring = square(c * 500.0 + s * 5.0, m * 100000.0)
+      val b = MunSeqCons(s"M$m", 2 * k, ConsF(l, l, "building", 2, 0, ring))
+      // every third building carries ONE coincident part: single-level
+      // parts merge to the outline (merge_building_parts byLevel.size==1
+      // branch) -> parts_to_outline = ceil(K/3) per mun, closed-form
+      if (k % 3 == 0)
+        Seq(b, MunSeqCons(s"M$m", 2 * k + 1,
+          ConsF(l + "P1", l, "part", 3, 0, ring)))
+      else Seq(b)
     }
     val parcels = ids.flatMap { id =>
       val m = id % 4; val k = id / 4; val c = k / 5; val s = k % 5
@@ -57,10 +64,18 @@ object SynthMuni {
           Parcel(lid(c, m, k), null, 0, square(c * 500.0 + s * 5.0, m * 100000.0))))
       else None
     }
+    // even k: an Entrance 0.3 m left of the left wall's midpoint — inside
+    // AddrThr(10), projection 0.5 from both corners (> EntranceThr 0.4),
+    // wall owned by ONE building -> classified 'Entrance' and MOVED onto
+    // the wall exactly (the projection arithmetic is exact on a vertical
+    // segment). Odd k: a non-Entrance center point, kept untouched.
     val addrs = ids.map { id =>
       val m = id % 4; val k = id / 4; val c = k / 5; val s = k % 5
-      MunAddr(s"M$m", s"A$id", lid(c, m, k), "Parcel",
-        c * 500.0 + s * 5.0 + 0.5, m * 100000.0 + 0.5)
+      val x0 = c * 500.0 + s * 5.0; val y0 = m * 100000.0
+      if (k % 2 == 0)
+        MunAddr(s"M$m", s"A$id", lid(c, m, k), "Entrance", x0 - 0.3, y0 + 0.5)
+      else
+        MunAddr(s"M$m", s"A$id", lid(c, m, k), "Parcel", x0 + 0.5, y0 + 0.5)
     }
     (cons, parcels, addrs)
   }

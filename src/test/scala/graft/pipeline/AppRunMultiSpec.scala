@@ -58,6 +58,26 @@ class AppRunMultiSpec extends AnyFunSuite {
     }
   }
 
+  test("entrances moved EXACTLY onto their wall; parcel addresses untouched") {
+    import spark.implicits._
+    val rows = multi.addressesOut
+      .select("localId", "spec", "x", "y")
+      .as[(String, String, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    for ((lid, spec, x, y) <- rows) {
+      val id = lid.drop(1).toLong // "A<id>"
+      val k = id / 4; val c = k / 5; val s = k % 5; val m = id % 4
+      val x0 = c * 500.0 + s * 5.0; val y0 = m * 100000.0
+      if (k % 2 == 0) {
+        assert(spec === "Entrance", lid)
+        assert(x === x0 && y === y0 + 0.5, s"$lid moved to ($x,$y)") // exact
+      } else {
+        assert(spec === "Parcel", lid)
+        assert(x === x0 + 0.5 && y === y0 + 0.5, lid)
+      }
+    }
+  }
+
   test("task map is a fixpoint onto surviving parcels") {
     import spark.implicits._
     val tm = multi.taskMap.as[(String, String)].collect().toMap
