@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Bucketed-table co-location (the brief's "repartition()/bucketing for
+  * co-located joins"): writing both sides of a recurring equi-join bucketed
+  * AND sorted by the join key stores the shuffle once at write time — every
+  * later join on that key is exchange-free (SortMergeJoin with zero
+  * ShuffleExchange on either side), the single biggest lever for iterative
+  * 100 TB pipelines that re-join the same keyed tables per run. */
+object Bucketed {
+
+  /** Persist `df` into the session catalog bucketed+sorted by `key`. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+
+  /** Join two same-bucketed tables on their bucket key — co-located, so
+    * the plan contains no shuffle for either side. */
+  def coLocatedJoin(
+      spark: org.apache.spark.sql.SparkSession,
+      left: String, right: String, key: String): DataFrame =
+    spark.table(left).join(spark.table(right), key)
+
+  /** Number of ShuffleExchange operators in a frame's executed plan —
+    * the plan-shape assertion bucketing exists to make zero. Descends into
+    * AQE wrappers and materialized query stages (their children lists are
+    * empty, so a plain collect would see nothing). */
+  def shuffleCount(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def walk(p: SparkPlan): Int = {
+      val self = p match { case _: ShuffleExchangeLike => 1; case _ => 0 }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case other => other.children
+      }
+      self + kids.map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+}
