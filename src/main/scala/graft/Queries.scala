@@ -1006,6 +1006,23 @@ object Queries {
       Some("""SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS fp_group
               FROM documents ORDER BY doc_id""")),
 
+    // STREAMING flagship: the cell-join + native-PIP tile assignment run as
+    // a Structured Streaming query (stream-static broadcast join + tumbling
+    // window counts, memory sink) — gated by the same closed-form diamond
+    // oracle as the batch flagship, per 5-minute bucket
+    "q_zone_windows_stream" -> Q(
+      (s, d) => graft.streaming.EventStream
+        .runZoneWindowsOnce(s, d, SynthGeo.zones, pipGrid)
+        .orderBy("bucket", "zone_id"),
+      Some(s"""WITH pts AS (SELECT event_id AS id,
+                ((event_id*7919)%10000)/100.0 AS x,
+                ((event_id*104729)%10000)/100.0 AS y, ts FROM events)
+              SELECT epoch_us(p.ts)//300000000 AS bucket,
+                CAST(z.zone_id AS BIGINT) AS zone_id, count(*) AS n
+              FROM pts p JOIN $zonesValues
+                ON abs(p.x - z.cx) + abs(p.y - z.cy) < z.r
+              GROUP BY 1, 2 ORDER BY bucket, zone_id""")),
+
     // tumbling-window event aggregation (batch form of the streaming op)
     "q_event_windows" -> Q(
       (s, d) => t(s, d, "events")

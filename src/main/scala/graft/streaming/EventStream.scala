@@ -86,6 +86,61 @@ object EventStream {
       .toDF("k", "keep_id")
   }
 
+  /** STREAMING face of the flagship spatial join: the same UDF-free cell
+    * derivation + broadcast zone-cell join + native point_in_polygon
+    * refinement as pipJoinCodegen, applied to a stream, then a tumbling
+    * window count per zone — stream-static join and windowed agg, so a
+    * live geo-tagged page feed gets the identical tile assignment the
+    * batch backfill computes. */
+  def zoneWindowCounts(
+      events: DataFrame,
+      zones: Seq[graft.spatial.Zone],
+      grid: graft.spatial.CellGrid): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val zoneSide = spark.createDataset(
+      zones.flatMap(z => grid.coverPolygon(z.geometry)
+        .map(c => graft.spatial.SpatialJoin.ZoneCellEdges(
+          c, z.zone_id, graft.spatial.SpatialJoin.zoneEdges(z)))))
+      .toDF("cell", "zone_id", "edges")
+    events
+      .select(
+        col("event_id").as("id"),
+        (col("event_id") * lit(7919L) % lit(10000L) / lit(100.0)).as("x"),
+        (col("event_id") * lit(104729L) % lit(10000L) / lit(100.0)).as("y"),
+        col("ts").cast("timestamp").as("ets"))
+      .withColumn("cell", grid.cellCol(col("x"), col("y")))
+      .join(broadcast(zoneSide), "cell")
+      .where(graft.functions.PointInPolygonExpr.pointInPolygon(
+        col("x"), col("y"), col("edges")))
+      .groupBy(window(col("ets"), "5 minutes"), col("zone_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        (unix_micros(col("window.start")) / lit(300000000L)).cast("long").as("bucket"),
+        col("zone_id"), col("n"))
+  }
+
+  private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Run zoneWindowCounts over the parquet events of `sfDir` synchronously
+    * (memory sink, complete mode) and return the result. */
+  def runZoneWindowsOnce(spark: SparkSession, sfDir: String,
+      zones: Seq[graft.spatial.Zone], grid: graft.spatial.CellGrid): DataFrame = {
+    val schema: StructType = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    val name = s"zone_windows_${runSeq.incrementAndGet()}"
+    val q = zoneWindowCounts(stream, zones, grid).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   /** Run streamingDedup over the documents table synchronously. */
   def runDedupOnce(spark: SparkSession, sfDir: String, queryName: String): DataFrame = {
     import spark.implicits._

@@ -45,6 +45,30 @@ class EventStreamSpec extends AnyFunSuite {
     assert(got === Map("a" -> 3L, "b" -> 7L, "c" -> 9L))
   }
 
+  test("streaming flagship zone windows equal the batch cell-join + PIP") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val grid = graft.spatial.CellGrid(8.0, origin = 0.0, rowWidth = 1L << 20)
+    val got = EventStream
+      .runZoneWindowsOnce(spark, sf, graft.spatial.SynthGeo.zones, grid)
+      .as[(Long, Long, Long)].collect().toSet
+    // batch equivalent: same derivation through the batch flagship join
+    val pts = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id").as("id"),
+        (col("event_id") * lit(7919L) % lit(10000L) / lit(100.0)).as("x"),
+        (col("event_id") * lit(104729L) % lit(10000L) / lit(100.0)).as("y"),
+        (expr("unix_micros(cast(ts as timestamp))") / lit(300000000L))
+          .cast("long").as("bucket"))
+    val assigned = graft.spatial.SpatialJoin.pipJoinCodegen(
+      pts, "id", "x", "y", graft.spatial.SynthGeo.zones, grid)
+    val batch = assigned.join(pts.select("id", "bucket"), "id")
+      .groupBy("bucket", "zone_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === batch)
+    assert(got.nonEmpty)
+  }
+
   test("TTL dedup: state evicts past the watermark and the key re-emits") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
