@@ -26,6 +26,19 @@ object CsvGeoJson {
       .as[(String, String)].collect().toMap
   }
 
+  /** app.get_translations (app.py:690-728): first run computes the street
+    * translation table (get_names) and persists it; later runs read the
+    * file back — either way the returned values are stripped (the file
+    * keeps the raw values, the caller sees clean ones). */
+  def getTranslations(
+      spark: SparkSession, namesPath: String, isNew: Boolean)(
+      computeNames: => Map[String, String]): Map[String, String] = {
+    val names =
+      if (isNew) { val n = computeNames; writeDict(spark, n, namesPath); n }
+      else readDict(spark, namesPath)
+    names.view.mapValues(_.trim).toMap
+  }
+
   /** ZoningLayer.export_poly (zoning.py:80-93): the Osmosis boundary-polygon
     * text format — header line, one numbered section per ring ('!' prefix
     * marks holes), '%f %f' coordinate lines, END terminators. The input is

@@ -355,6 +355,80 @@ object OsmOut {
     OsmDoc(keptNodes, keptWays, rels)
   }
 
+  /** app.merge_address (app.py:635-689): copy address tags into the
+    * building document by 'ref'. An 'entrance' address lands on the
+    * building-outline NODE at exactly its coordinates (outline = the
+    * group's ways plus outer members of its relations, osm.py:150-158),
+    * dropping 'ref' (config.show_refs=false) and 'image'; otherwise the
+    * address is a 'parcel' address — applied to the group's FIRST element
+    * iff it is the only one and no entrance matched (minus image/entrance),
+    * refused (counted) otherwise. Returns (updated doc, refused count,
+    * container tags: source:date:addr when the address doc carries
+    * source:date). */
+  def mergeAddressDoc(
+      building: OsmDoc, address: OsmDoc,
+      addressSourceDate: Option[String] = None,
+      showRefs: Boolean = false): (OsmDoc, Int, Map[String, String]) = {
+    val nodes = scala.collection.mutable.LinkedHashMap(
+      building.nodes.map(n => n.id -> n): _*)
+    val ways = scala.collection.mutable.LinkedHashMap(
+      building.ways.map(w => w.id -> w): _*)
+    val rels = scala.collection.mutable.LinkedHashMap(
+      building.rels.map(r => r.id -> r): _*)
+    // element handles in (nodes, ways, relations) order; kind 0/1/2
+    val all: Seq[(Int, Long, Map[String, String])] =
+      building.nodes.map(n => (0, n.id, n.tags)) ++
+        building.ways.map(w => (1, w.id, w.tags)) ++
+        building.rels.map(r => (2, r.id, r.tags))
+    val buildingIndex = scala.collection.mutable.LinkedHashMap[
+      String, scala.collection.mutable.ArrayBuffer[(Int, Long)]]()
+    for ((k, id, tags) <- all; ref <- tags.get("ref"))
+      buildingIndex.getOrElseUpdate(ref, scala.collection.mutable.ArrayBuffer()) +=
+        ((k, id))
+    var refused = 0
+    for ((ref, group) <- buildingIndex) {
+      val ads = address.nodes.filter(_.tags.get("ref").contains(ref))
+      var entranceCount = 0
+      val parcelAds = scala.collection.mutable.ArrayBuffer[RawNode]()
+      for (ad <- ads) {
+        var matched = false
+        if (ad.tags.contains("entrance")) {
+          val outline: Seq[RawWay] = group.toSeq.flatMap {
+            case (1, id) => ways.get(id).toSeq
+            case (2, id) => rels(id).members
+              .collect { case ("way", wid, "outer") => ways.get(wid) }.flatten
+            case _ => Seq.empty
+          }
+          val hit = outline.iterator
+            .flatMap(_.ndRefs.iterator.flatMap(nodes.get))
+            .find(n => n.lon == ad.lon && n.lat == ad.lat)
+          hit.foreach { n =>
+            val merged0 = n.tags ++ ad.tags - "image"
+            val merged = if (showRefs) merged0 else merged0 - "ref"
+            nodes(n.id) = n.copy(tags = merged)
+            matched = true
+          }
+        }
+        if (matched) entranceCount += 1 else parcelAds += ad
+      }
+      if (parcelAds.length == 1 && entranceCount == 0) {
+        val ad = parcelAds.remove(0)
+        val (k, id) = group.head
+        def upd(tags: Map[String, String]) = tags ++ ad.tags - "image" - "entrance"
+        k match {
+          case 0 => nodes(id) = nodes(id).copy(tags = upd(nodes(id).tags))
+          case 1 => ways(id) = ways(id).copy(tags = upd(ways(id).tags))
+          case _ => rels(id) = rels(id).copy(tags = upd(rels(id).tags))
+        }
+      }
+      refused += parcelAds.length
+    }
+    val containerTags = addressSourceDate
+      .map(v => Map("source:date:addr" -> v)).getOrElse(Map.empty)
+    (OsmDoc(nodes.values.toSeq, ways.values.toSeq, rels.values.toSeq),
+      refused, containerTags)
+  }
+
   final case class TaskFeature(task: Long, localId: String,
       geometry: Array[Array[Array[graft.geom.Pt]]], tags: Map[String, String])
 
