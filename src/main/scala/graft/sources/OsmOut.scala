@@ -355,6 +355,48 @@ object OsmOut {
     OsmDoc(keptNodes, keptWays, rels)
   }
 
+  /** Osm.remove (osm.py:59-74): remove an element from the document,
+    * detach it from its parents' child lists (ways drop the node ref,
+    * relations drop the member), and recursively remove children that the
+    * removal orphaned (their only parent was the removed element). */
+  def removeElement(doc: OsmDoc, kind: String, id: Long): OsmDoc = {
+    val nodes = scala.collection.mutable.LinkedHashMap(doc.nodes.map(n => n.id -> n): _*)
+    val ways = scala.collection.mutable.LinkedHashMap(doc.ways.map(w => w.id -> w): _*)
+    val rels = scala.collection.mutable.LinkedHashMap(doc.rels.map(r => r.id -> r): _*)
+    def nodeHasParent(nid: Long): Boolean =
+      ways.values.exists(_.ndRefs.contains(nid)) ||
+        rels.values.exists(_.members.exists(m => m._1 == "node" && m._2 == nid))
+    def wayHasParent(wid: Long): Boolean =
+      rels.values.exists(_.members.exists(m => m._1 == "way" && m._2 == wid))
+    def rm(kind: String, id: Long): Unit = kind match {
+      case "node" => nodes.remove(id).foreach { _ =>
+        for (w <- ways.values.toSeq if w.ndRefs.contains(id))
+          ways(w.id) = w.copy(ndRefs = w.ndRefs.filterNot(_ == id))
+        for (r <- rels.values.toSeq
+             if r.members.exists(m => m._1 == "node" && m._2 == id))
+          rels(r.id) = r.copy(members =
+            r.members.filterNot(m => m._1 == "node" && m._2 == id))
+      }
+      case "way" => ways.remove(id).foreach { w =>
+        for (r <- rels.values.toSeq
+             if r.members.exists(m => m._1 == "way" && m._2 == id))
+          rels(r.id) = r.copy(members =
+            r.members.filterNot(m => m._1 == "way" && m._2 == id))
+        for (nid <- w.ndRefs.distinct if nodes.contains(nid) && !nodeHasParent(nid))
+          rm("node", nid)
+      }
+      case _ => rels.remove(id).foreach { r =>
+        for ((t, mid, _) <- r.members.distinctBy(m => (m._1, m._2))) t match {
+          case "way" if ways.contains(mid) && !wayHasParent(mid) => rm("way", mid)
+          case "node" if nodes.contains(mid) && !nodeHasParent(mid) => rm("node", mid)
+          case _ => ()
+        }
+      }
+    }
+    rm(kind, id)
+    OsmDoc(nodes.values.toSeq, ways.values.toSeq, rels.values.toSeq)
+  }
+
   /** app.merge_address (app.py:635-689): copy address tags into the
     * building document by 'ref'. An 'entrance' address lands on the
     * building-outline NODE at exactly its coordinates (outline = the

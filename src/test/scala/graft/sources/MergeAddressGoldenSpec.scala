@@ -103,3 +103,37 @@ class GetTranslationsSpec extends AnyFunSuite {
     assert(computed === 1)
   }
 }
+
+/** Replays test_osm.test_remove (test_osm.py:33-64): cascading element
+  * removal with orphaned-child cleanup through the exact golden counts. */
+class OsmRemoveGoldenSpec extends AnyFunSuite {
+  import OsmOut.{OsmDoc, RawNode, RawRel, RawWay}
+
+  test("reference golden: remove cascades 12 -> 10 -> 9 -> 5 -> 0") {
+    def n(id: Long, x: Double, y: Double) = RawNode(id, x, y, Map.empty)
+    val doc0 = OsmDoc(
+      Seq(n(-1, 0, 0), n(-2, 1, 0), n(-3, 1, 1), n(-4, 0, 1),
+        n(-5, 2, 0), n(-6, 2, 1), n(-7, 1, 0.5)),
+      Seq(
+        RawWay(-11, Seq(-2L, -1L, -4L, -3L), Map.empty), // w1 = (n1 n0 n3 n2)
+        RawWay(-12, Seq(-2L, -7L, -3L), Map.empty),      // w2 = (n1 n6 n2)
+        RawWay(-13, Seq(-2L, -5L, -6L, -3L), Map.empty)), // w3 = (n1 n4 n5 n2)
+      Seq(
+        RawRel(-21, Seq(("way", -11L, ""), ("way", -12L, "")), Map.empty), // r1
+        RawRel(-22, Seq(("way", -12L, ""), ("way", -13L, "")), Map.empty))) // r2
+    def count(d: OsmDoc) = d.nodes.length + d.ways.length + d.rels.length
+    assert(count(doc0) === 12)
+    val d1 = OsmOut.removeElement(doc0, "way", -12) // remove w2 -> n6 orphaned
+    assert(count(d1) === 10)
+    assert(!d1.ways.exists(_.id == -12) && !d1.nodes.exists(_.id == -7))
+    val d2 = OsmOut.removeElement(d1, "node", -3) // remove n2 from w1/w3
+    assert(count(d2) === 9)
+    assert(d2.ways.forall(!_.ndRefs.contains(-3L)))
+    val d3 = OsmOut.removeElement(d2, "relation", -22) // r2 -> w3, n4, n5 orphaned
+    assert(count(d3) === 5)
+    assert(!d3.ways.exists(_.id == -13) && !d3.nodes.exists(_.id == -5) &&
+      !d3.nodes.exists(_.id == -6))
+    val d4 = OsmOut.removeElement(d3, "relation", -21) // r1 -> everything left
+    assert(count(d4) === 0)
+  }
+}
