@@ -397,6 +397,19 @@ object OsmOut {
     OsmDoc(nodes.values.toSeq, ways.values.toSeq, rels.values.toSeq)
   }
 
+  /** Osm.replace (osm.py:76-85): substitute one node for another — the new
+    * node inherits every parent reference (ways rewire the nd ref,
+    * relations the member). */
+  def replaceNode(doc: OsmDoc, oldId: Long, newNode: RawNode): OsmDoc =
+    OsmDoc(
+      doc.nodes.filterNot(_.id == oldId).filterNot(_.id == newNode.id) :+ newNode,
+      doc.ways.map(w => w.copy(ndRefs =
+        w.ndRefs.map(r => if (r == oldId) newNode.id else r))),
+      doc.rels.map(r => r.copy(members = r.members.map {
+        case ("node", `oldId`, role) => ("node", newNode.id, role)
+        case m => m
+      })))
+
   /** app.merge_address (app.py:635-689): copy address tags into the
     * building document by 'ref'. An 'entrance' address lands on the
     * building-outline NODE at exactly its coordinates (outline = the

@@ -137,3 +137,20 @@ class OsmRemoveGoldenSpec extends AnyFunSuite {
     assert(count(d4) === 0)
   }
 }
+
+/** test_osm.test_replace: the new node inherits every parent reference. */
+class OsmReplaceGoldenSpec extends AnyFunSuite {
+  import OsmOut.{OsmDoc, RawNode, RawWay}
+
+  test("replace rewires way refs and relation members to the new node") {
+    val doc = OsmDoc(
+      Seq(RawNode(-1, 1, 1, Map.empty), RawNode(-2, 0, 0, Map.empty)),
+      Seq(RawWay(-10, Seq(-1L, -2L, -1L), Map.empty)),
+      Seq(OsmOut.RawRel(-20, Seq(("node", -1L, "via")), Map.empty)))
+    val out = OsmOut.replaceNode(doc, -1L, RawNode(-3, 2, 2, Map("ele" -> "7")))
+    assert(!out.nodes.exists(_.id == -1L))
+    assert(out.nodes.exists(n => n.id == -3L && n.tags == Map("ele" -> "7")))
+    assert(out.ways.head.ndRefs === Seq(-3L, -2L, -3L))
+    assert(out.rels.head.members === Seq(("node", -3L, "via")))
+  }
+}
