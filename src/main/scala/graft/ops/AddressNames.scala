@@ -125,6 +125,67 @@ object AddressNames {
       .filterNot { case (_, tn, des) => current.contains(tn + des) }
       .filterNot(_._3 == noNumber)
 
+  /** HighwayLayer.read_from_osm (geo/layer/highway.py:28-43): a named
+    * relation writes its name onto every member way (overwriting), then
+    * every named way becomes one polyline feature. */
+  def highwaysFromOsm(doc: graft.sources.OsmOut.OsmDoc): Seq[(String, Seq[Pt])] = {
+    val nodeById = doc.nodes.map(n => n.id -> Pt(n.lon, n.lat)).toMap
+    val inherited = scala.collection.mutable.Map[Long, String]()
+    for (r <- doc.rels; name <- r.tags.get("name");
+         m <- r.members if m._1 == "way")
+      inherited(m._2) = name // later relations overwrite, like the reference
+    doc.ways.flatMap { w =>
+      inherited.get(w.id).orElse(w.tags.get("name"))
+        .map(n => (n, w.ndRefs.flatMap(nodeById.get)))
+    }
+  }
+
+  def namedHighways(doc: graft.sources.OsmOut.OsmDoc): Seq[Named] =
+    highwaysFromOsm(doc).collect { case (n, pts) if pts.nonEmpty =>
+      Named(n, Geom.BBox(pts.map(_.x).min, pts.map(_.y).min,
+        pts.map(_.x).max, pts.map(_.y).max))
+    }
+
+  /** PlaceLayer.read_from_osm (geo/layer/place.py:29-56): every element
+    * tagged place+name becomes a POINT — the node itself, the
+    * length-weighted centroid of a way polyline (QGIS line centroid), or
+    * the vertex mean of a relation's non-inner way members. */
+  def placesFromOsm(doc: graft.sources.OsmOut.OsmDoc): Seq[(String, Pt)] = {
+    val nodeById = doc.nodes.map(n => n.id -> Pt(n.lon, n.lat)).toMap
+    def lineCentroid(pts: Seq[Pt]): Option[Pt] = {
+      if (pts.length < 2) return pts.headOption
+      var sx = 0.0; var sy = 0.0; var sl = 0.0
+      for (Seq(a, b) <- pts.sliding(2)) {
+        val len = math.hypot(b.x - a.x, b.y - a.y)
+        sx += len * (a.x + b.x) / 2; sy += len * (a.y + b.y) / 2; sl += len
+      }
+      if (sl > 0) Some(Pt(sx / sl, sy / sl)) else pts.headOption
+    }
+    def placed(tags: Map[String, String]) =
+      tags.contains("place") && tags.contains("name")
+    val fromNodes = doc.nodes.collect {
+      case n if placed(n.tags) => (n.tags("name"), Pt(n.lon, n.lat))
+    }
+    val fromWays = doc.ways.collect {
+      case w if placed(w.tags) =>
+        lineCentroid(w.ndRefs.flatMap(nodeById.get)).map(p => (w.tags("name"), p))
+    }.flatten
+    val wayById = doc.ways.map(w => w.id -> w).toMap
+    val fromRels = doc.rels.collect {
+      case r if placed(r.tags) =>
+        val pts = r.members
+          .collect { case ("way", wid, role) if role != "inner" => wayById.get(wid) }
+          .flatten.flatMap(_.ndRefs.flatMap(nodeById.get))
+        if (pts.isEmpty) None
+        else Some((r.tags("name"),
+          Pt(pts.map(_.x).sum / pts.length, pts.map(_.y).sum / pts.length)))
+    }.flatten
+    fromNodes ++ fromWays ++ fromRels
+  }
+
+  def namedPlaces(doc: graft.sources.OsmOut.OsmDoc): Seq[Named] =
+    placesFromOsm(doc).map { case (n, p) => Named(n, Geom.BBox(p.x, p.y, p.x, p.y)) }
+
   /** Load a JOSM GeoJSON FeatureCollection's named features with bboxes
     * (Point or LineString), via Spark's JSON reader. */
   def loadNamed(spark: SparkSession, path: String): Seq[Named] = {

@@ -86,3 +86,39 @@ class AddressNamesGoldenSpec extends AnyFunSuite {
     assert(got8 === expect)
   }
 }
+
+/** Replays geo/layer test_highway.test_read_from_osm: a named way and an
+  * unnamed way that inherits its relation's name -> 2 polyline features. */
+class HighwayFromOsmSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.sources.OsmOut.{OsmDoc, RawNode, RawRel, RawWay}
+
+  test("reference golden: read_from_osm names + relation inheritance") {
+    val doc = OsmDoc(
+      Seq(RawNode(-1, 10, 10, Map.empty), RawNode(-2, 15, 15, Map.empty),
+        RawNode(-3, 20, 20, Map.empty), RawNode(-4, 30, 30, Map.empty)),
+      Seq(RawWay(-10, Seq(-1L, -2L), Map("name" -> "FooBar")),
+        RawWay(-11, Seq(-3L, -4L), Map.empty)),
+      Seq(RawRel(-20, Seq(("way", -11L, "")), Map("name" -> "BarTaz"))))
+    val hw = AddressNames.highwaysFromOsm(doc)
+    assert(hw.length === 2)
+    val byName = hw.toMap
+    assert(byName("FooBar").map(p => (p.x, p.y)) === Seq((10.0, 10.0), (15.0, 15.0)))
+    assert(byName("BarTaz").map(p => (p.x, p.y)) === Seq((20.0, 20.0), (30.0, 30.0)))
+  }
+
+  test("placesFromOsm: node point, way line-centroid, relation vertex mean") {
+    val doc = OsmDoc(
+      Seq(RawNode(-1, 5, 5, Map("place" -> "village", "name" -> "P1")),
+        RawNode(-2, 0, 0, Map.empty), RawNode(-3, 4, 0, Map.empty),
+        RawNode(-4, 4, 2, Map.empty)),
+      Seq(RawWay(-10, Seq(-2L, -3L, -4L), Map("place" -> "hamlet", "name" -> "P2")),
+        RawWay(-11, Seq(-2L, -3L), Map.empty)),
+      Seq(RawRel(-20, Seq(("way", -11L, "outer")), Map("place" -> "islet", "name" -> "P3"))))
+    val got = AddressNames.placesFromOsm(doc).toMap
+    assert(got("P1") === graft.geom.Pt(5, 5))
+    // length-weighted line centroid: segments len 4 (mid 2,0) and 2 (mid 4,1)
+    assert(math.abs(got("P2").x - (4 * 2 + 2 * 4) / 6.0) < 1e-12)
+    assert(math.abs(got("P2").y - (4 * 0 + 2 * 1) / 6.0) < 1e-12)
+    assert(got("P3") === graft.geom.Pt(2, 0)) // vertex mean of (0,0),(4,0)
+  }
+}
