@@ -45,6 +45,10 @@ object RunPipeline {
     import spark.implicits._
     spark.createDataset(mr.metrics).toDF("mun", "key", "value")
       .write.mode("overwrite").parquet(s"$outDir/metrics")
+    // the reference's actual artifact flavor: one <label>.osm.gz per task
+    // (kept alongside the scale-friendly parquet table)
+    sources.OsmOut.writeTaskFiles(
+      mr.taskDocs.map(d => (d.label, d.xml)), s"$outDir/tasks")
     val nDocs = spark.read.parquet(s"$outDir/task_docs").count()
     val sec = (System.nanoTime() - t0) / 1e9
     val muns = mr.metrics.map(_._1).distinct.size

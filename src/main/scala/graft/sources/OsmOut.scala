@@ -525,6 +525,57 @@ object OsmOut {
       }
   }
 
+  /** app.write_osm (app.py:889-918): drop 'ref' tags (config.show_refs is
+    * false), merge duplicated elements, serialize, gzip when the path ends
+    * '.gz'. Returns the merged document (what actually landed on disk). */
+  def writeOsmDoc(doc: OsmDoc, path: String, showRefs: Boolean = false): OsmDoc = {
+    val cleaned = if (showRefs) doc else OsmDoc(
+      doc.nodes.map(n => n.copy(tags = n.tags - "ref")),
+      doc.ways.map(w => w.copy(tags = w.tags - "ref")),
+      doc.rels.map(r => r.copy(tags = r.tags - "ref")))
+    val merged = mergeDuplicatedDoc(cleaned)
+    writeTextFile(path, osmToXml(merged))
+    merged
+  }
+
+  private def writeTextFile(path: String, s: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    val out: java.io.OutputStream =
+      if (path.endsWith(".gz"))
+        new java.util.zip.GZIPOutputStream(java.nio.file.Files.newOutputStream(p))
+      else java.nio.file.Files.newOutputStream(p)
+    try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read an .osm / .osm.gz file back into a parsed document
+    * (app.read_osm's local-file path, app.py:857-887). */
+  def readOsmFile(path: String): (Seq[RawNode], Seq[RawWay], Seq[RawRel]) = {
+    val in: java.io.InputStream =
+      if (path.endsWith(".gz"))
+        new java.util.zip.GZIPInputStream(
+          java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path)))
+      else java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
+    val xml = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+    parseOsm(xml)
+  }
+
+  /** process_tasks' FILE sink (app.py:350): one '<label>.osm.gz' per task,
+    * written where each partition runs — the reference's actual output
+    * artifact, distributed. A speculative re-execution rewrites the same
+    * bytes, so the sink is idempotent. Returns the file count. */
+  def writeTaskFiles(docs: Dataset[(String, String)], dir: String): Long = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    docs.map { case (label, xml) =>
+      writeTextFile(s"$dir/$label.osm.gz", xml)
+      label
+    }.count()
+  }
+
   /** One .osm XML document per task (process_tasks, app.py:310-389):
     * groupByKey(task) -> serialize per group — one file per tile. */
   def perTaskXml(nodes: DataFrame, taskCol: String): Dataset[(Long, String)] = {

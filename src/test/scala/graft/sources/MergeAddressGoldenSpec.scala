@@ -154,3 +154,39 @@ class OsmReplaceGoldenSpec extends AnyFunSuite {
     assert(out.rels.head.members === Seq(("node", -3L, "via")))
   }
 }
+
+/** app.write_osm semantics + the distributed per-task file sink. */
+class WriteOsmSpec extends AnyFunSuite {
+  import OsmOut.{OsmDoc, RawNode, RawWay}
+  lazy val spark = graft.TestSpark.spark
+
+  test("write_osm drops ref tags, merges duplicates, gzips; reads back") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_osm").toString
+    val doc = OsmDoc(
+      Seq(RawNode(-1, 0, 0, Map("ref" -> "X", "entrance" -> "yes")),
+        RawNode(-2, 0, 0, Map.empty), // duplicate coordinate -> merges
+        RawNode(-3, 1, 0, Map.empty)),
+      Seq(RawWay(-10, Seq(-1L, -3L), Map("ref" -> "Y", "building" -> "yes"))),
+      Seq.empty)
+    val merged = OsmOut.writeOsmDoc(doc, s"$dir/a.osm.gz")
+    assert(merged.nodes.forall(n => !n.tags.contains("ref")))
+    assert(merged.ways.head.tags === Map("building" -> "yes"))
+    assert(merged.nodes.length === 2) // -2 sank into the tagged -1
+    val (ns, ws, _) = OsmOut.readOsmFile(s"$dir/a.osm.gz")
+    assert(ns.map(n => (n.lon, n.lat, n.tags)).toSet ===
+      merged.nodes.map(n => (n.lon, n.lat, n.tags)).toSet)
+    assert(ws.head.tags === Map("building" -> "yes"))
+  }
+
+  test("distributed task-file sink writes one .osm.gz per label") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tasks").toString
+    val docs = spark.createDataset(Seq(
+      ("T1", OsmOut.osmToXml(OsmDoc(Seq(RawNode(-1, 0, 0, Map("a" -> "1"))), Seq.empty, Seq.empty))),
+      ("T2", OsmOut.osmToXml(OsmDoc(Seq(RawNode(-1, 2, 2, Map("b" -> "2"))), Seq.empty, Seq.empty)))))
+      .repartition(2)
+    assert(OsmOut.writeTaskFiles(docs, dir) === 2L)
+    val (ns, _, _) = OsmOut.readOsmFile(s"$dir/T2.osm.gz")
+    assert(ns.head.tags === Map("b" -> "2"))
+  }
+}
