@@ -919,15 +919,42 @@ object Queries {
               ORDER BY id_a, id_b""")),
 
     // SimHash near-dup (rows-only)
+    // gated end-to-end: the md5-derived token hash is bit-reproducible in
+    // DuckDB, the pigeonhole blocks are lossless for maxDist=8, so the
+    // engine's banded output must equal the oracle's brute-force O(n²)
+    // hamming scan exactly (production default keeps the faster hash64 —
+    // only the pluggable per-token hash differs, never the join machinery).
     "q_dedup_simhash" -> Q(
       (s, d) => {
         import s.implicits._
         val docs = t(s, d, "documents")
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"),
+            filter(split(col("text"), " "), x => length(x) > lit(0)).as("toks"))
+          .filter(size(col("toks")) > 0)
           .as[(Long, Seq[String])]
-        Dedup.simhashNearDups(docs, maxDist = 8).orderBy("id_a", "id_b")
+        Dedup.simhashNearDups(docs, maxDist = 8, tokenHash = Dedup.md5Hash64)
+          .orderBy("id_a", "id_b")
       },
-      None),
+      Some("""WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+              ), th AS (
+                SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+                FROM toks WHERE tok <> ''
+              ), votes AS (
+                SELECT doc_id, b,
+                       sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                FROM th CROSS JOIN (SELECT unnest(range(64)) AS b)
+                GROUP BY doc_id, b
+              ), sigs AS (
+                SELECT doc_id,
+                       bit_or(CASE WHEN v > 0 THEN (1::UBIGINT << b)
+                              ELSE 0::UBIGINT END) AS sig
+                FROM votes GROUP BY doc_id
+              )
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.sig, b.sig)) <= 8
+              ORDER BY id_a, id_b""")),
 
     // exact brute-force nearest neighbors over embeddings (cosine)
     "q_nn_exact" -> Q(

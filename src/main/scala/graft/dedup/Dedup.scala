@@ -180,13 +180,26 @@ object Dedup {
     h ^ (h >>> 31)
   }
 
+  /** First 8 bytes of md5(token) read big-endian — a slower token hash
+    * whose bits an external SQL engine can reproduce exactly
+    * (`('0x' || substr(md5(t),1,16))::UBIGINT` in DuckDB), used to
+    * oracle-gate the simhash pipeline end-to-end. */
+  def md5Hash64(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
+  }
+
   /** 64-bit SimHash of a token seq (per-token hash64, bitwise vote).
     * Implemented as a plain Scala scalar for use in typed map — bit loops
     * aren't Catalyst-friendly and this is a per-row O(tokens) pass. */
-  def simhash64(tokens: Seq[String]): Long = {
+  def simhash64(tokens: Seq[String], tokenHash: String => Long = hash64): Long = {
     val votes = new Array[Int](64)
     tokens.foreach { t =>
-      val h = hash64(t)
+      val h = tokenHash(t)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -219,10 +232,12 @@ object Dedup {
     * blocks; block equality join generates candidates (pigeonhole: a pair
     * within Hamming distance maxDist cannot differ in every block), then a
     * codegen'd bit_count(a ^ b) verifies the exact distance. */
-  def simhashNearDups(docs: Dataset[(Long, Seq[String])], maxDist: Int = 3): DataFrame = {
+  def simhashNearDups(docs: Dataset[(Long, Seq[String])], maxDist: Int = 3,
+                      tokenHash: String => Long = hash64): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sigs = docs.map { case (id, toks) => (id, simhash64(toks)) }.toDF("id", "sig")
+    val sigs = docs.map { case (id, toks) => (id, simhash64(toks, tokenHash)) }
+      .toDF("id", "sig")
     val blocks = sigs.select(
       col("id"), col("sig"),
       explode(array(blockSpans(maxDist).zipWithIndex.map { case ((start, len), b) =>
