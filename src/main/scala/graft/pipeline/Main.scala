@@ -1,0 +1,206 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, element_at, split}
+
+import graft.ops.{MoveAddress, Municipalities, ParcelOps}
+import graft.ops.ParcelOps.ConsF
+import graft.sources.{CadastreGml, InspireGml, OsmOut}
+
+/** Command-line entry point: the reference's `catatom2osm` executable
+  * (__main__.py:53-73 process()) over this engine. [[Cli]] owns the
+  * argument grammar; this object executes the routed [[Cli.Action]]:
+  *
+  *  - `Process`: read the municipality's Cadastre GML layers from the path
+  *    directory (A.ES.SDGC.BU.<code>.building/buildingpart/othercons + the
+  *    AD address gml — the exact files catatom.py:52-76 resolves), run the
+  *    full [[AppRun]] DAG, write `tasks/<label>.osm.gz` + `report.txt`
+  *    into the directory (app.py:310-389, 889-918). A missing parcel layer
+  *    falls back to create_missing_parcels' from-building parcels (the
+  *    chain op the reference applies to unmatched refs).
+  *  - `GenerateMunicipalities`: municipalities.py:96-156 over the three
+  *    input CSVs found next to the output file.
+  *  - `ListCodes`: the static office table ('99') or an injected
+  *    municipality source (the reference fetches an ATOM feed — network).
+  *  - `Download`: reports the layer requests it would issue (zero-egress
+  *    build: the INSPIRE fetch itself is out of scope by design).
+  */
+object Main {
+
+  final case class Io(
+      out: String => Unit = println,
+      err: String => Unit = s => System.err.println(s),
+      /** -l PROV municipality source (network in the reference). */
+      municipalities: String => Seq[(String, String)] = _ => Seq.empty,
+      /** -w sink: (path, layer) per requested download. */
+      download: (String, String) => Unit = (p, l) =>
+        System.err.println(s"download disabled in this build: $p $l"))
+
+  def main(args: Array[String]): Unit = {
+    val code = run(args.toSeq, Io(), () => {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.ansi.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      spark
+    })
+    if (code != 0) sys.exit(code)
+  }
+
+  /** Parse, route, execute. Returns a process exit code; all effects go
+    * through `io` so every branch is testable. The Spark session is built
+    * lazily — only the actions that need one pay for it. */
+  def run(argv: Seq[String], io: Io, mkSpark: () => SparkSession): Int =
+    Cli.parse(argv).fold(
+      e => { io.err(e); 2 },
+      o => Cli.route(o) match {
+        case Cli.Usage =>
+          io.out(Cli.usage); 0
+        case Cli.Fail(msg) =>
+          io.err(msg); 1
+        case Cli.GenerateConfig =>
+          io.out(defaultConfig); 0
+        case Cli.ListCodes(code) =>
+          Cli.listCode(code, io.municipalities).fold(e => { io.err(e); 1 },
+            s => { io.out(s); 0 })
+        case Cli.Download(paths) =>
+          // Reader.download call order, __main__.py:58-61
+          paths.foreach { p =>
+            Seq("address", "cadastralzoning", "building")
+              .foreach(io.download(p, _))
+          }
+          0
+        case Cli.GenerateMunicipalities(paths) =>
+          generateMunicipalities(mkSpark(), paths, io)
+        case Cli.Process(opts) =>
+          opts.path.map(p => processPath(mkSpark(), p, opts, io)).max
+      })
+
+  /** config.generate_default_user_config's observable contract: a sample
+    * config with the documented defaults (config.py:616-660). */
+  val defaultConfig: String =
+    """language: es_ES
+      |parcel_parts: 20
+      |parcel_dist: 1000
+      |dup_thr: 0.012
+      |dist_thr: 0.02
+      |straight_thr: 2
+      |min_area: 0.05
+      |show_refs: false
+      |""".stripMargin
+
+  private def firstExisting(cands: Seq[String]): Option[String] =
+    cands.find(p => Files.exists(Paths.get(p)))
+
+  /** catatom.py:52-76 layer filename resolution, tolerant of the
+    * test-fixture names (`<code>.building.gml`, `building.gml`). */
+  private def layerFile(dir: String, code: String, layer: String): Option[String] =
+    firstExisting(Seq(
+      s"$dir/A.ES.SDGC.BU.$code.$layer.gml",
+      s"$dir/$code.$layer.gml",
+      s"$dir/$layer.gml"))
+
+  private def addressFile(dir: String, code: String): Option[String] =
+    firstExisting(Seq(
+      s"$dir/A.ES.SDGC.AD.$code.gml",
+      s"$dir/$code.address.gml",
+      s"$dir/address.gml"))
+
+  private def consOf(path: String): Seq[ConsF] =
+    CadastreGml.read(path).map { f =>
+      val a = CadastreGml.toConsAttrs(f)
+      def i(k: String) = a.get(k).filter(_.nonEmpty)
+        .flatMap(v => scala.util.Try(v.toDouble.toInt).toOption).getOrElse(-1)
+      val lid = a("localId")
+      ConsF(lid, ParcelOps.refOf(lid), ParcelOps.kindOf(lid),
+        i("lev_above"), i("lev_below"), f.geometry)
+    }
+
+  /** One municipality directory end-to-end (CatAtom2Osm.run, app.py:118-165):
+    * building + address read, AppRun DAG, task files + report written back
+    * into the directory. Returns an exit code. */
+  def processPath(spark: SparkSession, path: String, opts: Cli.Options,
+      io: Io): Int = {
+    import spark.implicits._
+    val dir = path.stripSuffix("/")
+    val code = Paths.get(dir).getFileName.toString
+    if (!code.matches("\\d{5}")) {
+      io.err(s"Directory name must be a 5 digits ZIP code: $code"); return 1
+    }
+    val buildingGml = layerFile(dir, code, "building").orElse {
+      io.err(s"No building layer found in $dir"); None
+    }.getOrElse(return 1)
+
+    val cons = consOf(buildingGml) ++
+      layerFile(dir, code, "buildingpart").toSeq.flatMap(consOf) ++
+      layerFile(dir, code, "othercons").toSeq.flatMap(consOf)
+
+    val addrs =
+      if (!opts.address) spark.emptyDataset[MoveAddress.Addr]
+      else addressFile(dir, code) match {
+        case None =>
+          io.err(s"No address layer found in $dir (processing buildings only)")
+          spark.emptyDataset[MoveAddress.Addr]
+        case Some(f) => InspireGml.addresses(spark, f)
+          .select(col("localId"),
+            element_at(split(col("localId"), "\\."), -1).as("ref"),
+            col("spec"), col("x"), col("y"))
+          .as[MoveAddress.Addr]
+      }
+
+    val result = AppRun.run(spark, cons, Seq.empty, addrs, code,
+      distributedChain = true)
+
+    val docs = spark.createDataset(result.taskDocs.toSeq)
+    OsmOut.writeTaskFiles(docs, s"$dir/tasks")
+    val reportLines = result.report.values.toSeq.sorted
+      .map { case (k, v) => s"$k\t$v" } ++ result.report.validate()
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(s"$dir/report.txt"),
+      reportLines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    io.out(s"$code: ${result.taskDocs.size} tasks, " +
+      s"${result.report.get("out_features")} features")
+    0
+  }
+
+  /** municipalities.generate_municipalities (municipalities.py:159-170):
+    * output path from PATHS (default municipalities.csv in cwd), input
+    * tables read from the directory holding the output. */
+  def generateMunicipalities(spark: SparkSession, paths: Seq[String],
+      io: Io): Int = {
+    import spark.implicits._
+    val outPath = paths.headOption.getOrElse("municipalities.csv")
+    val dir = Option(Paths.get(outPath).getParent).map(_.toString).getOrElse(".")
+    def rows(name: String): Option[Seq[Array[String]]] = {
+      val p = Paths.get(s"$dir/$name")
+      if (!Files.exists(p)) { io.err(s"Missing input table $p"); None }
+      else Some(Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
+        .filter(_.nonEmpty).map(_.split("\t")))
+    }
+    (rows("municipalities-cat-ad.csv"), rows("municipalities-ign-au.csv"),
+      rows("municipalities-old.csv")) match {
+      case (Some(cat), Some(ign), Some(old)) =>
+        val out = Municipalities.generateMunD(
+            spark.createDataset(cat.map(r => (r(0), r(1), r(2)))),
+            spark.createDataset(ign.map(r => (r(0), r(1), r(2)))),
+            spark.createDataset(old.map(r => (r(0), r(1)))))
+          .as[(String, String, String)].collect()
+          .sortBy(_._1).map { case (a, b, c) => s"$a\t$b\t$c" }
+        Files.write(Paths.get(outPath),
+          out.mkString("\n").getBytes(StandardCharsets.UTF_8))
+        io.out(s"Wrote ${out.length} municipalities to $outPath")
+        0
+      case _ => 1
+    }
+  }
+}

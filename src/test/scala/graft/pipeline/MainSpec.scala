@@ -1,0 +1,75 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end CLI run: `graft.pipeline.Main 38023 -b` over the reference's
+  * own 38023 Cadastre GML fixtures — files in, task .osm.gz files and
+  * report.txt out, through the distributed AppRun DAG. */
+class MainSpec extends AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+
+  private def stage(): String = {
+    val dir = Files.createTempDirectory("graft_cli").resolve("38023")
+    Files.createDirectories(dir)
+    val fx = "/root/reference/test/fixtures"
+    Seq("38023.building.gml", "38023.buildingpart.gml").foreach { f =>
+      Files.copy(Paths.get(s"$fx/$f"), dir.resolve(f),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    dir.toString
+  }
+
+  test("process runs the building-only pipeline over a municipality dir") {
+    val dir = stage()
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val io = Main.Io(out = out += _, err = out += _)
+    val code = Main.run(Seq(dir, "-b"), io, () => spark)
+    assert(code === 0, out.mkString("; "))
+    val tasks = Files.list(Paths.get(s"$dir/tasks")).toArray.map(_.toString)
+    assert(tasks.nonEmpty && tasks.forall(_.endsWith(".osm.gz")))
+    // every task doc parses back and carries building ways
+    val (n0, w0, _) = graft.sources.OsmOut.readOsmFile(tasks.min)
+    assert(n0.nonEmpty && w0.nonEmpty)
+    val report = Files.readAllLines(Paths.get(s"$dir/report.txt"))
+    def metric(k: String): Long = report.stream.filter(_.startsWith(k + "\t"))
+      .findFirst.map[Long](l => l.split("\t")(1).toLong).orElse(-1L)
+    // the 38023 GML fixture counts (CadastreGmlSpec reads the same files)
+    assert(metric("inp_features") > 0)
+    assert(metric("inp_buildings") > 0)
+    assert(metric("inp_parts") > 0)
+  }
+
+  test("bad directory names and missing layers exit non-zero") {
+    val errs = scala.collection.mutable.ArrayBuffer[String]()
+    val io = Main.Io(out = _ => (), err = errs += _)
+    assert(Main.run(Seq("/tmp/not5digits"), io, () => spark) === 1)
+    assert(errs.exists(_.contains("5 digits")))
+    val empty = Files.createTempDirectory("graft_cli_e").resolve("12345")
+    Files.createDirectories(empty)
+    assert(Main.run(Seq(empty.toString), io, () => spark) === 1)
+    assert(errs.exists(_.contains("No building layer")))
+  }
+
+  test("generate_municipalities writes the fuzzy-joined CSV") {
+    val dir = Files.createTempDirectory("graft_munis")
+    val fx = "/root/reference/catatom2osm"
+    // head-sliced inputs: one province's worth keeps the spec fast
+    def slice(name: String, prov: String, provCol: Int): Unit = {
+      val lines = Files.readAllLines(Paths.get(s"$fx/$name")).stream
+        .filter(l => l.nonEmpty &&
+          (provCol < 0 || l.split("\t")(provCol).startsWith(prov)))
+        .toArray.map(_.toString)
+      Files.write(dir.resolve(name), java.util.Arrays.asList(lines: _*))
+    }
+    slice("municipalities-cat-ad.csv", "05", 0)
+    slice("municipalities-ign-au.csv", "05", 0)
+    slice("municipalities-old.csv", "05", 0)
+    val out = dir.resolve("new.csv").toString
+    val io = Main.Io(out = _ => (), err = s => fail(s))
+    assert(Main.run(Seq("-x", out), io, () => spark) === 0)
+    val got = Files.readAllLines(Paths.get(out))
+    assert(got.size > 100 && got.stream.allMatch(_.split("\t").length === 3))
+  }
+}
