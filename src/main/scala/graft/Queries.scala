@@ -16,6 +16,16 @@ import graft.clean.PolygonClean
   * sorting columns by name.
   */
 object Queries {
+
+  /** q_ann_topk's hyperplane constants as a SQL VALUES list: the same
+    * Similarity.hyperplanes(4, 64) weights the engine applies, rounded to
+    * float exactly as lshBucket's literals are and printed with round-trip
+    * precision so DuckDB recovers bit-identical doubles. `d` is 1-based to
+    * align with generate_subscripts. */
+  private lazy val annPlanesSql: String =
+    graft.sim.Similarity.hyperplanes(4, 64).zipWithIndex.flatMap { case (p, b) =>
+      p.zipWithIndex.map { case (w, d) => s"($b,${d + 1},${w.toFloat.toDouble})" }
+    }.mkString(",")
   final case class Q(fn: (SparkSession, String) => DataFrame, oracle: Option[String])
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
@@ -969,20 +979,91 @@ object Queries {
                 FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id)
               WHERE rank <= 3 ORDER BY vec_id, rank""")),
 
-    // LSH-bucketed ANN (approximate -> rows-only)
+    // LSH-bucketed ANN, oracle-gated end-to-end: nBits pinned to 4 so the
+    // oracle can embed the SAME float-rounded hyperplane constants as SQL
+    // literals and replay bucket assignment + Hamming-1 multiprobe +
+    // candidate ranking closed-form. The approximation (which neighbors the
+    // buckets can see) is itself deterministic, so the gate is exact; the
+    // auto-nBits scale path keeps its recall-vs-scan spec.
     "q_ann_topk" -> Q(
       (s, d) => Similarity
-        .annTopK(t(s, d, "embeddings"), "vec_id", "embedding", 3)
+        .annTopK(t(s, d, "embeddings"), "vec_id", "embedding", 3, nBits = 4)
         .orderBy("vec_id", "rank"),
-      None),
+      Some(s"""WITH h(b, d, w) AS (VALUES $annPlanesSql),
+              comp AS (
+                SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+                       unnest(embedding)::DOUBLE AS x FROM embeddings
+              ), dots AS (
+                SELECT vec_id, b, sum(x * w) AS s
+                FROM comp JOIN h USING (d) GROUP BY vec_id, b
+              ), buck AS (
+                SELECT vec_id,
+                       sum(CASE WHEN s >= 0 THEN (1::UBIGINT << b)
+                           ELSE 0::UBIGINT END)::UBIGINT AS bkt
+                FROM dots GROUP BY vec_id
+              ), cand AS (
+                SELECT q.vec_id, x.vec_id AS nbr_id
+                FROM buck q JOIN buck x
+                  ON q.vec_id != x.vec_id
+                 AND bit_count(xor(q.bkt, x.bkt)) <= 1
+              ), ranked AS (
+                SELECT c.vec_id, c.nbr_id,
+                  row_number() OVER (PARTITION BY c.vec_id
+                    ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                             c.nbr_id) AS rank
+                FROM cand c
+                JOIN embeddings a ON a.vec_id = c.vec_id
+                JOIN embeddings b ON b.vec_id = c.nbr_id)
+              SELECT vec_id, rank, nbr_id FROM ranked
+              WHERE rank <= 3 ORDER BY vec_id, rank""")),
 
-    // IVF ANN: deterministic k-means inverted lists + nprobe probing
-    // (the other scale path named by the brief; approximate -> rows-only)
+    // IVF ANN: deterministic inverted lists + nprobe probing, oracle-gated
+    // with iters=0 (centroids = the md5-order sampled seed vectors, a pure
+    // SQL-expressible function of the table) — the list build, probe join,
+    // and ranking are the production machinery; Lloyd refinement keeps its
+    // recall + determinism specs.
     "q_ann_ivf" -> Q(
       (s, d) => Similarity
-        .ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding", 3)
+        .ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding", 3,
+          iters = 0, seedHash = Similarity.md5SeedHash)
         .orderBy("vec_id", "rank"),
-      None),
+      Some("""WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+              seeds AS (
+                SELECT id, ('0x' || substr(md5(id::VARCHAR), 1, 16))::UBIGINT AS h
+                FROM e
+              ), cent AS (
+                SELECT id AS cid, row_number() OVER (ORDER BY h) - 1 AS cidx
+                FROM seeds QUALIFY row_number() OVER (ORDER BY h) <= 16
+              ), ccomp AS (
+                SELECT c.cidx, generate_subscripts(e.v, 1) AS d,
+                       unnest(e.v)::DOUBLE AS cx
+                FROM cent c JOIN e ON e.id = c.cid
+              ), comp AS (
+                SELECT id, generate_subscripts(v, 1) AS d,
+                       unnest(v)::DOUBLE AS x FROM e
+              ), dist AS (
+                SELECT id, cidx, sum((x - cx) * (x - cx)) AS dd
+                FROM comp JOIN ccomp USING (d) GROUP BY id, cidx
+              ), rankedc AS (
+                SELECT id, cidx,
+                  row_number() OVER (PARTITION BY id ORDER BY dd, cidx) AS rn
+                FROM dist
+              ), assign AS (SELECT id AS nbr_id, cidx AS list FROM rankedc WHERE rn = 1),
+              probes AS (SELECT id AS vec_id, cidx AS list FROM rankedc WHERE rn <= 4),
+              cand AS (
+                SELECT DISTINCT p.vec_id, a.nbr_id
+                FROM probes p JOIN assign a USING (list)
+                WHERE p.vec_id != a.nbr_id
+              ), ranked AS (
+                SELECT c.vec_id, c.nbr_id,
+                  row_number() OVER (PARTITION BY c.vec_id
+                    ORDER BY list_cosine_similarity(a2.embedding, b2.embedding) DESC,
+                             c.nbr_id) AS rank
+                FROM cand c
+                JOIN embeddings a2 ON a2.vec_id = c.vec_id
+                JOIN embeddings b2 ON b2.vec_id = c.nbr_id)
+              SELECT vec_id, rank, nbr_id FROM ranked
+              WHERE rank <= 3 ORDER BY vec_id, rank""")),
 
     // heuristic language id — the classifier is deterministic column math
     // (stopword-hit argmax, earliest language wins ties), so the oracle

@@ -76,21 +76,31 @@ object Similarity {
     * each iteration is one shuffle (posexplode → per-(cluster, component)
     * avg). Runs on the driver only for the tiny k×dim centroid matrix;
     * assignments stay distributed. */
+  /** Default centroid-sampling hash (splitmix64 of the vector id). */
+  def mixSeedHash(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** md5-derived sampling hash whose TOTAL ORDER an external SQL engine can
+    * reproduce: DuckDB orders the raw md5 prefix as UBIGINT; flipping the
+    * sign bit makes Spark's signed Long sort agree with that unsigned
+    * order. Used by the oracle-gated IVF query. */
+  def md5SeedHash(id: Long): Long =
+    graft.dedup.Dedup.md5Hash64(id.toString) ^ Long.MinValue
+
   def kmeansCentroids(
       emb: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int = 3): Array[Array[Double]] = {
+      k: Int, iters: Int = 3,
+      seedHash: Long => Long = mixSeedHash): Array[Array[Double]] = {
     val spark = emb.sparkSession
     import spark.implicits._
-    def mix(z0: Long): Long = {
-      var z = z0 + 0x9E3779B97F4A7C15L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^ (z >>> 31)
-    }
     val seedRows = emb
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .as[(Long, Array[Float])]
-      .map { case (id, v) => (mix(id), v) }
+      .map { case (id, v) => (seedHash(id), v) }
       .toDF("h", "v")
       .orderBy("h").limit(k)
       .select("v").as[Array[Float]].collect()
@@ -147,10 +157,11 @@ object Similarity {
     * shape as the spatial cell join. Deterministic end to end. */
   def ivfTopK(
       emb: DataFrame, idCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
+      seedHash: Long => Long = mixSeedHash): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val centroids = kmeansCentroids(emb, idCol, vecCol, nlist, iters)
+    val centroids = kmeansCentroids(emb, idCol, vecCol, nlist, iters, seedHash)
     val bC = spark.sparkContext.broadcast(centroids)
     val vecs = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .as[(Long, Array[Float])]
