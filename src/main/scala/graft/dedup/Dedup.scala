@@ -74,15 +74,17 @@ object Dedup {
       storage: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val toks = split(col(textCol), " ")
-    // shingles are HASHED to 8-byte longs at the scan (xxhash64): the
-    // signature permutes the hashes (native codegen expr) and the verify
-    // join shuffles long arrays instead of 3-gram strings — ~3× fewer
-    // bytes through every exchange. A 64-bit collision can only MERGE two
-    // distinct shingles (≈n²/2^64 odds), indistinguishable in practice.
+    // shingles are HASHED to 8-byte longs at the scan: the signature
+    // permutes the hashes (native codegen expr) and the verify join
+    // shuffles long arrays instead of 3-gram strings — ~3× fewer bytes
+    // through every exchange. The hashing itself is one codegen'd pass
+    // (ShingleHash64Expr: no string materialization, no interpreted HOF).
+    // A 64-bit collision can only MERGE two distinct shingles (≈n²/2^64
+    // odds), indistinguishable in practice.
     val hashed = graft.CacheBin.persist(docs
       .select(
         col(idCol).as("id"),
-        array_distinct(transform(shingles(toks, shingleN), s => xxhash64(s))).as("sh")),
+        graft.functions.ShingleHash64Expr.shingleHash64(toks, shingleN).as("sh")),
       storage)
     val withSig = hashed
       .withColumn("sig",
@@ -144,7 +146,7 @@ object Dedup {
     // read ONE shingle generation instead of two.
     val sh = graft.CacheBin.persist(docs.select(
       col(idCol).as("id"),
-      explode(array_distinct(transform(shingles(toks, shingleN), s => xxhash64(s)))).as("sh")))
+      explode(graft.functions.ShingleHash64Expr.shingleHash64(toks, shingleN)).as("sh")))
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val ranked = sh.join(dfreq, "sh")
     val byDoc = Window.partitionBy("id")
@@ -157,8 +159,12 @@ object Dedup {
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    // verify over HASHED shingle sets (same 64-bit stream as `sh` above):
+    // |A∩B| / |A∪B| over long arrays equals the string-set Jaccard except
+    // under a 64-bit collision, and shuffles ~3× fewer bytes
     val sets = docs.select(
-      col(idCol).as("id"), array_distinct(shingles(toks, shingleN)).as("shs"))
+      col(idCol).as("id"),
+      graft.functions.ShingleHash64Expr.shingleHash64(toks, shingleN).as("shs"))
     cand
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("shs", "shs_a"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("shs", "shs_b"), "id_b")

@@ -35,10 +35,15 @@ object Similarity {
     * id-inequality cross join as BroadcastNestedLoopJoin when one side is
     * small; at scale, pre-bucket with lshBuckets and join on bucket. */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    val l = emb.select(col(idCol).as("vec_id"), col(vecCol).as("va"))
-    val r = emb.select(col(idCol).as("nbr_id"), col(vecCol).as("vb"))
+    // norms are a per-vector invariant: computing them once on each input
+    // side (instead of inside every pair's cosine) cuts the O(n²) pair work
+    // to one dot product per pair — same bits, sqrt(dot(v,v)) either way
+    val l = emb.select(col(idCol).as("vec_id"), col(vecCol).as("va"),
+      norm(col(vecCol)).as("na"))
+    val r = emb.select(col(idCol).as("nbr_id"), col(vecCol).as("vb"),
+      norm(col(vecCol)).as("nb"))
     val pairs = l.join(r, col("vec_id") =!= col("nbr_id"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("cos").desc, col("nbr_id"))
     pairs
@@ -168,12 +173,14 @@ object Similarity {
     val lists = vecs
       .map { case (id, v) => (nearestCentroid(v, bC.value)._1, id, v) }
       .toDF("list", "nbr_id", "vb")
+      .withColumn("nb", norm(col("vb"))) // per-vector norm, once, pre-join
     val probes = vecs
       .flatMap { case (id, v) => probeLists(v, bC.value, nprobe).map(c => (c, id, v)) }
       .toDF("list", "vec_id", "va")
+      .withColumn("na", norm(col("va")))
     val pairs = probes.join(lists, Seq("list"))
       .filter(col("vec_id") =!= col("nbr_id"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("cos").desc, col("nbr_id"))
     pairs
@@ -206,17 +213,19 @@ object Similarity {
     val planes = hyperplanes(bits, dim)
     val withB = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
       .withColumn("b", lshBucket(col("v"), planes))
+      .withColumn("n", norm(col("v"))) // per-vector norm, once, pre-join
     // multiprobe: each vector also probes buckets at Hamming distance 1
     // (mask 0 = own bucket, mask 1<<i = flip bit i)
     val masks = array((0L +: (0 until bits).map(i => 1L << i)).map(lit): _*)
     val probes = withB.select(
-      col("vec_id"), col("v"), col("b"), explode(masks).as("mask"))
+      col("vec_id"), col("v"), col("n"), col("b"), explode(masks).as("mask"))
       .withColumn("pb", col("b").bitwiseXOR(col("mask")))
-      .select(col("vec_id"), col("v"), col("pb"))
-    val base = withB.select(col("vec_id").as("nbr_id"), col("v").as("vb"), col("b").as("pb"))
+      .select(col("vec_id"), col("v"), col("n"), col("pb"))
+    val base = withB.select(col("vec_id").as("nbr_id"), col("v").as("vb"),
+      col("n").as("nb"), col("b").as("pb"))
     val pairs = probes.join(base, Seq("pb"))
       .filter(col("vec_id") =!= col("nbr_id"))
-      .withColumn("cos", cosine(col("v"), col("vb")))
+      .withColumn("cos", dot(col("v"), col("vb")) / (col("n") * col("nb")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("cos").desc, col("nbr_id"))
     pairs
