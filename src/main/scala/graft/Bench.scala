@@ -11,7 +11,8 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q_pip_join", "q_zone_count", "q_knn_nearest", "q_radius_join",
     "q_cell_assign", "q_multi_join", "q_agg_parts", "q_window_argmin",
-    "q_dedup_minhash", "q_dedup_simhash", "q_jaccard_pairs", "q_nn_exact",
+    "q_dedup_minhash", "q_dedup_simhash", "q_dedup_embed", "q_jaccard_pairs",
+    "q_nn_exact",
     "q_ann_topk", "q_word_freq", "q_event_windows", "q_clean_polygons",
     "q_adjacency_components", "q_union_geoms", "q_tile_pack",
     "q_move_address", "q_fuzzy_match", "q_extract_text", "q_media_meta",

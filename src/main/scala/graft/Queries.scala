@@ -966,6 +966,40 @@ object Queries {
               WHERE bit_count(xor(a.sig, b.sig)) <= 8
               ORDER BY id_a, id_b""")),
 
+    // embedding-cosine near-duplicate pairs (the brief's 5th dedup mode):
+    // LSH sign buckets + Hamming-1 multiprobe candidates, one pre-normed
+    // dot per pair verifies cos >= τ. Gated like q_ann_topk: nBits=4 pinned
+    // so the oracle replays bucket assignment from the same embedded
+    // hyperplane constants, then applies the identical threshold.
+    "q_dedup_embed" -> Q(
+      (s, d) => Similarity
+        .embedNearDups(t(s, d, "embeddings"), "vec_id", "embedding",
+          threshold = 0.35, nBits = 4)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH h(b, d, w) AS (VALUES $annPlanesSql),
+              comp AS (
+                SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+                       unnest(embedding)::DOUBLE AS x FROM embeddings
+              ), dots AS (
+                SELECT vec_id, b, sum(x * w) AS s
+                FROM comp JOIN h USING (d) GROUP BY vec_id, b
+              ), buck AS (
+                SELECT vec_id,
+                       sum(CASE WHEN s >= 0 THEN (1::UBIGINT << b)
+                           ELSE 0::UBIGINT END)::UBIGINT AS bkt
+                FROM dots GROUP BY vec_id
+              ), pairs AS (
+                SELECT q.vec_id AS id_a, x.vec_id AS id_b
+                FROM buck q JOIN buck x
+                  ON q.vec_id < x.vec_id
+                 AND bit_count(xor(q.bkt, x.bkt)) <= 1)
+              SELECT p.id_a, p.id_b
+              FROM pairs p
+              JOIN embeddings a ON a.vec_id = p.id_a
+              JOIN embeddings b ON b.vec_id = p.id_b
+              WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+              ORDER BY id_a, id_b""")),
+
     // exact brute-force nearest neighbors over embeddings (cosine)
     "q_nn_exact" -> Q(
       (s, d) => Similarity

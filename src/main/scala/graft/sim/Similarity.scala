@@ -190,6 +190,42 @@ object Similarity {
       .select("vec_id", "rank", "nbr_id")
   }
 
+  /** Embedding-cosine near-duplicate pairs: LSH sign buckets + Hamming-1
+    * multiprobe generate candidates, a single pre-normed dot per pair
+    * verifies cos >= threshold. Output (id_a < id_b) pairs. The candidate
+    * set is a deterministic function of the hyperplanes (recall < 1 like
+    * any LSH dedup, but reproducible — the oracle replays the buckets), and
+    * per-bucket work is constant at any n via the same auto-nBits rule as
+    * annTopK. */
+  def embedNearDups(
+      emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      nBits: Int = 0, targetBucket: Int = 64): DataFrame = {
+    val bits =
+      if (nBits > 0) nBits
+      else {
+        val n = emb.count()
+        math.max(4, math.ceil(
+          math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2)).toInt)
+      }
+    val dim = emb.select(size(col(vecCol))).first().getInt(0)
+    val planes = hyperplanes(bits, dim)
+    val withB = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("b", lshBucket(col("v"), planes))
+      .withColumn("n", norm(col("v")))
+    val masks = array((0L +: (0 until bits).map(i => 1L << i)).map(lit): _*)
+    val probes = withB.select(
+      col("id"), col("v"), col("n"), col("b"), explode(masks).as("mask"))
+      .withColumn("pb", col("b").bitwiseXOR(col("mask")))
+      .select(col("id").as("id_a"), col("v").as("va"), col("n").as("na"), col("pb"))
+    val base = withB.select(col("id").as("id_b"), col("v").as("vb"),
+      col("n").as("nb"), col("b").as("pb"))
+    probes.join(base, Seq("pb"))
+      .filter(col("id_a") < col("id_b")) // one direction; dedups the probe overlap too
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
   /** IVF-style ANN: bucket by LSH signature, brute-force within bucket plus
     * neighbor buckets at Hamming distance 1 (probe lists). Returns candidate
     * top-k per vector; recall < 1 by construction (approximate path).

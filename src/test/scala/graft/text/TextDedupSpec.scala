@@ -174,6 +174,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.35, s"recall $recall should beat the ~0.31 scan fraction")
   }
 
+  test("embedNearDups = brute-force threshold pairs restricted to probed buckets") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"${TestSpark.sf001}/embeddings.parquet")
+    val got = Similarity.embedNearDups(emb, "vec_id", "embedding", 0.35, nBits = 4)
+      .as[(Long, Long)].collect().toSet
+    // brute-force ground truth of the same deterministic candidate rule
+    val vecs = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    val planes = Similarity.hyperplanes(4, vecs.head._2.length)
+    def bucket(v: Array[Float]): Long =
+      planes.zipWithIndex.map { case (p, i) =>
+        val d = v.indices.foldLeft(0.0)((a, j) => a + v(j).toDouble * p(j).toFloat.toDouble)
+        if (d >= 0) 1L << i else 0L
+      }.sum
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.indices.foldLeft(0.0)((s, i) => s + x(i).toDouble * y(i).toDouble)
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val bk = vecs.map { case (id, v) => id -> bucket(v) }.toMap
+    val expect = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs
+      if ia < ib
+      if java.lang.Long.bitCount(bk(ia) ^ bk(ib)) <= 1
+      if cos(va, vb) >= 0.35
+    } yield (ia, ib)).toSet
+    assert(got === expect)
+    assert(got.nonEmpty, "threshold should keep some pairs on this data")
+  }
+
   test("IVF recall beats its candidate-scan fraction and is deterministic") {
     import spark.implicits._
     val emb = spark.read.parquet(s"${TestSpark.sf001}/embeddings.parquet")
