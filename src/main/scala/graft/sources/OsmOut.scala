@@ -126,9 +126,30 @@ object OsmOut {
         (col("n_refs") - col("n_resolved")).as("n_dangling"))
   }
 
-  final case class RawNode(id: Long, lon: Double, lat: Double, tags: Map[String, String])
-  final case class RawWay(id: Long, ndRefs: Seq[Long], tags: Map[String, String])
-  final case class RawRel(id: Long, members: Seq[(String, Long, String)], tags: Map[String, String])
+  /** `attrs` carries the JOSM/OSM element attributes beyond the modeled
+    * ones (action, visible, version, timestamp, changeset, uid, user —
+    * osm.py:174-183 _attr_list) so documents read from OSM round-trip
+    * through serialize without losing upload metadata. Empty for elements
+    * this engine creates (the reference also serializes defaults only via
+    * the Element constructor; our task-doc goldens stay byte-identical). */
+  final case class RawNode(id: Long, lon: Double, lat: Double, tags: Map[String, String],
+      attrs: Map[String, String] = Map.empty)
+  final case class RawWay(id: Long, ndRefs: Seq[Long], tags: Map[String, String],
+      attrs: Map[String, String] = Map.empty)
+  final case class RawRel(id: Long, members: Seq[(String, Long, String)], tags: Map[String, String],
+      attrs: Map[String, String] = Map.empty)
+
+  /** Serialization order of element attributes (osm.py:174-183). */
+  private val AttrOrder = Seq(
+    "action", "visible", "version", "timestamp", "changeset", "uid", "user")
+
+  private def attrString(attrs: Map[String, String]): String =
+    if (attrs.isEmpty) ""
+    else {
+      val known = AttrOrder.filter(attrs.contains).map(k => (k, attrs(k)))
+      val rest = (attrs -- AttrOrder -- Seq("id", "lon", "lat")).toSeq.sortBy(_._1)
+      (known ++ rest).map { case (k, v) => s" $k='${escape(v)}'" }.mkString
+    }
 
   /** General OSM XML parser (osmxml.deserialize surface, osmxml.py:44-126):
     * tolerant of arbitrary attribute order / JOSM action attributes; nodes,
@@ -138,6 +159,14 @@ object OsmOut {
       (name + "='([^']*)'").r.findFirstMatchIn(elem)
         .orElse((name + "=\"([^\"]*)\"").r.findFirstMatchIn(elem))
         .map(_.group(1))
+    // every name='value' pair in an element head, minus the structural ones
+    val attrPair = "([\\w:]+)=(?:'([^']*)'|\"([^\"]*)\")".r
+    def extraAttrs(head: String, structural: Set[String]): Map[String, String] =
+      attrPair.findAllMatchIn(head).flatMap { m =>
+        val k = m.group(1)
+        if (structural(k)) None
+        else Some(k -> unescape(Option(m.group(2)).getOrElse(m.group(3))))
+      }.toMap
     def tags(body: String): Map[String, String] =
       "<tag [^>]*/>".r.findAllIn(body).flatMap { t =>
         for (k <- attr(t, "k"); v <- attr(t, "v")) yield (unescape(k), unescape(v))
@@ -145,13 +174,15 @@ object OsmOut {
     val nodes = "(?s)<node ([^>]*?)(/>|>(.*?)</node>)".r.findAllMatchIn(xml).flatMap { m =>
       val head = m.group(1); val body = Option(m.group(3)).getOrElse("")
       for (id <- attr(head, "id"); lon <- attr(head, "lon"); lat <- attr(head, "lat"))
-        yield RawNode(id.toLong, lon.toDouble, lat.toDouble, tags(body))
+        yield RawNode(id.toLong, lon.toDouble, lat.toDouble, tags(body),
+          extraAttrs(head, Set("id", "lon", "lat")))
     }.toSeq
     val ways = "(?s)<way ([^>]*?)>(.*?)</way>".r.findAllMatchIn(xml).flatMap { m =>
       val head = m.group(1); val body = m.group(2)
       val refs = "<nd [^>]*/>".r.findAllIn(body)
         .flatMap(nd => attr(nd, "ref")).map(_.toLong).toSeq
-      attr(head, "id").map(id => RawWay(id.toLong, refs, tags(body)))
+      attr(head, "id").map(id =>
+        RawWay(id.toLong, refs, tags(body), extraAttrs(head, Set("id"))))
     }.toSeq
     val rels = "(?s)<relation ([^>]*?)>(.*?)</relation>".r.findAllMatchIn(xml).flatMap { m =>
       val head = m.group(1); val body = m.group(2)
@@ -159,7 +190,8 @@ object OsmOut {
         for (t <- attr(mm, "type"); r <- attr(mm, "ref"))
           yield (t, r.toLong, attr(mm, "role").getOrElse(""))
       }.toSeq
-      attr(head, "id").map(id => RawRel(id.toLong, members, tags(body)))
+      attr(head, "id").map(id =>
+        RawRel(id.toLong, members, tags(body), extraAttrs(head, Set("id"))))
     }.toSeq
     (nodes, ways, rels)
   }
@@ -259,18 +291,18 @@ object OsmOut {
         sb ++= s"$indent<tag k='${escape(k)}' v='${escape(v)}' />\n"
       }
     for (n <- doc.nodes) {
-      sb ++= s"  <node id='${n.id}' lon='${n.lon}' lat='${n.lat}'"
+      sb ++= s"  <node id='${n.id}'${attrString(n.attrs)} lon='${n.lon}' lat='${n.lat}'"
       if (n.tags.isEmpty) sb ++= " />\n"
       else { sb ++= ">\n"; tagLines(n.tags, "    "); sb ++= "  </node>\n" }
     }
     for (w <- doc.ways) {
-      sb ++= s"  <way id='${w.id}'>\n"
+      sb ++= s"  <way id='${w.id}'${attrString(w.attrs)}>\n"
       w.ndRefs.foreach(r => sb ++= s"    <nd ref='$r' />\n")
       tagLines(w.tags, "    ")
       sb ++= "  </way>\n"
     }
     for (r <- doc.rels) {
-      sb ++= s"  <relation id='${r.id}'>\n"
+      sb ++= s"  <relation id='${r.id}'${attrString(r.attrs)}>\n"
       r.members.foreach { case (t, ref, role) =>
         sb ++= s"    <member type='$t' ref='$ref' role='$role' />\n"
       }

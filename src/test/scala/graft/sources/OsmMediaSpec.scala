@@ -297,4 +297,27 @@ class CurrentOsmSpec extends org.scalatest.funsuite.AnyFunSuite {
     val closed = ways.filter(w => w.ndRefs.nonEmpty && w.ndRefs.head == w.ndRefs.last)
     assert(closed.nonEmpty)
   }
+
+  test("JOSM element attrs (action/visible/version/...) round-trip serialize") {
+    val xml = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/root/reference/test/fixtures/current.osm"))
+    val (nodes, ways, rels) = OsmOut.parseOsm(xml)
+    // the JOSM fixture: new (negative-id) elements carry action/visible,
+    // already-uploaded ones carry version/timestamp/changeset/uid/user
+    assert(nodes.filter(_.id < 0)
+      .forall(_.attrs === Map("action" -> "modify", "visible" -> "true")))
+    val uploaded = nodes.filter(_.id > 0)
+    assert(uploaded.nonEmpty &&
+      uploaded.forall(n => n.attrs.contains("version") && n.attrs.contains("timestamp")))
+    val out = OsmOut.osmToXml(OsmOut.OsmDoc(nodes, ways, rels))
+    val (n2, w2, r2) = OsmOut.parseOsm(out)
+    assert(n2.map(n => (n.id, n.attrs)).toSet === nodes.map(n => (n.id, n.attrs)).toSet)
+    assert(w2.map(w => (w.id, w.attrs)).toSet === ways.map(w => (w.id, w.attrs)).toSet)
+    assert(r2.map(r => (r.id, r.attrs)).toSet === rels.map(r => (r.id, r.attrs)).toSet)
+    // elements created by this engine stay attr-free -> serialized heads
+    // unchanged (task-doc goldens remain byte-identical)
+    val fresh = OsmOut.osmToXml(OsmOut.OsmDoc(
+      Seq(OsmOut.RawNode(-1, 1.0, 2.0, Map("a" -> "b"))), Seq.empty, Seq.empty))
+    assert(fresh.contains("<node id='-1' lon='1.0' lat='2.0'>"))
+  }
 }
