@@ -343,6 +343,30 @@ object Geom {
     if (poly.length < 3) 0.0 else ringArea(poly.toArray)
   }
 
+  /** Exact subject∩clip overlap area for a SIMPLE (possibly concave) clip
+    * ring, via signed triangle-fan decomposition: for any fan origin o, the
+    * characteristic function of a simple CCW polygon equals
+    * Σ_i sign_i · 1_{tri(o, v_i, v_{i+1})} (overlapping fan triangles cancel
+    * outside the polygon). Hence
+    * area(S ∩ clip) = Σ_i sign_i · area(S ∩ tri_i), each term a convex
+    * Sutherland–Hodgman clip — exact, and robust to collinear vertices
+    * (zero-area fan triangles contribute nothing). Extends the ≥50 % rule
+    * (geo/tools.py:11-19) to arbitrary admin boundaries (the -s split). */
+  def clipAreaSimple(subject: Ring, clip: Ring): Double = {
+    val ccw = if (signedArea(clip) < 0) clip.reverse else clip
+    val o = ccw(0)
+    var acc = 0.0
+    var i = 1
+    while (i + 1 < ccw.length) {
+      val a = ccw(i); val b = ccw(i + 1)
+      val s = (a.x - o.x) * (b.y - o.y) - (a.y - o.y) * (b.x - o.x)
+      if (s > 0) acc += clipAreaConvex(subject, Array(o, a, b))
+      else if (s < 0) acc -= clipAreaConvex(subject, Array(o, b, a))
+      i += 1
+    }
+    acc
+  }
+
   /** is_inside_area: fully contained, or overlap area ratio >= 0.5
     * (reference geo/tools.py:11-19). Convex zones only (diamond/rect). */
   def isInsideAreaConvex(subject: Ring, zone: Ring): Boolean = {

@@ -141,9 +141,24 @@ object Main {
       io.err(s"No building layer found in $dir"); None
     }.getOrElse(return 1)
 
-    val cons = consOf(buildingGml) ++
+    val consAll = consOf(buildingGml) ++
       layerFile(dir, code, "buildingpart").toSeq.flatMap(consOf) ++
       layerFile(dir, code, "othercons").toSeq.flatMap(consOf)
+
+    // -s SPLIT: keep features with >=50% of their area inside the boundary
+    // (app.py:255-258; the reference filters the zoning/parcel query, which
+    // here — parcels being derived from buildings — is the same cut)
+    val cons = opts.split match {
+      case None => consAll
+      case Some(sf) =>
+        val p = firstExisting(Seq(sf, s"$dir/$sf", s"$dir/$sf.geojson"))
+          .getOrElse { io.err(s"Can't open $sf"); return 1 }
+        val polys = graft.ops.Split.read(p)
+        if (polys.isEmpty) { io.err(s"'$sf' does not include any polygon"); return 1 }
+        val kept = consAll.filter(f => graft.ops.Split.keep(f.geometry, polys))
+        io.out(s"Split '$sf': ${kept.length}/${consAll.length} features kept")
+        kept
+    }
 
     val addrs =
       if (!opts.address) spark.emptyDataset[MoveAddress.Addr]

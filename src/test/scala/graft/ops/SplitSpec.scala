@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.geom.{Geom, Pt}
+
+/** The -s split boundary filter over the reference's own split fixtures
+  * (test/fixtures/split{1,2,3}.geojson) + triangulation/clip laws. */
+class SplitSpec extends AnyFunSuite {
+  val fx = "/root/reference/test/fixtures"
+
+  test("split1 (2 Polygons) and split2 (1 MultiPolygon) are the same shape") {
+    val s1 = Split.read(s"$fx/split1.geojson")
+    val s2 = Split.read(s"$fx/split2.geojson")
+    assert(s1.length === 2 && s2.length === 2) // multipolygon explodes to 2
+    def areas(ps: Seq[Split.SplitPoly]) =
+      ps.map(p => Geom.ringArea(p.outer)).sorted
+    assert(areas(s1).zip(areas(s2)).forall { case (a, b) => math.abs(a - b) < 1e-6 })
+    assert(s1.forall(_.holes.isEmpty))
+  }
+
+  test("signed-fan clip is exact on the concave split rings (self-identity)") {
+    for (p <- Split.read(s"$fx/split1.geojson")) {
+      val area = Geom.ringArea(p.outer)
+      assert(math.abs(Geom.clipAreaSimple(p.outer, p.outer) - area) < 1e-6 * area)
+      // against a bbox superset: full area; against a disjoint box: zero
+      val xs = p.outer.map(_.x); val ys = p.outer.map(_.y)
+      val bbox = Array(Pt(xs.min - 1, ys.min - 1), Pt(xs.max + 1, ys.min - 1),
+        Pt(xs.max + 1, ys.max + 1), Pt(xs.min - 1, ys.max + 1))
+      assert(math.abs(Geom.clipAreaSimple(bbox, p.outer) - area) < 1e-6 * area)
+    }
+  }
+
+  test("clipAreaSimple: identity, disjoint, containment on a concave ring") {
+    val concave = Array(Pt(0, 0), Pt(4, 0), Pt(4, 4), Pt(2, 2), Pt(0, 4)) // dart
+    val area = Geom.ringArea(concave) // 16 - 4 = 12
+    assert(math.abs(area - 12.0) < 1e-12)
+    assert(math.abs(Geom.clipAreaSimple(concave, concave) - area) < 1e-9)
+    val far = Array(Pt(100, 100), Pt(101, 100), Pt(101, 101), Pt(100, 101))
+    assert(Geom.clipAreaSimple(far, concave) === 0.0)
+    val box = Array(Pt(-1, -1), Pt(5, -1), Pt(5, 5), Pt(-1, 5))
+    assert(math.abs(Geom.clipAreaSimple(concave, box) - area) < 1e-9)
+    // the dart's notch: a unit square sitting in the concavity overlaps 0
+    val notch = Array(Pt(1.5, 2.5), Pt(2.5, 2.5), Pt(2.5, 3.5), Pt(1.5, 3.5))
+    assert(Geom.clipAreaSimple(notch, concave) < 1e-9)
+  }
+
+  test("keep: >=50% rule against the real split1 boundary") {
+    val polys = Split.read(s"$fx/split1.geojson")
+    val b = polys.head.outer
+    val cx = b.map(_.x).sum / b.length
+    val cy = b.map(_.y).sum / b.length
+    def square(x: Double, y: Double, r: Double): Geom.MultiPolygon =
+      Array(Array(Array(Pt(x - r, y - r), Pt(x + r, y - r), Pt(x + r, y + r), Pt(x - r, y + r))))
+    assert(Split.keep(square(cx, cy, 5), polys), "centroid square is inside")
+    assert(!Split.keep(square(cx + 10000, cy, 5), polys), "10 km away is out")
+    // straddling the west edge: half in, half out -> ratio 0.5 boundary
+    val xmin = b.map(_.x).min
+    val edgeY = b.filter(p => math.abs(p.x - xmin) < 60).map(_.y)
+    val my = edgeY.sum / edgeY.length
+    val in = Split.keep(square(xmin + 6, my, 5), polys)
+    val out = Split.keep(square(xmin - 6, my, 5), polys)
+    assert(in && !out)
+  }
+
+  test("filterD runs the rule distributed") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val polys = Split.read(s"$fx/split1.geojson")
+    val b = polys.head.outer
+    val cx = b.map(_.x).sum / b.length
+    val cy = b.map(_.y).sum / b.length
+    val rows = Seq(("in", cx, cy), ("out", cx + 10000.0, cy))
+    val ds = spark.createDataset(rows)
+    val kept = Split.filterD[(String, Double, Double)](ds, polys,
+      t => Array(Array(Array(
+        Pt(t._2 - 5, t._3 - 5), Pt(t._2 + 5, t._3 - 5),
+        Pt(t._2 + 5, t._3 + 5), Pt(t._2 - 5, t._3 + 5)))))
+      .collect().map(_._1)
+    assert(kept.toSeq === Seq("in"))
+  }
+}

@@ -41,6 +41,42 @@ class MainSpec extends AnyFunSuite {
     assert(metric("inp_parts") > 0)
   }
 
+  test("-s SPLIT filters the run to the boundary's >=50%-area features") {
+    val dir = stage()
+    val okAll = scala.collection.mutable.ArrayBuffer[String]()
+    assert(Main.run(Seq(dir, "-b"),
+      Main.Io(out = okAll += _, err = okAll += _), () => spark) === 0)
+    val allTasks = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/tasks"))
+      .count()
+    // boundary covering only the SW quadrant of the building extent
+    val cons = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/38023.building.gml"))
+    // box = first building's own bbox + margin: that footprint is kept
+    // (ratio 1.0) while far features drop
+    val firstRing = "posList[^>]*>([0-9. ]+)".r.findFirstMatchIn(cons).get.group(1)
+    val nums = firstRing.trim.split("\\s+").map(_.toDouble).grouped(2)
+      .map(a => (a(0), a(1))).toSeq
+    val (xs, ys) = (nums.map(_._1), nums.map(_._2))
+    val (x0, x1) = (xs.min - 5, xs.max + 5)
+    val (y0, y1) = (ys.min - 5, ys.max + 5)
+    val gj = s"""{"type":"FeatureCollection","features":[
+      {"type":"Feature","properties":{},"geometry":{"type":"Polygon",
+       "coordinates":[[[$x0,$y0],[$x1,$y0],[$x1,$y1],[$x0,$y1],[$x0,$y0]]]}}]}"""
+    val dir2 = stage() // fresh dir: the full run's task files must not linger
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir2/sw.geojson"), gj)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val code = Main.run(Seq(dir2, "-b", "-s", "sw.geojson"),
+      Main.Io(out = out += _, err = out += _), () => spark)
+    assert(code === 0, out.mkString("; "))
+    val keptLine = out.find(_.contains("features kept")).getOrElse(fail(out.mkString("; ")))
+    val Array(kept, total) =
+      "(\\d+)/(\\d+)".r.findFirstIn(keptLine).get.split("/").map(_.toInt)
+    assert(kept > 0 && kept < total, keptLine)
+    val splitTasks = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir2/tasks"))
+      .count()
+    assert(splitTasks <= allTasks)
+  }
+
   test("bad directory names and missing layers exit non-zero") {
     val errs = scala.collection.mutable.ArrayBuffer[String]()
     val io = Main.Io(out = _ => (), err = errs += _)
