@@ -126,6 +126,51 @@ object Main {
         i("lev_above"), i("lev_below"), f.geometry)
     }
 
+  /** -z: tasks-definition-only run (app.py:148-149 + 440-447 export_poly):
+    * read the CadastralZoning layer, merge the rustic (level P) zones by
+    * shared-edge cancellation — merge_adjacent_features' union, the same
+    * technique as Adjacency.unionByComponent — and write the Osmosis
+    * boundary.poly with hole rings nested by containment. */
+  def processZoning(dir: String, code: String, io: Io): Int = {
+    val f = firstExisting(Seq(
+      s"$dir/A.ES.SDGC.CP.$code.cadastralzoning.gml",
+      s"$dir/$code.zoning.gml", s"$dir/zoning.gml")).getOrElse {
+      io.err(s"No zoning layer found in $dir"); return 1
+    }
+    val rustic = InspireGml.cadastralZonings(f).filter(_._3 == "P")
+    if (rustic.isEmpty) { io.err("No rustic zones in zoning layer"); return 1 }
+    // interior walls: undirected segments owned by >=2 rings cancel
+    val owned = scala.collection.mutable.Map[(graft.geom.Pt, graft.geom.Pt), Int]()
+    val dirEdges = scala.collection.mutable.ArrayBuffer[(graft.geom.Pt, graft.geom.Pt)]()
+    for ((_, _, _, polys) <- rustic; poly <- polys; ring <- poly; i <- ring.indices) {
+      val a = ring(i); val b = ring((i + 1) % ring.length)
+      val key = if (a.x < b.x || (a.x == b.x && a.y <= b.y)) (a, b) else (b, a)
+      owned(key) = owned.getOrElse(key, 0) + 1
+      dirEdges += ((a, b))
+    }
+    val boundary = dirEdges.filter { case (a, b) =>
+      val key = if (a.x < b.x || (a.x == b.x && a.y <= b.y)) (a, b) else (b, a)
+      owned(key) == 1
+    }
+    val rings = graft.ops.Adjacency.assembleRings(boundary.toSeq)
+      .map(r => graft.clean.PolygonClean.simplifyRing(r))
+      .sortBy(r => -graft.geom.Geom.ringArea(r))
+    // containment nesting: largest-first; a ring inside an outer is its hole
+    val parts = scala.collection.mutable.ArrayBuffer[scala.collection.mutable.ArrayBuffer[Array[graft.geom.Pt]]]()
+    for (r <- rings) {
+      parts.find(p => graft.geom.Geom.pointInRing(r.head, p.head)) match {
+        case Some(p) => p += r
+        case None => parts += scala.collection.mutable.ArrayBuffer(r)
+      }
+    }
+    val mun = parts.map(_.toArray).toArray
+    val poly = graft.sources.CsvGeoJson.exportPoly(mun)
+    Files.write(Paths.get(s"$dir/boundary.poly"),
+      poly.getBytes(StandardCharsets.UTF_8))
+    io.out(s"Generated '$dir/boundary.poly' (${rings.length} rings, ${mun.length} parts)")
+    0
+  }
+
   /** One municipality directory end-to-end (CatAtom2Osm.run, app.py:118-165):
     * building + address read, AppRun DAG, task files + report written back
     * into the directory. Returns an exit code. */
@@ -137,6 +182,9 @@ object Main {
     if (!code.matches("\\d{5}")) {
       io.err(s"Directory name must be a 5 digits ZIP code: $code"); return 1
     }
+    // -z: tasks definition only (help text: 'Process only the tasks
+    // definition file') — boundary.poly from the zoning layer, no chain
+    if (opts.zoning) return processZoning(dir, code, io)
     val buildingGml = layerFile(dir, code, "building").orElse {
       io.err(s"No building layer found in $dir"); None
     }.getOrElse(return 1)

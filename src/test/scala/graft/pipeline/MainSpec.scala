@@ -77,6 +77,23 @@ class MainSpec extends AnyFunSuite {
     assert(splitTasks <= allTasks)
   }
 
+  test("-z writes boundary.poly from the rustic zoning union") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_z").resolve("38900")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/reference/test/fixtures/zoning.gml"),
+      dir.resolve("zoning.gml"))
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val io = Main.Io(out = out += _, err = out += _)
+    assert(Main.run(Seq(dir.toString, "-z"), io, () => spark) === 0,
+      out.mkString("; "))
+    val poly = java.nio.file.Files.readAllLines(dir.resolve("boundary.poly"))
+    assert(poly.get(0) === "admin_boundary")
+    assert(poly.get(1) === "1")
+    // coordinate lines are '%f %f'; ring sections are numbered
+    assert(poly.stream.filter(_.matches("\\d+\\.\\d{6} \\d+\\.\\d{6}")).count() > 10)
+  }
+
   test("bad directory names and missing layers exit non-zero") {
     val errs = scala.collection.mutable.ArrayBuffer[String]()
     val io = Main.Io(out = _ => (), err = errs += _)
