@@ -196,7 +196,7 @@ object Main {
     // -s SPLIT: keep features with >=50% of their area inside the boundary
     // (app.py:255-258; the reference filters the zoning/parcel query, which
     // here — parcels being derived from buildings — is the same cut)
-    val cons = opts.split match {
+    val afterSplit = opts.split match {
       case None => consAll
       case Some(sf) =>
         val p = firstExisting(Seq(sf, s"$dir/$sf", s"$dir/$sf.geojson"))
@@ -205,6 +205,27 @@ object Main {
         if (polys.isEmpty) { io.err(s"'$sf' does not include any polygon"); return 1 }
         val kept = consAll.filter(f => graft.ops.Split.keep(f.geometry, polys))
         io.out(s"Split '$sf': ${kept.length}/${consAll.length} features kept")
+        kept
+    }
+
+    // -o REFCAT: the named parcel's bbox buffered by config.parcel_buffer
+    // (200 m), keeping features whose interior overlaps it
+    // (app.py:259-268's is_inside(f, rect) query)
+    val cons = opts.parcel.headOption match {
+      case None => afterSplit
+      case Some(refcat) =>
+        val target = afterSplit.filter(_.ref == refcat)
+        if (target.isEmpty) { io.err(s"Parcel '$refcat' does not exists"); return 1 }
+        val pts: Seq[graft.geom.Pt] =
+          target.flatMap(_.geometry.toSeq.flatMap(_.toSeq.flatMap(_.toSeq)))
+        val buf = 200.0
+        val (x0, x1) = (pts.map(_.x).min - buf, pts.map(_.x).max + buf)
+        val (y0, y1) = (pts.map(_.y).min - buf, pts.map(_.y).max + buf)
+        val rect = Array(graft.geom.Pt(x0, y0), graft.geom.Pt(x1, y0),
+          graft.geom.Pt(x1, y1), graft.geom.Pt(x0, y1))
+        val kept = afterSplit.filter(f => f.geometry.exists(poly =>
+          graft.geom.Geom.clipAreaConvex(poly.head, rect) > 0))
+        io.out(s"Parcel '$refcat': ${kept.length}/${afterSplit.length} features kept")
         kept
     }
 

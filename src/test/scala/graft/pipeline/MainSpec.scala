@@ -77,6 +77,29 @@ class MainSpec extends AnyFunSuite {
     assert(splitTasks <= allTasks)
   }
 
+  test("-o REFCAT keeps the parcel neighborhood (200 m bbox buffer)") {
+    val dir = stage()
+    // pick a real ref from the building gml
+    val cons = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/38023.building.gml"))
+    val ref = "localId>(\\d+[A-Z]+\\d+[A-Z]*)".r.findFirstMatchIn(cons)
+      .map(_.group(1)).getOrElse(
+        "ES\\.SDGC\\.BU\\.([0-9A-Z]+)".r.findFirstMatchIn(cons).get.group(1))
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val io = Main.Io(out = out += _, err = out += _)
+    val code = Main.run(Seq(dir, "-b", "-o", ref), io, () => spark)
+    assert(code === 0, s"ref=$ref: " + out.mkString("; "))
+    val keptLine = out.find(_.contains("features kept")).getOrElse(fail(out.mkString("; ")))
+    val Array(kept, total) =
+      "(\\d+)/(\\d+)".r.findFirstIn(keptLine).get.split("/").map(_.toInt)
+    assert(kept >= 1 && kept <= total)
+    // a bogus refcat errors like the reference's CatValueError
+    val errs = scala.collection.mutable.ArrayBuffer[String]()
+    assert(Main.run(Seq(stage(), "-b", "-o", "XXXXNOPE"),
+      Main.Io(out = _ => (), err = errs += _), () => spark) === 1)
+    assert(errs.exists(_.contains("does not exists")))
+  }
+
   test("-z writes boundary.poly from the rustic zoning union") {
     val dir = java.nio.file.Files.createTempDirectory("graft_z").resolve("38900")
     java.nio.file.Files.createDirectories(dir)
