@@ -60,6 +60,8 @@ object Adjacency {
   /** Connected components by min-label propagation. Returns (bid, comp)
     * where comp = min bid of the component. */
   def connectedComponents(vertices: DataFrame, edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    val spark = vertices.sparkSession
+    import spark.implicits._
     // localCheckpoint (eager) per round truncates the lineage — without it
     // every convergence check replays all previous rounds, turning an
     // O(diameter) loop into O(diameter²) plan growth
@@ -72,15 +74,20 @@ object Adjacency {
     while (!converged && it < maxIter) {
       val nbrMin = sym.join(labels, sym("b") === labels("bid"))
         .groupBy(sym("a").as("bid")).agg(min("comp").as("nbr_comp"))
-      // carry the previous label through the checkpoint so the convergence
-      // probe is a limit(1) scan of cached blocks, not a second join
+      // the convergence signal rides the checkpoint's own materialization
+      // job as an accumulator side effect — no separate probe action per
+      // round. Task retries can only inflate a NONZERO count, never turn a
+      // converged (zero) round nonzero, so the zero-test stays exact.
+      val changedAcc = spark.sparkContext.longAccumulator(s"cc_changed_$it")
       val next = labels.join(nbrMin, Seq("bid"), "left")
         .select(col("bid"), col("comp").as("old"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .as[(Long, Long, Long)]
+        .map { r => if (r._2 != r._3) changedAcc.add(1L); (r._1, r._3) }
+        .toDF("bid", "comp")
         .localCheckpoint()
-      val changed = next.filter(col("comp") =!= col("old")).limit(1).count()
-      labels = next.select("bid", "comp")
-      converged = changed == 0
+      labels = next
+      converged = changedAcc.value == 0L
       it += 1
     }
     labels
