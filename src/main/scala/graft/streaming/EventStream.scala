@@ -86,6 +86,65 @@ object EventStream {
       .toDF("k", "keep_id")
   }
 
+  /** Streaming NEAR-duplicate filter against a static corpus — the
+    * crawl-ingest shape of the dedup suite: every incoming document is
+    * shingle-hashed and minhash-banded with the SAME codegen kernels as the
+    * batch path (ShingleHash64Expr → MinHashSigHashedExpr → lshBands), then
+    * stream-static LEFT OUTER joined to the corpus's banded signature
+    * index; candidate hits are verified by exact hashed-shingle Jaccard and
+    * a per-doc group pass drops any document with a verified match
+    * >= threshold. Emits the surviving (doc_id, text) rows.
+    *
+    * Scale shape: the banded index is a static table the join shuffles
+    * against (no broadcast needed at 10^12 corpus rows); per-batch work is
+    * the batch band join's, and the only state Spark keeps is the join's
+    * static side — no streaming aggregation state grows with the stream. */
+  def nearDupFilter(
+      docs: DataFrame, // streaming (doc_id long, text string)
+      corpus: DataFrame, // static (doc_id long, text string)
+      shingleN: Int = 3, nPerm: Int = 64, bands: Int = 16,
+      threshold: Double = 0.6): DataFrame = {
+    import graft.dedup.Dedup
+    import graft.functions.{MinHashSigExpr, ShingleHash64Expr}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // text rides the stream side through banding (a self-join to re-attach
+    // it would be an illegal stream-stream join)
+    def banded(df: DataFrame, carry: Seq[String], idAs: String, shAs: String) = df
+      .select(col("doc_id").as(idAs) +: carry.map(col) :+
+        ShingleHash64Expr.shingleHash64(split(col("text"), " "), shingleN).as(shAs): _*)
+      .withColumn("sig", MinHashSigExpr.minhashSigHashed(col(shAs), nPerm))
+      .select(col(idAs) +: carry.map(col) :+ col(shAs) :+
+        explode(Dedup.lshBands(col("sig"), bands, nPerm / bands)).as("b"): _*)
+      .select(col(idAs) +: carry.map(col) :+ col(shAs) :+
+        col("b.band_id") :+ col("b.band_hash"): _*)
+    val corpusIdx = banded(corpus, Seq.empty, "c_id", "c_sh")
+    val streamB = banded(docs, Seq("text"), "doc_id", "sh")
+    streamB
+      .join(corpusIdx, Seq("band_id", "band_hash"), "left_outer")
+      .withColumn("inter", size(array_intersect(col("sh"), col("c_sh"))).cast("double"))
+      .withColumn("verified",
+        col("c_id").isNotNull &&
+          round(col("inter") /
+            (size(col("sh")) + size(col("c_sh")) - col("inter")), 6) >= threshold)
+      .select(col("doc_id"), col("text"), col("verified"))
+      .as[(Long, String, Boolean)]
+      .groupByKey(_._1)
+      // a doc's exploded band rows all live in one micro-batch, so the
+      // group decision is batch-local; state stays empty (Append-mode
+      // contract needs the GroupState signature, not actual state)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (id: Long, it: Iterator[(Long, String, Boolean)],
+         state: org.apache.spark.sql.streaming.GroupState[Boolean]) =>
+          val rows = it.toSeq
+          if (rows.exists(_._3)) Iterator.empty
+          else Iterator((id, rows.head._2))
+      }
+      .toDF("doc_id", "text")
+  }
+
   /** STREAMING face of the flagship spatial join: the same UDF-free cell
     * derivation + broadcast zone-cell join + native point_in_polygon
     * refinement as pipJoinCodegen, applied to a stream, then a tumbling
