@@ -634,6 +634,40 @@ object Queries {
                AND least(p.px0 + 4, z.zx1) - greatest(p.px0, z.zx0) >= 2
               ORDER BY id, zone_id""")),
 
+    // the -s split-boundary filter (get_split + is_inside_area zone cut,
+    // app.py:214-258) over a CONCAVE boundary: an L-shaped rectilinear
+    // split polygon runs the signed-triangle-fan clip kernel distributed
+    // (Split.filterD), while the oracle computes the same ≥50%-area rule
+    // closed-form as interval-overlap products over the L's two rectangles.
+    // Bounds sit on .005 offsets of the .01 coordinate grid: overlap totals
+    // are multiples of 2.5e-5, so the round(·,6) threshold test can never
+    // straddle an engine-vs-oracle fp gap (exact-0.5 overlaps DO occur and
+    // must classify identically — Split.keep's documented rounding guard).
+    "q_split_filter" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val L = Array(
+          graft.geom.Pt(0.005, 0.005), graft.geom.Pt(45.005, 0.005),
+          graft.geom.Pt(45.005, 30.005), graft.geom.Pt(20.005, 30.005),
+          graft.geom.Pt(20.005, 60.005), graft.geom.Pt(0.005, 60.005))
+        val poly = graft.ops.Split.SplitPoly(L, Seq.empty)
+        graft.ops.Split
+          .filterD[(Long, Double, Double)](
+            graft.spatial.SynthGeo.parcelParams(s, d), Seq(poly),
+            t => Array(Array(Array(
+              graft.geom.Pt(t._2, t._3), graft.geom.Pt(t._2 + 1, t._3),
+              graft.geom.Pt(t._2 + 1, t._3 + 1), graft.geom.Pt(t._2, t._3 + 1)))))
+          .map(_._1).toDF("id").orderBy("id")
+      },
+      Some(s"""WITH p AS (${graft.spatial.SynthGeo.parcelSql})
+              SELECT id FROM p
+              WHERE round(
+                greatest(0, least(px0+1, 45.005) - greatest(px0, 0.005)) *
+                greatest(0, least(py0+1, 30.005) - greatest(py0, 0.005)) +
+                greatest(0, least(px0+1, 20.005) - greatest(px0, 0.005)) *
+                greatest(0, least(py0+1, 60.005) - greatest(py0, 30.005)), 6) >= 0.5
+              ORDER BY id""")),
+
     // END-TO-END multi-municipality pipeline (app.run over N muns at once,
     // Dataset-native orchestration): 4 coordinate-disjoint synthetic
     // municipalities flow through the full chain + tiling merges +

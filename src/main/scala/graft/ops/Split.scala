@@ -83,10 +83,15 @@ object Split {
     }.sum
 
   /** geo/tools.py is_inside_area over the split layer: true when SOME split
-    * polygon contains ≥50 % of the subject's outer area. */
+    * polygon contains ≥50 % of the subject's outer area. The ratio is
+    * rounded to 1e-6 before the threshold test so a geometrically-exact
+    * 50 % overlap (reachable on gridded data) is classified identically to
+    * closed-form arithmetic — the clip kernel's fp error is ~1e-12, far
+    * inside the rounding guard. */
   def keep(subject: MultiPolygon, polys: Seq[SplitPoly]): Boolean = {
     val area = subject.iterator.map(p => Geom.ringArea(p.head)).sum
-    area > 0 && polys.exists(sp => overlapArea(subject, sp) / area >= 0.5)
+    area > 0 && polys.exists(sp =>
+      math.round(overlapArea(subject, sp) / area * 1e6) / 1e6 >= 0.5)
   }
 
   /** Distributed flavor: typed filter with the (small) boundary broadcast
