@@ -102,6 +102,21 @@ object Main {
   private def firstExisting(cands: Seq[String]): Option[String] =
     cands.find(p => Files.exists(Paths.get(p)))
 
+  /** config.get_user_config (config.py:771-786): a flat YAML of
+    * `key: value` overrides. The subset this engine consumes is parsed
+    * here (scalar lines only — the reference's user surface for the knobs
+    * that alter the run: parcel_parts, parcel_dist); unknown keys are
+    * carried through untouched so a reference config file loads as-is. */
+  def readUserConfig(path: String): Map[String, String] =
+    Files.readAllLines(Paths.get(path), StandardCharsets.UTF_8).asScala
+      .map(_.takeWhile(_ != '#').trim)
+      .filter(l => l.nonEmpty && l.contains(":") && !l.startsWith("-"))
+      .map { l =>
+        val i = l.indexOf(':')
+        l.substring(0, i).trim -> l.substring(i + 1).trim.stripPrefix("\"").stripSuffix("\"")
+      }
+      .toMap
+
   /** catatom.py:52-76 layer filename resolution, tolerant of the
     * test-fixture names (`<code>.building.gml`, `building.gml`). */
   private def layerFile(dir: String, code: String, layer: String): Option[String] =
@@ -242,8 +257,16 @@ object Main {
           .as[MoveAddress.Addr]
       }
 
+    // -f CONFIG: overrides for the run's knobs (__main__.py:64-67 routes
+    // the file into config.get_user_config before create_and_run)
+    val conf = opts.configFile
+      .flatMap(f => firstExisting(Seq(f, s"$dir/$f")))
+      .map(readUserConfig).getOrElse(Map.empty)
+    val maxParts = conf.get("parcel_parts").flatMap(v =>
+      scala.util.Try(v.toInt).toOption).getOrElse(20)
+
     val result = AppRun.run(spark, cons, Seq.empty, addrs, code,
-      distributedChain = true)
+      maxParts = maxParts, distributedChain = true)
 
     val docs = spark.createDataset(result.taskDocs.toSeq)
     OsmOut.writeTaskFiles(docs, s"$dir/tasks")

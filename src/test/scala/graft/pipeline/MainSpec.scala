@@ -100,6 +100,24 @@ class MainSpec extends AnyFunSuite {
     assert(errs.exists(_.contains("does not exists")))
   }
 
+  test("-f user config: parcel_parts=1 packs more tiles than the default 20") {
+    def tasksWith(conf: Option[String]): Long = {
+      val dir = stage()
+      conf.foreach(c => java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/myconf.yaml"), c))
+      val args = Seq(dir, "-b") ++ conf.map(_ => Seq("-f", "myconf.yaml")).getOrElse(Nil)
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      assert(Main.run(args, Main.Io(out = out += _, err = out += _),
+        () => spark) === 0, out.mkString("; "))
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/tasks")).count()
+    }
+    val defaultTasks = tasksWith(None)
+    val tinyTiles = tasksWith(Some("# my config\nlanguage: es_ES\nparcel_parts: 1\n"))
+    assert(tinyTiles >= defaultTasks,
+      s"parcel_parts=1 should merge less: $tinyTiles vs $defaultTasks")
+    assert(Main.readUserConfig("/dev/null").get("parcel_parts") === None)
+  }
+
   test("-z writes boundary.poly from the rustic zoning union") {
     val dir = java.nio.file.Files.createTempDirectory("graft_z").resolve("38900")
     java.nio.file.Files.createDirectories(dir)
