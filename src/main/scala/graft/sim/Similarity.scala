@@ -30,6 +30,43 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Per-vector top-k by (cos DESC, nbr_id ASC) as a typed Aggregator —
+    * the scalable replacement for a row_number window over all candidate
+    * pairs: the window sorts AND fully shuffles every pair; this keeps a
+    * k-bounded buffer per key with map-side partial aggregation, so only
+    * ≤k rows per (vector, partition) reach the exchange. Output order is
+    * identical to the window (total order on (cos, nbr_id)). */
+  private class TopKByCos(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, Long, Double), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    private def trim(b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      b.sortBy { case (c, n) => (-c, n) }.take(k)
+    def zero: Seq[(Double, Long)] = Seq.empty
+    def reduce(b: Seq[(Double, Long)], a: (Long, Long, Double)): Seq[(Double, Long)] =
+      trim(b :+ ((a._3, a._2)))
+    def merge(b1: Seq[(Double, Long)], b2: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      trim(b1 ++ b2)
+    def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = trim(r)
+    def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** (vec_id, nbr_id, cos) candidate pairs → (vec_id, rank, nbr_id). */
+  private[sim] def topKPerVec(pairs: DataFrame, k: Int): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs.select(col("vec_id"), col("nbr_id"), col("cos"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .agg(new TopKByCos(k).toColumn)
+      .flatMap { case (vid, top) =>
+        top.zipWithIndex.map { case ((_, nbr), i) => (vid, i + 1, nbr) }
+      }
+      .toDF("vec_id", "rank", "nbr_id")
+  }
+
   /** Exact brute-force top-k cosine neighbors for every vector.
     * Output: (vec_id, rank, nbr_id). Blocked nested loop: Spark plans the
     * id-inequality cross join as BroadcastNestedLoopJoin when one side is
@@ -44,12 +81,7 @@ object Similarity {
       norm(col(vecCol)).as("nb"))
     val pairs = l.join(r, col("vec_id") =!= col("nbr_id"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("cos").desc, col("nbr_id"))
-    pairs
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("vec_id", "rank", "nbr_id")
+    topKPerVec(pairs, k)
   }
 
   /** Deterministic random hyperplanes: nBits × dim, seeded (pure function of
@@ -181,13 +213,7 @@ object Similarity {
     val pairs = probes.join(lists, Seq("list"))
       .filter(col("vec_id") =!= col("nbr_id"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("cos").desc, col("nbr_id"))
-    pairs
-      .select("vec_id", "nbr_id", "cos").distinct()
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("vec_id", "rank", "nbr_id")
+    topKPerVec(pairs.select("vec_id", "nbr_id", "cos").distinct(), k)
   }
 
   /** Embedding-cosine near-duplicate pairs: LSH sign buckets + Hamming-1
@@ -262,12 +288,6 @@ object Similarity {
     val pairs = probes.join(base, Seq("pb"))
       .filter(col("vec_id") =!= col("nbr_id"))
       .withColumn("cos", dot(col("v"), col("vb")) / (col("n") * col("nb")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("cos").desc, col("nbr_id"))
-    pairs
-      .select("vec_id", "nbr_id", "cos").distinct()
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("vec_id", "rank", "nbr_id")
+    topKPerVec(pairs.select("vec_id", "nbr_id", "cos").distinct(), k)
   }
 }
