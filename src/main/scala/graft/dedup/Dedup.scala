@@ -154,9 +154,14 @@ object Dedup {
       .withColumn("pos", row_number().over(byDoc.orderBy(col("df"), col("sh"))))
       .withColumn("sz", count(lit(1)).over(byDoc))
       .filter(col("pos") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select("id", "sh")
+      .select("id", "sh", "sz")
+    // length filter (PPJoin's size bound): J(A,B) >= t forces
+    // |A| >= t·|B| and |B| >= t·|A| — incompatible sizes prune in the
+    // candidate join itself, before the dedup/verify stages see the pair
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
+          col("a.sz") >= ceil(lit(threshold) * col("b.sz")) &&
+          col("b.sz") >= ceil(lit(threshold) * col("a.sz")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     // verify over HASHED shingle sets (same 64-bit stream as `sh` above):
