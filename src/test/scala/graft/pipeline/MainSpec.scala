@@ -41,6 +41,26 @@ class MainSpec extends AnyFunSuite {
     assert(metric("inp_parts") > 0)
   }
 
+  test("full -bd run with the 38012 fixtures: addresses flow through the DAG") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bd").resolve("38012")
+    java.nio.file.Files.createDirectories(dir)
+    val fx = "/root/reference/test/fixtures"
+    Seq("building.gml", "buildingpart.gml", "othercons.gml", "address.gml")
+      .foreach { f =>
+        java.nio.file.Files.copy(java.nio.file.Paths.get(s"$fx/$f"), dir.resolve(f))
+      }
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val io = Main.Io(out = out += _, err = out += _)
+    assert(Main.run(Seq(dir.toString), io, () => spark) === 0, out.mkString("; "))
+    val report = java.nio.file.Files.readAllLines(dir.resolve("report.txt"))
+    def metric(k: String): Long = report.stream
+      .filter(_.startsWith(k + "\t")).findFirst
+      .map[Long](l => l.split("\t")(1).toLong).orElse(-1L)
+    assert(metric("inp_features") > 0)
+    assert(metric("inp_address") > 0, report.toString)
+    assert(java.nio.file.Files.list(dir.resolve("tasks")).count() > 0)
+  }
+
   test("-s SPLIT filters the run to the boundary's >=50%-area features") {
     val dir = stage()
     val okAll = scala.collection.mutable.ArrayBuffer[String]()
