@@ -131,6 +131,18 @@ object Main {
       s"$dir/$code.address.gml",
       s"$dir/address.gml"))
 
+  /** UTM zone from a GML's srsName (e.g. urn:ogc:def:crs:EPSG::32628 →
+    * 28; ETRS89 25828-25831 → 28-31). Defaults to 30 (peninsular). */
+  private def utmZone(gmlPath: String): Int = {
+    val head = new String(java.nio.file.Files.readAllBytes(Paths.get(gmlPath)),
+      StandardCharsets.UTF_8).take(200000)
+    "EPSG:+(\\d+)".r.findFirstMatchIn(head).map(_.group(1).toInt) match {
+      case Some(c) if c >= 32601 && c <= 32660 => c - 32600
+      case Some(c) if c >= 25828 && c <= 25831 => c - 25800
+      case _ => 30
+    }
+  }
+
   private def consOf(path: String): Seq[ConsF] =
     CadastreGml.read(path).map { f =>
       val a = CadastreGml.toConsAttrs(f)
@@ -244,17 +256,78 @@ object Main {
         kept
     }
 
+    // get_address + the highway_names two-pass lifecycle (app.py:552-593,
+    // 690-729): the FIRST address run resolves street names against any
+    // locally present current_highway/place.osm (the Overpass fetch is out
+    // of scope; -m manual = empty pools, same as the reference), writes
+    // highway_names.csv and STOPS so the user can review it; the second
+    // run reads the (possibly edited) table back and threads the
+    // translated names into the task documents' address tags.
+    var addrTags: Map[String, Map[String, String]] = Map.empty
     val addrs =
       if (!opts.address) spark.emptyDataset[MoveAddress.Addr]
       else addressFile(dir, code) match {
         case None =>
           io.err(s"No address layer found in $dir (processing buildings only)")
           spark.emptyDataset[MoveAddress.Addr]
-        case Some(f) => InspireGml.addresses(spark, f)
-          .select(col("localId"),
-            element_at(split(col("localId"), "\\."), -1).as("ref"),
-            col("spec"), col("x"), col("y"))
-          .as[MoveAddress.Addr]
+        case Some(f) =>
+          // per-municipality bounded, like the reference's in-memory layer
+          val resolved = InspireGml.resolvedAddresses(spark, f)
+            .select(col("localId"), col("TN_text"), col("designator"),
+              col("postCode").cast("string"), col("spec"), col("x"), col("y"))
+            .as[(String, String, String, String, String, Double, Double)]
+            .collect()
+          val namesPath = s"$dir/highway_names.csv"
+          val isNew = !Files.exists(Paths.get(namesPath))
+          val names = graft.sources.CsvGeoJson
+            .getTranslations(spark, namesPath, isNew) {
+              val zone = utmZone(f)
+              def pool(file: String,
+                  extract: OsmOut.OsmDoc => Seq[(String, Seq[graft.geom.Pt])]) =
+                if (opts.manual) Seq.empty
+                else firstExisting(Seq(s"$dir/$file", s"$dir/$file.gz")).toSeq
+                  .flatMap { p =>
+                    val (ns, ws, rs) = OsmOut.readOsmFile(p)
+                    extract(OsmOut.OsmDoc(ns, ws, rs)).flatMap {
+                      case (_, pts) if pts.isEmpty => None
+                      case (n, pts) =>
+                        val u = pts.map { pt =>
+                          val (x, y) = graft.geom.Utm.wgs84ToUtm(zone, pt.x, pt.y)
+                          graft.geom.Pt(x, y)
+                        }
+                        Some(graft.ops.AddressNames.Named(n, graft.geom.Geom.BBox(
+                          u.map(_.x).min, u.map(_.y).min,
+                          u.map(_.x).max, u.map(_.y).max)))
+                    }
+                  }
+              val highways = pool("current_highway.osm",
+                graft.ops.AddressNames.highwaysFromOsm)
+              val places = pool("current_place.osm",
+                d => graft.ops.AddressNames.placesFromOsm(d)
+                  .map { case (n, p) => (n, Seq(p)) })
+              graft.ops.AddressNames.getNames(
+                  resolved.toSeq.map(r => (r._2, graft.geom.Pt(r._6, r._7))),
+                  highways, places)
+                .map { case (k, (v, _)) => k -> v }
+            }
+          if (isNew) {
+            io.out(s"Generated '$namesPath'. Please, check it and run again")
+            return 0 // stop_address (app.py:581-592)
+          }
+          // translate_field: empty translations delete the address
+          val kept = resolved.filter { r =>
+            names.getOrElse(Option(r._2).getOrElse(""), Option(r._2).getOrElse(""))
+              .trim.nonEmpty
+          }
+          addrTags = kept.map { case (lid, tn, des, pc, spec, _, _) =>
+            val tn0 = Option(tn).getOrElse("")
+            lid -> graft.text.Translate.addressTagsRow(lid,
+              names.getOrElse(tn0, tn0), Option(des).getOrElse(""),
+              Option(pc).getOrElse(""), spec, "")
+          }.toMap
+          spark.createDataset(kept.toSeq.map { case (lid, _, _, _, spec, x, y) =>
+            MoveAddress.Addr(lid, lid.split("\\.").last, spec, x, y)
+          })
       }
 
     // -f CONFIG: overrides for the run's knobs (__main__.py:64-67 routes
@@ -266,7 +339,7 @@ object Main {
       scala.util.Try(v.toInt).toOption).getOrElse(20)
 
     val result = AppRun.run(spark, cons, Seq.empty, addrs, code,
-      maxParts = maxParts, distributedChain = true)
+      maxParts = maxParts, distributedChain = true, addrTags = addrTags)
 
     val docs = spark.createDataset(result.taskDocs.toSeq)
     OsmOut.writeTaskFiles(docs, s"$dir/tasks")

@@ -51,6 +51,14 @@ class MainSpec extends AnyFunSuite {
       }
     val out = scala.collection.mutable.ArrayBuffer[String]()
     val io = Main.Io(out = out += _, err = out += _)
+    // PASS 1: highway_names.csv missing -> generated, run stops (app.py's
+    // stop_address two-pass lifecycle)
+    assert(Main.run(Seq(dir.toString), io, () => spark) === 0, out.mkString("; "))
+    assert(out.exists(_.contains("check it and run again")), out.mkString("; "))
+    assert(java.nio.file.Files.exists(dir.resolve("highway_names.csv")))
+    assert(!java.nio.file.Files.exists(dir.resolve("tasks")))
+    // PASS 2: table present -> translated names thread into the task docs
+    out.clear()
     assert(Main.run(Seq(dir.toString), io, () => spark) === 0, out.mkString("; "))
     val report = java.nio.file.Files.readAllLines(dir.resolve("report.txt"))
     def metric(k: String): Long = report.stream
@@ -58,7 +66,16 @@ class MainSpec extends AnyFunSuite {
       .map[Long](l => l.split("\t")(1).toLong).orElse(-1L)
     assert(metric("inp_features") > 0)
     assert(metric("inp_address") > 0, report.toString)
-    assert(java.nio.file.Files.list(dir.resolve("tasks")).count() > 0)
+    val tasks = java.nio.file.Files.list(dir.resolve("tasks")).toArray.map(_.toString)
+    assert(tasks.nonEmpty)
+    // building.gml and address.gml cover DIFFERENT fixture blocks (zero
+    // shared refs), so every address legitimately drops at
+    // remove_address_wo_building — the lifecycle evidence is the generated
+    // name table with resolved translations (tag threading itself is
+    // golden-tested in AppRunSpec on the matching cons fixtures)
+    val names = graft.sources.CsvGeoJson.getTranslations(
+      spark, dir.resolve("highway_names.csv").toString, isNew = false)(Map.empty)
+    assert(names.nonEmpty && names.values.exists(_.nonEmpty), names.toString)
   }
 
   test("-s SPLIT filters the run to the boundary's >=50%-area features") {
