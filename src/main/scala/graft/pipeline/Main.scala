@@ -198,6 +198,50 @@ object Main {
     0
   }
 
+  /** -c add_comments (app.py:184-205): stamp the import changeset tags
+    * onto every task file — comment '<import tag> <mun_code> <label>'
+    * (get_task_comment, app.py:106-116), generator, source — rewriting a
+    * file only when its tags actually change (idempotent), and warning on
+    * fixme tags left by the JOSM review. */
+  def addComments(dir: String, code: String, io: Io): Int = {
+    val tasksDir = Paths.get(s"$dir/tasks")
+    if (!Files.exists(Paths.get(s"$dir/report.txt"))) {
+      io.out("No report found"); return 0
+    }
+    if (!Files.exists(tasksDir)) { io.out("No tasks found"); return 0 }
+    val files = Files.list(tasksDir).toArray.map(_.toString)
+      .filter(f => f.endsWith(".osm") || f.endsWith(".osm.gz")).sorted
+    if (files.isEmpty) { io.out("No tasks found"); return 0 }
+    var changed = 0
+    for (f <- files) {
+      val label = Paths.get(f).getFileName.toString.split("\\.")(0)
+      val (ns, ws, rs) = OsmOut.readOsmFile(f)
+      val fixmes = (ns ++ ws ++ rs).count {
+        case n: OsmOut.RawNode => n.tags.contains("fixme")
+        case w: OsmOut.RawWay => w.tags.contains("fixme")
+        case r: OsmOut.RawRel => r.tags.contains("fixme")
+      }
+      if (fixmes > 0) io.err(s"Check $fixmes fixme tags")
+      val xml = {
+        val in: java.io.InputStream =
+          if (f.endsWith(".gz"))
+            new java.util.zip.GZIPInputStream(Files.newInputStream(Paths.get(f)))
+          else Files.newInputStream(Paths.get(f))
+        try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+      }
+      val oldTags = OsmOut.parseChangesetTags(xml)
+      val newTags = oldTags ++ OsmOut.ChangesetTags ++ Map(
+        "comment" -> s"${OsmOut.ChangesetTags("comment")} $code $label",
+        "generator" -> "graft")
+      if (newTags != oldTags) {
+        OsmOut.writeDocFile(OsmOut.OsmDoc(ns, ws, rs, newTags), f)
+        changed += 1
+      }
+    }
+    io.out(s"Updated $changed of ${files.length} task files")
+    0
+  }
+
   /** One municipality directory end-to-end (CatAtom2Osm.run, app.py:118-165):
     * building + address read, AppRun DAG, task files + report written back
     * into the directory. Returns an exit code. */
@@ -209,6 +253,9 @@ object Main {
     if (!code.matches("\\d{5}")) {
       io.err(s"Directory name must be a 5 digits ZIP code: $code"); return 1
     }
+    // -c: recover task-file metadata after JOSM editing (app.py:184-205
+    // add_comments) — runs first and alone, like the reference
+    if (opts.comment) return addComments(dir, code, io)
     // -z: tasks definition only (help text: 'Process only the tasks
     // definition file') — boundary.poly from the zoning layer, no chain
     if (opts.zoning) return processZoning(dir, code, io)

@@ -196,7 +196,31 @@ object OsmOut {
     (nodes, ways, rels)
   }
 
-  final case class OsmDoc(nodes: Seq[RawNode], ways: Seq[RawWay], rels: Seq[RawRel])
+  /** `tags` are the DOCUMENT-level changeset tags (osm.py Osm.tags,
+    * serialized as a `<changeset>` block — osmxml.py:23-25); used by
+    * add_comments to stamp import metadata onto task files. */
+  final case class OsmDoc(nodes: Seq[RawNode], ways: Seq[RawWay], rels: Seq[RawRel],
+      tags: Map[String, String] = Map.empty)
+
+  /** The changeset tags every task file carries (config.py changeset_tags). */
+  val ChangesetTags: Map[String, String] = Map(
+    "comment" -> "#Spanish_Cadastre_Buildings_Import",
+    "source" -> "Dirección General del Catastro",
+    "type" -> "import",
+    "url" -> "https://wiki.openstreetmap.org/wiki/Spanish_Cadastre/Buildings_Import")
+
+  /** Parse the `<changeset>` block's tags from an OSM XML document. */
+  def parseChangesetTags(xml: String): Map[String, String] =
+    "(?s)<changeset>(.*?)</changeset>".r.findFirstMatchIn(xml).map { m =>
+      "<tag [^>]*/>".r.findAllIn(m.group(1)).flatMap { t =>
+        for {
+          k <- ("k='([^']*)'".r.findFirstMatchIn(t)
+            .orElse("k=\"([^\"]*)\"".r.findFirstMatchIn(t))).map(_.group(1))
+          v <- ("v='([^']*)'".r.findFirstMatchIn(t)
+            .orElse("v=\"([^\"]*)\"".r.findFirstMatchIn(t))).map(_.group(1))
+        } yield (unescape(k), unescape(v))
+      }.toMap
+    }.getOrElse(Map.empty)
 
   /** Build an OSM document from polygon features + point features — the
     * BaseLayer.to_osm / osm.Osm container analog (osm.py:9-120, 570-600):
@@ -286,6 +310,13 @@ object OsmOut {
     sb ++= "<?xml version='1.0' encoding='UTF-8'?>\n"
     sb ++= "<osm version='0.6' generator='graft' upload='never'>\n"
     note.foreach(n => sb ++= s"  <note>${escape(n)}</note>\n")
+    if (doc.tags.nonEmpty) {
+      sb ++= "  <changeset>\n"
+      doc.tags.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        sb ++= s"    <tag k='${escape(k)}' v='${escape(v)}' />\n"
+      }
+      sb ++= "  </changeset>\n"
+    }
     def tagLines(tags: Map[String, String], indent: String): Unit =
       tags.toSeq.sortBy(_._1).foreach { case (k, v) =>
         sb ++= s"$indent<tag k='${escape(k)}' v='${escape(v)}' />\n"
@@ -384,7 +415,7 @@ object OsmOut {
         (t, nref, role)
       })
     }
-    OsmDoc(keptNodes, keptWays, rels)
+    doc.copy(nodes = keptNodes, ways = keptWays, rels = rels)
   }
 
   /** Osm.remove (osm.py:59-74): remove an element from the document,
@@ -426,14 +457,14 @@ object OsmOut {
       }
     }
     rm(kind, id)
-    OsmDoc(nodes.values.toSeq, ways.values.toSeq, rels.values.toSeq)
+    doc.copy(nodes = nodes.values.toSeq, ways = ways.values.toSeq, rels = rels.values.toSeq)
   }
 
   /** Osm.replace (osm.py:76-85): substitute one node for another — the new
     * node inherits every parent reference (ways rewire the nd ref,
     * relations the member). */
   def replaceNode(doc: OsmDoc, oldId: Long, newNode: RawNode): OsmDoc =
-    OsmDoc(
+    doc.copy(
       doc.nodes.filterNot(_.id == oldId).filterNot(_.id == newNode.id) :+ newNode,
       doc.ways.map(w => w.copy(ndRefs =
         w.ndRefs.map(r => if (r == oldId) newNode.id else r))),
@@ -569,6 +600,11 @@ object OsmOut {
     writeTextFile(path, osmToXml(merged))
     merged
   }
+
+  /** Serialize + write a document verbatim (no ref-drop, no merge) —
+    * add_comments' rewrite path, which must not touch reviewed geometry. */
+  def writeDocFile(doc: OsmDoc, path: String): Unit =
+    writeTextFile(path, osmToXml(doc))
 
   private def writeTextFile(path: String, s: String): Unit = {
     val p = java.nio.file.Paths.get(path)

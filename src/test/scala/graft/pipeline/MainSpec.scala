@@ -172,6 +172,34 @@ class MainSpec extends AnyFunSuite {
     assert(poly.stream.filter(_.matches("\\d+\\.\\d{6} \\d+\\.\\d{6}")).count() > 10)
   }
 
+  test("-c stamps changeset tags onto task files, idempotently") {
+    val dir = stage()
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val io = Main.Io(out = out += _, err = out += _)
+    assert(Main.run(Seq(dir, "-b"), io, () => spark) === 0)
+    out.clear()
+    assert(Main.run(Seq(dir, "-c"), io, () => spark) === 0, out.mkString("; "))
+    val updated = "Updated (\\d+)".r.findFirstMatchIn(out.mkString).get.group(1).toInt
+    assert(updated > 0)
+    val f = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/tasks"))
+      .toArray.map(_.toString).min
+    val xml = {
+      val in = new java.util.zip.GZIPInputStream(
+        java.nio.file.Files.newInputStream(java.nio.file.Paths.get(f)))
+      try new String(in.readAllBytes()) finally in.close()
+    }
+    val tags = graft.sources.OsmOut.parseChangesetTags(xml)
+    assert(tags("type") === "import")
+    assert(tags("comment").startsWith("#Spanish_Cadastre_Buildings_Import 38023"))
+    // elements survive the rewrite
+    val (ns, ws, _) = graft.sources.OsmOut.readOsmFile(f)
+    assert(ns.nonEmpty && ws.nonEmpty)
+    // second -c run: tags already right, nothing rewritten
+    out.clear()
+    assert(Main.run(Seq(dir, "-c"), io, () => spark) === 0)
+    assert(out.exists(_.contains("Updated 0 of")), out.mkString("; "))
+  }
+
   test("bad directory names and missing layers exit non-zero") {
     val errs = scala.collection.mutable.ArrayBuffer[String]()
     val io = Main.Io(out = _ => (), err = errs += _)
