@@ -390,6 +390,32 @@ object Main {
 
     val docs = spark.createDataset(result.taskDocs.toSeq)
     OsmOut.writeTaskFiles(docs, s"$dir/tasks")
+    // <task>.fixmes.geojson review files (cons.py:580-587 export_fixmes:
+    // centroid point + the fixme text; no file when a task has none)
+    var fixmeCount = 0
+    for ((label, xml) <- result.taskDocs) {
+      val (ns, ws, _) = OsmOut.parseOsm(xml)
+      val byId = ns.map(n => n.id -> n).toMap
+      val pts = ns.filter(_.tags.contains("fixme"))
+        .map(n => (n.tags("fixme"), n.lon, n.lat)) ++
+        ws.filter(_.tags.contains("fixme")).flatMap { w =>
+          val wp = w.ndRefs.flatMap(byId.get)
+          if (wp.isEmpty) None
+          else Some((w.tags("fixme"),
+            wp.map(_.lon).sum / wp.size, wp.map(_.lat).sum / wp.size))
+        }
+      if (pts.nonEmpty) {
+        fixmeCount += pts.size
+        def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+        val lines = pts.map { case (f, x, y) =>
+          s"""{"type":"Feature","properties":{"fixme":"${esc(f)}"},""" +
+            s""""geometry":{"type":"Point","coordinates":[$x,$y]}}"""
+        }
+        Files.write(Paths.get(s"$dir/tasks/$label.fixmes.geojson"),
+          lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      }
+    }
+    if (fixmeCount > 0) io.err(s"Check $fixmeCount fixme tags")
     val reportLines = result.report.values.toSeq.sorted
       .map { case (k, v) => s"$k\t$v" } ++ result.report.validate()
     Files.createDirectories(Paths.get(dir))
