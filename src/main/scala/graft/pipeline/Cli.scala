@@ -121,6 +121,8 @@ object Cli {
     o = o.copy(path = paths.result())
     // if not options.building and not options.address: both (py:215-217)
     if (!o.building && !o.address) o = o.copy(building = true, address = true)
+    // --municipality disables any split boundary (app.py:87-88)
+    if (o.municipality) o = o.copy(split = None)
     Right(o)
   }
 

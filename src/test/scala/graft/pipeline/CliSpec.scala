@@ -104,4 +104,9 @@ class CliSpec extends AnyFunSuite {
       .toOption.get
     assert(o.parcel === Seq("9872023VH5797S") && o.municipality)
   }
+
+  test("--municipality disables any split boundary (app.py:87-88)") {
+    val o = Cli.parse(Seq("33333", "-s", "x.geojson", "--municipality")).toOption.get
+    assert(o.municipality && o.split === None)
+  }
 }
