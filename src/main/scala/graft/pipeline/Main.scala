@@ -6,7 +6,7 @@ import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, element_at, split}
+import org.apache.spark.sql.functions.col
 
 import graft.ops.{MoveAddress, Municipalities, ParcelOps}
 import graft.ops.ParcelOps.ConsF
@@ -216,11 +216,8 @@ object Main {
     for (f <- files) {
       val label = Paths.get(f).getFileName.toString.split("\\.")(0)
       val (ns, ws, rs) = OsmOut.readOsmFile(f)
-      val fixmes = (ns ++ ws ++ rs).count {
-        case n: OsmOut.RawNode => n.tags.contains("fixme")
-        case w: OsmOut.RawWay => w.tags.contains("fixme")
-        case r: OsmOut.RawRel => r.tags.contains("fixme")
-      }
+      val fixmes = ns.count(_.tags.contains("fixme")) +
+        ws.count(_.tags.contains("fixme")) + rs.count(_.tags.contains("fixme"))
       if (fixmes > 0) io.err(s"Check $fixmes fixme tags")
       val xml = {
         val in: java.io.InputStream =
