@@ -136,7 +136,9 @@ object Main {
   private def utmZone(gmlPath: String): Int = {
     val head = new String(java.nio.file.Files.readAllBytes(Paths.get(gmlPath)),
       StandardCharsets.UTF_8).take(200000)
-    "EPSG:+(\\d+)".r.findFirstMatchIn(head).map(_.group(1).toInt) match {
+    // srsName spellings: urn:ogc:def:crs:EPSG::32628, EPSG:32628, and the
+    // OGC URL form .../def/crs/EPSG/0/32628
+    "EPSG(?:::?|/0/)(\\d+)".r.findFirstMatchIn(head).map(_.group(1).toInt) match {
       case Some(c) if c >= 32601 && c <= 32660 => c - 32600
       case Some(c) if c >= 25828 && c <= 25831 => c - 25800
       case _ => 30
@@ -194,7 +196,23 @@ object Main {
     val poly = graft.sources.CsvGeoJson.exportPoly(mun)
     Files.write(Paths.get(s"$dir/boundary.poly"),
       poly.getBytes(StandardCharsets.UTF_8))
-    io.out(s"Generated '$dir/boundary.poly' (${rings.length} rings, ${mun.length} parts)")
+    // export_municipality (app.py:166-182): the same merged boundary as a
+    // WGS84 GeoJSON MultiPolygon, reprojected by the engine's own
+    // Transverse Mercator kernel; zone from the zoning GML's srsName
+    val zone = utmZone(f)
+    val coords = mun.map(_.map { ring =>
+      (ring :+ ring.head).map { p =>
+        val (lon, lat) = graft.geom.Utm.utmToWgs84(zone, p.x, p.y)
+        s"[$lon,$lat]"
+      }.mkString("[", ",", "]")
+    }.mkString("[", ",", "]")).mkString("[", ",", "]")
+    val gj = s"""{"type":"FeatureCollection","features":[{"type":"Feature",""" +
+      s""""properties":{"name":"$code"},""" +
+      s""""geometry":{"type":"MultiPolygon","coordinates":$coords}}]}"""
+    Files.write(Paths.get(s"$dir/$code.geojson"),
+      gj.getBytes(StandardCharsets.UTF_8))
+    io.out(s"Generated '$dir/boundary.poly' and '$dir/$code.geojson' " +
+      s"(${rings.length} rings, ${mun.length} parts)")
     0
   }
 

@@ -170,6 +170,12 @@ class MainSpec extends AnyFunSuite {
     assert(poly.get(1) === "1")
     // coordinate lines are '%f %f'; ring sections are numbered
     assert(poly.stream.filter(_.matches("\\d+\\.\\d{6} \\d+\\.\\d{6}")).count() > 10)
+    // export_municipality: the WGS84 geojson lands next to it, the Split
+    // reader parses it back, and the reprojected boundary sits on Tenerife
+    val gj = graft.ops.Split.read(dir.resolve("38900.geojson").toString)
+    assert(gj.nonEmpty)
+    val p0 = gj.head.outer.head
+    assert(p0.x > -17.5 && p0.x < -15.5 && p0.y > 27.5 && p0.y < 29.0, p0.toString)
   }
 
   test("-c stamps changeset tags onto task files, idempotently") {
