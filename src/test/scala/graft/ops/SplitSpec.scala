@@ -63,6 +63,23 @@ class SplitSpec extends AnyFunSuite {
     assert(in && !out)
   }
 
+  test("polygon holes subtract from the overlap (donut boundary)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_split")
+    val gj = """{"type":"FeatureCollection","features":[
+      {"type":"Feature","properties":{},"geometry":{"type":"Polygon","coordinates":
+       [[[0,0],[100,0],[100,100],[0,100],[0,0]],
+        [[40,40],[60,40],[60,60],[40,60],[40,40]]]}}]}"""
+    java.nio.file.Files.writeString(dir.resolve("donut.geojson"), gj)
+    val polys = Split.read(dir.resolve("donut.geojson").toString)
+    assert(polys.head.holes.length === 1)
+    def square(x: Double, y: Double, r: Double): Geom.MultiPolygon =
+      Array(Array(Array(Pt(x - r, y - r), Pt(x + r, y - r), Pt(x + r, y + r), Pt(x - r, y + r))))
+    assert(Split.keep(square(20, 20, 5), polys), "solid part of the donut")
+    assert(!Split.keep(square(50, 50, 5), polys), "entirely inside the hole")
+    // half-over-the-hole-edge square: 50% in the ring -> boundary keeps
+    assert(math.abs(Split.overlapArea(square(40, 50, 5), polys.head) - 50.0) < 1e-9)
+  }
+
   test("filterD runs the rule distributed") {
     val spark = graft.TestSpark.spark
     import spark.implicits._
