@@ -290,7 +290,9 @@ object Main {
       case Some(sf) =>
         val p = firstExisting(Seq(sf, s"$dir/$sf", s"$dir/$sf.geojson"))
           .getOrElse { io.err(s"Can't open $sf"); return 1 }
-        val polys = graft.ops.Split.read(p)
+        val polys = scala.util.Try(graft.ops.Split.read(p)).getOrElse {
+          io.err(s"Can't open $sf"); return 1 // CatIOError analog, app.py:229
+        }
         if (polys.isEmpty) { io.err(s"'$sf' does not include any polygon"); return 1 }
         val kept = consAll.filter(f => graft.ops.Split.keep(f.geometry, polys))
         io.out(s"Split '$sf': ${kept.length}/${consAll.length} features kept")
