@@ -166,7 +166,9 @@ object Main {
       s"$dir/$code.zoning.gml", s"$dir/zoning.gml")).getOrElse {
       io.err(s"No zoning layer found in $dir"); return 1
     }
-    val rustic = InspireGml.cadastralZonings(f).filter(_._3 == "P")
+    val rustic = scala.util.Try(InspireGml.cadastralZonings(f)).getOrElse {
+      io.err(s"Can't open $f"); return 1
+    }.filter(_._3 == "P")
     if (rustic.isEmpty) { io.err("No rustic zones in zoning layer"); return 1 }
     // interior walls: undirected segments owned by >=2 rings cancel
     val owned = scala.collection.mutable.Map[(graft.geom.Pt, graft.geom.Pt), Int]()
@@ -455,14 +457,15 @@ object Main {
       val p = Paths.get(s"$dir/$name")
       if (!Files.exists(p)) { io.err(s"Missing input table $p"); None }
       else Some(Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
-        .filter(_.nonEmpty).map(_.split("\t")))
+        .filter(_.nonEmpty).map(_.split("\t"))
+        .filter(_.length >= 2)) // short rows would index out of bounds below
     }
     (rows("municipalities-cat-ad.csv"), rows("municipalities-ign-au.csv"),
       rows("municipalities-old.csv")) match {
       case (Some(cat), Some(ign), Some(old)) =>
         val out = Municipalities.generateMunD(
-            spark.createDataset(cat.map(r => (r(0), r(1), r(2)))),
-            spark.createDataset(ign.map(r => (r(0), r(1), r(2)))),
+            spark.createDataset(cat.filter(_.length >= 3).map(r => (r(0), r(1), r(2)))),
+            spark.createDataset(ign.filter(_.length >= 3).map(r => (r(0), r(1), r(2)))),
             spark.createDataset(old.map(r => (r(0), r(1)))))
           .as[(String, String, String)].collect()
           .sortBy(_._1).map { case (a, b, c) => s"$a\t$b\t$c" }
