@@ -37,15 +37,20 @@ object SynthMuni {
   private def square(x0: Double, y0: Double): MultiPolygon =
     Array(Array(Array(Pt(x0, y0), Pt(x0 + 1, y0), Pt(x0 + 1, y0 + 1), Pt(x0, y0 + 1))))
 
-  def inputs(spark: SparkSession, sfDir: String)
+  /** `nMuns` parameterizes the municipality fan-out for weak-scaling
+    * sweeps (work ∝ nMuns at constant per-mun size; the single-digit lid
+    * slot caps it at 9). Defaults reproduce the q_apprun_multi oracle's
+    * 4-mun shape exactly. */
+  def inputs(spark: SparkSession, sfDir: String, nMuns: Int = 4)
       : (Dataset[MunSeqCons], Dataset[ParcelOps.MunParcel], Dataset[MunAddr]) = {
     import spark.implicits._
+    require(nMuns >= 1 && nMuns <= 9, s"nMuns must be 1..9, got $nMuns")
     val events = spark.read.parquet(s"$sfDir/events.parquet")
-    val u = (events.count() / 100L) * 20L
+    val u = (events.count() / 100L) * 5L * nMuns
     val ids = events.select(col("event_id").cast("long"))
       .filter(col("event_id") < u).as[Long]
     val cons = ids.flatMap { id =>
-      val m = id % 4; val k = id / 4; val c = k / 5; val s = k % 5
+      val m = id % nMuns; val k = id / nMuns; val c = k / 5; val s = k % 5
       val l = lid(c, m, k)
       val ring = square(c * 500.0 + s * 5.0, m * 100000.0)
       val b = MunSeqCons(s"M$m", 2 * k, ConsF(l, l, "building", 2, 0, ring))
@@ -58,7 +63,7 @@ object SynthMuni {
       else Seq(b)
     }
     val parcels = ids.flatMap { id =>
-      val m = id % 4; val k = id / 4; val c = k / 5; val s = k % 5
+      val m = id % nMuns; val k = id / nMuns; val c = k / 5; val s = k % 5
       if (k % 2 == 0)
         Some(ParcelOps.MunParcel(s"M$m", k,
           Parcel(lid(c, m, k), null, 0, square(c * 500.0 + s * 5.0, m * 100000.0))))
@@ -70,7 +75,7 @@ object SynthMuni {
     // the wall exactly (the projection arithmetic is exact on a vertical
     // segment). Odd k: a non-Entrance center point, kept untouched.
     val addrs = ids.map { id =>
-      val m = id % 4; val k = id / 4; val c = k / 5; val s = k % 5
+      val m = id % nMuns; val k = id / nMuns; val c = k / 5; val s = k % 5
       val x0 = c * 500.0 + s * 5.0; val y0 = m * 100000.0
       if (k % 2 == 0)
         MunAddr(s"M$m", s"A$id", lid(c, m, k), "Entrance", x0 - 0.3, y0 + 0.5)
