@@ -87,4 +87,20 @@ class AppRunMultiSpec extends AnyFunSuite {
       assert(tm.getOrElse(to, to) === to, s"$to not a fixpoint")
     }
   }
+
+  test("nMuns parameterization holds per-mun work constant (weak scaling)") {
+    import spark.implicits._
+    def perMun(n: Int): Map[String, Long] = {
+      val (cons, _, _) = graft.layers.SynthMuni
+        .inputs(spark, graft.TestSpark.sf001, nMuns = n)
+      cons.map(_.mun).groupByKey(identity).count().collect().toMap
+    }
+    val m2 = perMun(2)
+    val m8 = perMun(8)
+    assert(m2.keySet === Set("M0", "M1"))
+    assert(m8.keySet === (0 until 8).map(i => s"M$i").toSet)
+    // municipalities scale out, the per-mun feature count does not move
+    assert(m2.values.toSet.size === 1 && m8.values.toSet.size === 1)
+    assert(m2("M0") === m8("M0"))
+  }
 }
