@@ -1,5 +1,7 @@
 package graft.sources
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.spatial.Zone
@@ -16,6 +18,51 @@ object CsvGeoJson {
     dict.toSeq.sortBy(_._1).toDF("k", "v")
       .coalesce(1)
       .write.mode("overwrite").option("sep", "\t").csv(path)
+  }
+
+  /** csvtools.filter (csvtools.py:43-61): rows of a tab-delimited CSV
+    * passing `query`; `stop` returns at the first match. */
+  def filterRows(path: String, stop: Boolean = false)(
+      query: Array[String] => Boolean): Seq[Array[String]] = {
+    val out = scala.collection.mutable.ArrayBuffer[Array[String]]()
+    val stream = java.nio.file.Files.lines(java.nio.file.Paths.get(path))
+    try {
+      val it = stream.iterator()
+      while (it.hasNext && !(stop && out.nonEmpty)) {
+        val row = it.next().split("\t")
+        if (query(row)) out += row
+      }
+    } finally stream.close()
+    out.toSeq
+  }
+
+  /** csvtools.search (csvtools.py:64-73): first matching row. */
+  def searchRow(path: String)(query: Array[String] => Boolean): Option[Array[String]] =
+    filterRows(path, stop = true)(query).headOption
+
+  /** Reader.is_empty (catatom.py:136-153): sniff the first 2000 bytes —
+    * fewer than 3 COMPLETED element start tags means the Cadastre served a
+    * null layer (the usual otherconstruction case). '.gz' and '.zip'
+    * containers are opened like get_file_object does. */
+  def isEmptyGml(path: String): Boolean = {
+    val in: java.io.InputStream =
+      if (path.endsWith(".gz"))
+        new java.util.zip.GZIPInputStream(
+          java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path)))
+      else if (path.endsWith(".zip")) {
+        val zf = new java.util.zip.ZipFile(path)
+        val entry = zf.entries.asScala.find(_.getName.endsWith(".gml"))
+          .getOrElse(zf.entries.asScala.next())
+        zf.getInputStream(entry)
+      } else java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
+    val head = try {
+      val buf = new Array[Byte](2000)
+      val n = math.max(0, in.read(buf))
+      new String(buf, 0, n, java.nio.charset.StandardCharsets.ISO_8859_1)
+    } finally in.close()
+    // completed start tags only — a tag truncated by the 2000-byte window
+    // never fires a start event in the reference's pull parser either
+    "<[A-Za-z][^>]*>".r.findAllIn(head).size < 3
   }
 
   /** Read it back (csvtools.csv2dict). */
