@@ -939,6 +939,31 @@ object Queries {
               WHERE inter*1.0/(na.sz + nb.sz - inter) >= 0.6
               ORDER BY id_a, id_b""")),
 
+    // STREAMING near-dup filter: odd-id documents stream against the
+    // even-id static corpus through the stream-static minhash band join
+    // (EventStream.nearDupFilter). Gated by the exact-Jaccard oracle: a
+    // streamed doc survives iff NO even doc matches at >= 0.6 — valid for
+    // the same reason as q_dedup_minhash (this corpus's cross-pairs sit at
+    // s >= 0.9 where the banding's deterministic miss prob is < 1e-7).
+    "q_dedup_stream" -> Q(
+      (s, d) => graft.streaming.EventStream
+        .runNearDupOnce(s, d, s"q_dedup_stream_sink_${System.nanoTime}")
+        .select("doc_id").orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              x AS (SELECT doc_id, w, unnest(range(1, greatest(len(w)-1, 2))) AS i FROM t),
+              g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh FROM x),
+              n AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+              c AS (SELECT a.doc_id AS o, b.doc_id AS e, count(*) AS inter
+                    FROM g a JOIN g b ON a.sh = b.sh
+                     AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+                    GROUP BY 1, 2),
+              dropped AS (SELECT DISTINCT o FROM c
+                          JOIN n na ON na.doc_id = o JOIN n nb ON nb.doc_id = e
+                          WHERE inter*1.0/(na.sz + nb.sz - inter) >= 0.6)
+              SELECT doc_id FROM documents
+              WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT o FROM dropped)
+              ORDER BY doc_id""")),
+
     // MinHash+LSH near-dup (scale path). Gated against the EXACT-Jaccard
     // pair oracle: precision is 1.0 by construction (candidates verify
     // exact Jaccard) and at this corpus the planted pairs sit at s >= 0.9

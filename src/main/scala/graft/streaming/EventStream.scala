@@ -145,6 +145,27 @@ object EventStream {
       .toDF("doc_id", "text")
   }
 
+  /** Run nearDupFilter synchronously over the sf documents table split by
+    * doc_id parity — odd ids stream against the even-id static corpus —
+    * and return the surviving rows (the q_dedup_stream driver shape). */
+  def runNearDupOnce(spark: SparkSession, sfDir: String, queryName: String): DataFrame = {
+    val schema: StructType = spark.read
+      .parquet(s"$sfDir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .filter(col("doc_id") % 2 === 1)
+      .select("doc_id", "text")
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 2 === 0)
+      .select("doc_id", "text")
+    val q = nearDupFilter(stream, corpus).writeStream
+      .outputMode("append").format("memory").queryName(queryName).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** STREAMING face of the flagship spatial join: the same UDF-free cell
     * derivation + broadcast zone-cell join + native point_in_polygon
     * refinement as pipJoinCodegen, applied to a stream, then a tumbling
