@@ -802,6 +802,32 @@ object Queries {
               128 + n_chars % 256 AS n_bytes
               FROM documents ORDER BY doc_id""")),
 
+    // media FEATURE-EXTRACT, oracle-gated end-to-end: the md5-chained
+    // payload makes the decode stub's byte histogram a closed form DuckDB
+    // derives from its own md5 (hex-pair bytes, top-3-bit bins, exact
+    // integer counts) — the batched mapPartitions plumbing is the
+    // production path, only the payload generator is the parity variant.
+    "q_media_features" -> Q(
+      (s, d) => graft.multimodal.Media
+        .decodeHistogram(graft.multimodal.Media.synthMd5(s, d))
+        .select(col("doc_id"), posexplode(col("hist")).as(Seq("bin", "cnt")))
+        .orderBy("doc_id", "bin"),
+      Some("""WITH m AS (SELECT doc_id, 128 + n_chars % 256 AS len FROM documents),
+              blocks AS (SELECT doc_id, len, unnest(range((len + 15) // 16)) AS j FROM m),
+              hx AS (SELECT doc_id, len, j,
+                     md5(doc_id::VARCHAR || ':' || j::VARCHAR) AS h FROM blocks),
+              bytes AS (SELECT doc_id, ('0x' || substr(h, k*2 + 1, 2))::INT AS b
+                        FROM hx CROSS JOIN (SELECT unnest(range(16)) AS k)
+                        WHERE j*16 + k < len),
+              bins AS (SELECT unnest(range(8)) AS bin),
+              agg AS (SELECT doc_id, b // 32 AS bin, count(*) AS cnt
+                      FROM bytes GROUP BY 1, 2)
+              SELECT m.doc_id AS doc_id, bins.bin AS bin,
+                     coalesce(agg.cnt, 0) AS cnt
+              FROM m CROSS JOIN bins
+              LEFT JOIN agg ON agg.doc_id = m.doc_id AND agg.bin = bins.bin
+              ORDER BY m.doc_id, bins.bin""")),
+
     // media resize: EXACT aspect-preserving fit metadata (pixel transform
     // is the stubbed codec step)
     "q_media_resize" -> Q(

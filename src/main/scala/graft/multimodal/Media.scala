@@ -58,6 +58,55 @@ object Media {
       // <<< STUB
     }
 
+  /** The synth table with an md5-CHAINED payload (block j = md5(id ++ ":"
+    * ++ j), truncated to the row's length): byte-identical to what an
+    * external SQL engine derives from its own md5, so the feature-extract
+    * stub's byte histogram is oracle-checkable end-to-end. Same schema and
+    * lengths as [[synth]]. */
+  def synthMd5(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .map { case (id, n) =>
+        val len = 128 + (n % 256).toInt
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val bytes = Array.ofDim[Byte](len)
+        var pos = 0
+        var j = 0
+        while (pos < len) {
+          val block = md.digest(
+            s"$id:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val take = math.min(16, len - pos)
+          System.arraycopy(block, 0, bytes, pos, take)
+          pos += take; j += 1
+        }
+        MediaRow(id, if (id % 3 == 0) "image" else "audio", bytes,
+          width = (id % 64).toInt + 1, height = (id % 48).toInt + 1)
+      }
+      .toDF()
+  }
+
+  final case class MediaHistogram(doc_id: Long, kind: String,
+      n_bytes: Long, hist: Array[Long])
+
+  /** The feature-extract stub's RAW byte histogram (exact integer counts,
+    * 8 bins of the top-3 bits) through the same batched partition loop —
+    * the oracle-facing flavor of decodeFeatures. */
+  def decodeHistogram(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow]
+      .mapPartitions { it =>
+        it.grouped(DecodeBatch).flatMap(_.map { m =>
+          val hist = new Array[Long](8)
+          m.payload.foreach(b => hist((b & 0xFF) >> 5) += 1)
+          MediaHistogram(m.doc_id, m.kind, m.payload.length.toLong, hist)
+        })
+      }
+      .toDF()
+  }
+
   /** Batched per-partition decode: partition-preserving (no shuffle), rows
     * processed in DecodeBatch groups exactly like an Arrow/mapInPandas
     * vectorized UDF would receive them. */
