@@ -435,11 +435,21 @@ object Main {
       }
     }
     if (fixmeCount > 0) io.err(s"Check $fixmeCount fixme tags")
-    val reportLines = result.report.values.toSeq.sorted
-      .map { case (k, v) => s"$k\t$v" } ++ result.report.validate()
+    // report.txt in the reference's human layout (report.to_file) +
+    // report.json as the machine checkpoint (report.export)
+    result.report.strings("mun_code") = code
+    result.report.validate() // fills report.errors for the Problems group
+    if (fixmeCount > 0) result.report.set("fixme_count", fixmeCount.toLong)
     Files.createDirectories(Paths.get(dir))
     Files.write(Paths.get(s"$dir/report.txt"),
-      reportLines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      result.report.toDisplayString().getBytes(StandardCharsets.UTF_8))
+    val json = (result.report.values.toSeq.sorted
+      .map { case (k, v) => s""""$k": $v""" } ++
+      result.report.strings.toSeq.sorted
+        .map { case (k, v) => s""""$k": "$v"""" })
+      .mkString("{", ", ", "}")
+    Files.write(Paths.get(s"$dir/report.json"),
+      json.getBytes(StandardCharsets.UTF_8))
     io.out(s"$code: ${result.taskDocs.size} tasks, " +
       s"${result.report.get("out_features")} features")
     0

@@ -49,4 +49,140 @@ class Report {
       errors += "Sum of building types should be equal to the number of buildings"
     errors.toSeq
   }
+
+  /** String-valued display fields (mun_name, date, ...) for to_string. */
+  val strings: mutable.Map[String, String] = mutable.Map()
+  /** Per-feature fixme sentences (report.fixmes). The reference appends
+    * the fixme documentation link whenever the list was TRACKED (set by
+    * fixme_stats), even while empty — mirrored by the flag. */
+  val fixmes: mutable.ArrayBuffer[String] = mutable.ArrayBuffer()
+  var fixmesTracked: Boolean = false
+
+  /** report.to_string (report.py:381-441): the human report — section
+    * headers emitted only when some key of the (sub)group is present,
+    * titles in the reference's declaration order, `TAB`-indented sub-rows,
+    * thousands-grouped integers, list values with their count, and the
+    * fixme documentation link when fixmes were tracked. */
+  def toDisplayString(): String = {
+    import Report._
+    val present: String => Boolean = k =>
+      values.contains(k) || strings.contains(k) ||
+        (k == "errors" && errors.nonEmpty) || (k == "fixmes" && fixmes.nonEmpty)
+    // which group/subgroup headers have at least one present member
+    val groups = mutable.Set[String]()
+    var g = ""; var sg = ""
+    for ((key, _) <- Titles) {
+      if (key.startsWith("group_")) { g = key; sg = "" }
+      else if (key.startsWith("subgroup_")) sg = key
+      else if (present(key)) { if (g.nonEmpty) groups += g; if (sg.nonEmpty) groups += sg }
+    }
+    val sb = new StringBuilder
+    for ((key, title) <- Titles if title != null) {
+      if (key.startsWith("group_") && groups(key)) sb ++= s"$Eol=$title=$Eol"
+      else if (key.startsWith("subgroup_") && groups(key)) sb ++= s"$Eol==$title==$Eol"
+      else if (key == "errors" && errors.nonEmpty) {
+        sb ++= s"$title ${intFormat(errors.size)}$Eol"
+        errors.foreach(e => sb ++= s"$Tab$e$Eol")
+      } else if (key == "fixmes" && fixmes.nonEmpty) {
+        fixmes.foreach(f => sb ++= s"$Tab$f$Eol")
+      } else if (strings.contains(key)) sb ++= s"$title$Sep${strings(key)}$Eol"
+      else if (values.contains(key)) sb ++= s"$title$Sep${intFormat(values(key))}$Eol"
+    }
+    if (fixmesTracked || fixmes.nonEmpty || values.contains("fixme_count"))
+      sb ++= Eol + FixmeDocUrl
+    sb.toString
+  }
+}
+
+object Report {
+  val Tab = "  "
+  val Sep = ": "
+  val Eol = "\n"
+  val FixmeDocUrl: String =
+    "https://wiki.openstreetmap.org/wiki/ES:Catastro_espa%C3%B1ol/" +
+      "Importaci%C3%B3n_de_edificios/Gesti%C3%B3n_de_proyectos#" +
+      "Generar_y_corregir_los_archivos_a_importar"
+
+  /** Thousands-grouped integer (report.py int_format, C/en grouping). */
+  def intFormat(v: Long): String = "%,d".formatLocal(java.util.Locale.US, v)
+
+  /** The reference's ordered titles table (report.py:23-150), English
+    * msgids; null-titled keys are internal and never displayed. */
+  val Titles: Seq[(String, String)] = Seq(
+    "mun_name" -> "Municipality", "cat_mun" -> "Cadastre name",
+    "mun_code" -> "Code", "split_id" -> "Split ID",
+    "split_name" -> "Split name", "split_file" -> "Split file",
+    "date" -> "Date", "options" -> "Options", "language" -> "Language",
+    "group_system_info" -> "System info",
+    "app_version" -> "Application version", "platform" -> "Platform",
+    "cpu_count" -> "CPU count", "ex_time" -> "Execution time",
+    "group_address" -> "Addresses",
+    "subgroup_ad_cdau" -> "CDAU",
+    "inp_address_cdau" -> "Feature count",
+    "rep_address_cdau" -> "Replaced addresses",
+    "add_address_cdau" -> "Added addresses",
+    "subgroup_ad_input" -> "Input data",
+    "address_date" -> "Source date", "inp_address" -> "Feature count",
+    "inp_address_entrance" -> (Tab + "Type entrance"),
+    "inp_address_parcel" -> (Tab + "Type parcel"),
+    "inp_zip_codes" -> "Postal codes", "inp_street_names" -> "Street names",
+    "subgroup_ad_process" -> "Process",
+    "orphaned_addresses" -> "Addresses without associated building excluded",
+    "ignored_addresses" -> "Addresses deleted by street name",
+    "addresses_without_number" -> "Addresses without house number deleted",
+    "multiple_addresses" -> "Addresses belonging to multiple buildings deleted",
+    "not_unique_addresses" -> "'Parcel' addresses not unique for its building deleted",
+    "subgroup_ad_conflation" -> "Conflation",
+    "osm_addresses" -> "OSM addresses ",
+    "osm_addresses_without_number" -> (Tab + "Without house number"),
+    "refused_addresses" -> "Addresses rejected because they exist in OSM",
+    "subgroup_ad_output" -> "Output data",
+    "out_address" -> "Addresses",
+    "out_address_entrance" -> (Tab + "In entrance nodes"),
+    "out_address_parcel" -> (Tab + "In parcels"),
+    "out_addr_str" -> (Tab + "Type addr:street"),
+    "out_addr_plc" -> (Tab + "Type addr:place"),
+    "group_buildings" -> "Buildings",
+    "subgroup_bu_input" -> "Input data",
+    "building_date" -> "Source date", "inp_features" -> "Feature count",
+    "inp_buildings" -> (Tab + "Buildings"),
+    "inp_parts" -> (Tab + "Building parts"),
+    "inp_pools" -> (Tab + "Swimming pools"),
+    "orphaned_parts" -> "Parts without associated building excluded",
+    "subgroup_bu_process" -> "Process",
+    "parts_wo_building" -> "Parts without building deleted",
+    "outside_parts" -> "Parts outside outline deleted",
+    "underground_parts" -> "Parts with no floors above ground",
+    "multipart_geoms_building" -> "Buildings with multipart geometries",
+    "exploded_parts_building" -> "Buildings resulting from splitting multiparts",
+    "parts_to_outline" -> "Parts merged to the outline",
+    "adjacent_parts" -> "Adjacent parts merged",
+    "buildings_in_pools" -> "Buildings coincidents with a swimming pool deleted",
+    "geom_parts_building" -> "Invalid geometry parts deleted",
+    "geom_rings_building" -> "Invalid geometry rings deleted",
+    "geom_invalid_building" -> "Invalid geometries deleted",
+    "vertex_zigzag_building" -> "Zig-zag vertices deleted",
+    "vertex_spike_building" -> "Spike vertices deleted",
+    "vertex_close_building" -> "Close vertices merged",
+    "vertex_topo_building" -> "Topological points created",
+    "vertex_simplify_building" -> "Simplified vertices",
+    "subgroup_bu_conflation" -> "Conflation",
+    "osm_buildings" -> "Buildings/pools in OSM",
+    "osm_building_conflicts" -> (Tab + "With conflict"),
+    "subgroup_bu_output" -> "Output data",
+    "nodes" -> "Nodes", "ways" -> "Ways", "relations" -> "Relations",
+    "out_features" -> "Feature count",
+    "out_buildings" -> (Tab + "Buildings"),
+    "out_parts" -> (Tab + "Buildings parts"),
+    "out_pools" -> (Tab + "Swimming pools"),
+    "pools_on_roofs" -> (Tab + Tab + "Over buildings"),
+    "group_tasks" -> "Project",
+    "parcel_parts" -> "Building parts threshold",
+    "parcel_dist" -> "Distance threshold",
+    "tasks" -> "Tasks files",
+    "tasks_r" -> (Tab + "Rustic"), "tasks_u" -> (Tab + "Urban"),
+    "group_problems" -> "Problems",
+    "errors" -> "Report validation:",
+    "fixme_count" -> "Fixmes", "fixmes" -> "",
+    "warnings" -> "Warnings:")
 }

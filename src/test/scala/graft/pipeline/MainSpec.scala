@@ -32,13 +32,18 @@ class MainSpec extends AnyFunSuite {
     // every task doc parses back and carries building ways
     val (n0, w0, _) = graft.sources.OsmOut.readOsmFile(tasks.min)
     assert(n0.nonEmpty && w0.nonEmpty)
-    val report = Files.readAllLines(Paths.get(s"$dir/report.txt"))
-    def metric(k: String): Long = report.stream.filter(_.startsWith(k + "\t"))
-      .findFirst.map[Long](l => l.split("\t")(1).toLong).orElse(-1L)
+    val report = Files.readString(Paths.get(s"$dir/report.json"))
+    def metric(k: String): Long =
+      ("\"" + k + "\": (\\d+)").r.findFirstMatchIn(report)
+        .map(_.group(1).toLong).getOrElse(-1L)
     // the 38023 GML fixture counts (CadastreGmlSpec reads the same files)
     assert(metric("inp_features") > 0)
     assert(metric("inp_buildings") > 0)
     assert(metric("inp_parts") > 0)
+    // report.txt carries the reference's human layout
+    val txt = Files.readString(Paths.get(s"$dir/report.txt"))
+    assert(txt.contains("=Buildings=") && txt.contains("==Input data=="))
+    assert(txt.contains("Feature count: "))
   }
 
   test("full -bd run with the 38012 fixtures: addresses flow through the DAG") {
@@ -60,10 +65,10 @@ class MainSpec extends AnyFunSuite {
     // PASS 2: table present -> translated names thread into the task docs
     out.clear()
     assert(Main.run(Seq(dir.toString), io, () => spark) === 0, out.mkString("; "))
-    val report = java.nio.file.Files.readAllLines(dir.resolve("report.txt"))
-    def metric(k: String): Long = report.stream
-      .filter(_.startsWith(k + "\t")).findFirst
-      .map[Long](l => l.split("\t")(1).toLong).orElse(-1L)
+    val report = java.nio.file.Files.readString(dir.resolve("report.json"))
+    def metric(k: String): Long =
+      ("\"" + k + "\": (\\d+)").r.findFirstMatchIn(report)
+        .map(_.group(1).toLong).getOrElse(-1L)
     assert(metric("inp_features") > 0)
     assert(metric("inp_address") > 0, report.toString)
     val tasks = java.nio.file.Files.list(dir.resolve("tasks")).toArray.map(_.toString)
