@@ -46,7 +46,17 @@ object RunPipeline {
     spark.createDataset(mr.metrics).toDF("mun", "key", "value")
       .write.mode("overwrite").parquet(s"$outDir/metrics")
     // the reference's actual artifact flavor: one <label>.osm.gz per task
-    // (kept alongside the scale-friendly parquet table)
+    // (kept alongside the scale-friendly parquet table). Stale files from a
+    // previous run with different inputs are cleared first — the parquet
+    // sinks overwrite, and the file sink must match that contract.
+    val tasksDir = java.nio.file.Paths.get(s"$outDir/tasks")
+    if (java.nio.file.Files.exists(tasksDir)) {
+      val old = java.nio.file.Files.list(tasksDir)
+      try old.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.toString.endsWith(".osm.gz"))
+        .foreach(java.nio.file.Files.delete)
+      finally old.close()
+    }
     sources.OsmOut.writeTaskFiles(
       mr.taskDocs.map(d => (d.label, d.xml)), s"$outDir/tasks")
     val nDocs = spark.read.parquet(s"$outDir/task_docs").count()

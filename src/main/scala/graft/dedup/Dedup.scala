@@ -157,11 +157,17 @@ object Dedup {
       .select("id", "sh", "sz")
     // length filter (PPJoin's size bound): J(A,B) >= t forces
     // |A| >= t·|B| and |B| >= t·|A| — incompatible sizes prune in the
-    // candidate join itself, before the dedup/verify stages see the pair
+    // candidate join itself, before the dedup/verify stages see the pair.
+    // The comparison subtracts an epsilon instead of using ceil(): the fp
+    // product t·|B| can land 1 ulp ABOVE its real value (e.g. double 0.55
+    // > 11/20), and ceil would then overshoot the tight integer bound and
+    // drop a valid boundary pair — the epsilon only ever ADMITS extra
+    // candidates, which the exact verify stage discards, so recall stays
+    // 1.0 for every threshold, not just ones that round down.
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
-          col("a.sz") >= ceil(lit(threshold) * col("b.sz")) &&
-          col("b.sz") >= ceil(lit(threshold) * col("a.sz")))
+          col("a.sz") >= lit(threshold) * col("b.sz") - lit(1e-9) &&
+          col("b.sz") >= lit(threshold) * col("a.sz") - lit(1e-9))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     // verify over HASHED shingle sets (same 64-bit stream as `sh` above):

@@ -30,11 +30,16 @@ object Cli {
       configFile: Option[String] = None,
       generateConfig: Boolean = false,
       generateMunicipalities: Boolean = false,
+      version: Boolean = false,
       args: String = "")
+
+  val Version = "catatom2osm-spark (graft) 1.0"
 
   sealed trait Action
   /** No paths, no list → print help + examples (__main__.py:225-228). */
   case object Usage extends Action
+  /** -v → print version and exit (argparse action='version'). */
+  case object ShowVersion extends Action
   /** argparse/validation error surfaced via log.error. */
   final case class Fail(msg: String) extends Action
   /** -l routing → boundary.list_code (__main__.py:54-55). */
@@ -64,8 +69,21 @@ object Cli {
     * --log choices are errors. Returns the post-processed Options
     * (args string joined, building/address default rule applied —
     * __main__.py:214-218). */
-  def parse(argv: Seq[String]): Either[String, Options] = {
-    var o = Options(args = argv.mkString(" "))
+  /** Single-char flags that may be bundled like argparse ('-bd'). */
+  private val BundleFlags = Set('b', 'd', 'z', 'm', 'c', 'w', 'i', 'g', 'x')
+
+  def parse(rawArgv: Seq[String]): Either[String, Options] = {
+    // argparse-compatible token forms: '--opt=value' splits, and bundled
+    // short flags ('-bd') expand when every char is a known flag
+    val argv = rawArgv.flatMap {
+      case a if a.startsWith("--") && a.contains("=") =>
+        val i = a.indexOf('='); Seq(a.take(i), a.drop(i + 1))
+      case a if a.length > 2 && a.startsWith("-") && !a.startsWith("--") &&
+          a.drop(1).forall(BundleFlags) =>
+        a.drop(1).map(c => s"-$c")
+      case a => Seq(a)
+    }
+    var o = Options(args = rawArgv.mkString(" "))
     val paths = Seq.newBuilder[String]
     var i = 0
     def value(flag: String): Either[String, String] =
@@ -73,6 +91,7 @@ object Cli {
       else { i += 1; Right(argv(i)) }
     while (i < argv.length) {
       argv(i) match {
+        case "-v" | "--version" => o = o.copy(version = true)
         case "-b" | "--building" => o = o.copy(building = true)
         case "-d" | "--address" => o = o.copy(address = true)
         case "-z" | "--zoning" => o = o.copy(zoning = true)
@@ -128,7 +147,8 @@ object Cli {
 
   /** The exact branch order of __main__.run (py:219-234). */
   def route(o: Options): Action =
-    if (o.generateConfig) GenerateConfig
+    if (o.version) ShowVersion
+    else if (o.generateConfig) GenerateConfig
     else if (o.generateMunicipalities) GenerateMunicipalities(o.path)
     else if (o.split.isDefined && o.path.length > 1)
       Fail("Can't use split file with multiple municipalities")

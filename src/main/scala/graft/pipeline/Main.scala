@@ -66,6 +66,8 @@ object Main {
       o => Cli.route(o) match {
         case Cli.Usage =>
           io.out(Cli.usage); 0
+        case Cli.ShowVersion =>
+          io.out(Cli.Version); 0
         case Cli.Fail(msg) =>
           io.err(msg); 1
         case Cli.GenerateConfig =>
@@ -134,8 +136,15 @@ object Main {
   /** UTM zone from a GML's srsName (e.g. urn:ogc:def:crs:EPSG::32628 →
     * 28; ETRS89 25828-25831 → 28-31). Defaults to 30 (peninsular). */
   private def utmZone(gmlPath: String): Int = {
-    val head = new String(java.nio.file.Files.readAllBytes(Paths.get(gmlPath)),
-      StandardCharsets.UTF_8).take(200000)
+    // bounded read: only the header region is needed, not the whole file
+    val in = Files.newInputStream(Paths.get(gmlPath))
+    val head = try {
+      val buf = new Array[Byte](200000)
+      var off = 0; var n = 0
+      while (off < buf.length && { n = in.read(buf, off, buf.length - off); n > 0 })
+        off += n
+      new String(buf, 0, off, StandardCharsets.UTF_8)
+    } finally in.close()
     // srsName spellings: urn:ogc:def:crs:EPSG::32628, EPSG:32628, and the
     // OGC URL form .../def/crs/EPSG/0/32628
     "EPSG(?:::?|/0/)(\\d+)".r.findFirstMatchIn(head).map(_.group(1).toInt) match {
@@ -229,16 +238,15 @@ object Main {
       io.out("No report found"); return 0
     }
     if (!Files.exists(tasksDir)) { io.out("No tasks found"); return 0 }
-    val files = Files.list(tasksDir).toArray.map(_.toString)
+    val listing = Files.list(tasksDir)
+    val files = try listing.toArray.map(_.toString)
       .filter(f => f.endsWith(".osm") || f.endsWith(".osm.gz")).sorted
+    finally listing.close()
     if (files.isEmpty) { io.out("No tasks found"); return 0 }
     var changed = 0
     for (f <- files) {
       val label = Paths.get(f).getFileName.toString.split("\\.")(0)
-      val (ns, ws, rs) = OsmOut.readOsmFile(f)
-      val fixmes = ns.count(_.tags.contains("fixme")) +
-        ws.count(_.tags.contains("fixme")) + rs.count(_.tags.contains("fixme"))
-      if (fixmes > 0) io.err(s"Check $fixmes fixme tags")
+      // single decompress: parse elements AND changeset tags from one read
       val xml = {
         val in: java.io.InputStream =
           if (f.endsWith(".gz"))
@@ -246,6 +254,10 @@ object Main {
           else Files.newInputStream(Paths.get(f))
         try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
       }
+      val (ns, ws, rs) = OsmOut.parseOsm(xml)
+      val fixmes = ns.count(_.tags.contains("fixme")) +
+        ws.count(_.tags.contains("fixme")) + rs.count(_.tags.contains("fixme"))
+      if (fixmes > 0) io.err(s"Check $fixmes fixme tags")
       val oldTags = OsmOut.parseChangesetTags(xml)
       val newTags = oldTags ++ OsmOut.ChangesetTags ++ Map(
         "comment" -> s"${OsmOut.ChangesetTags("comment")} $code $label",
@@ -397,9 +409,11 @@ object Main {
       }
 
     // -f CONFIG: overrides for the run's knobs (__main__.py:64-67 routes
-    // the file into config.get_user_config before create_and_run)
+    // the file into config.get_user_config before create_and_run; with no
+    // -f the default config file is auto-loaded when present, same place)
     val conf = opts.configFile
       .flatMap(f => firstExisting(Seq(f, s"$dir/$f")))
+      .orElse(firstExisting(Seq(s"$dir/config.yaml", "config.yaml")))
       .map(readUserConfig).getOrElse(Map.empty)
     val maxParts = conf.get("parcel_parts").flatMap(v =>
       scala.util.Try(v.toInt).toOption).getOrElse(20)
@@ -426,12 +440,16 @@ object Main {
       if (pts.nonEmpty) {
         fixmeCount += pts.size
         def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-        val lines = pts.map { case (f, x, y) =>
+        val features = pts.map { case (f, x, y) =>
           s"""{"type":"Feature","properties":{"fixme":"${esc(f)}"},""" +
             s""""geometry":{"type":"Point","coordinates":[$x,$y]}}"""
         }
+        // a proper FeatureCollection — JOSM/ogr open it (the reference's
+        // export_fixmes writes through the GeoJSON driver)
+        val gj = features.mkString(
+          """{"type":"FeatureCollection","features":[""", ",", "]}")
         Files.write(Paths.get(s"$dir/tasks/$label.fixmes.geojson"),
-          lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+          gj.getBytes(StandardCharsets.UTF_8))
       }
     }
     if (fixmeCount > 0) io.err(s"Check $fixmeCount fixme tags")

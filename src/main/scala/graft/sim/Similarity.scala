@@ -41,9 +41,17 @@ object Similarity {
         (Long, Long, Double), Seq[(Double, Long)], Seq[(Double, Long)]] {
     private def trim(b: Seq[(Double, Long)]): Seq[(Double, Long)] =
       b.sortBy { case (c, n) => (-c, n) }.take(k)
+    private def beats(a: (Double, Long), worst: (Double, Long)): Boolean =
+      a._1 > worst._1 || (a._1 == worst._1 && a._2 < worst._2)
     def zero: Seq[(Double, Long)] = Seq.empty
-    def reduce(b: Seq[(Double, Long)], a: (Long, Long, Double)): Seq[(Double, Long)] =
-      trim(b :+ ((a._3, a._2)))
+    def reduce(b: Seq[(Double, Long)], a: (Long, Long, Double)): Seq[(Double, Long)] = {
+      // hot path: a full buffer only re-sorts when the candidate actually
+      // beats the current kth element — most pairs exit on one compare
+      val cand = (a._3, a._2)
+      if (b.length < k) trim(b :+ cand)
+      else if (beats(cand, b.last)) trim(b.init :+ cand)
+      else b
+    }
     def merge(b1: Seq[(Double, Long)], b2: Seq[(Double, Long)]): Seq[(Double, Long)] =
       trim(b1 ++ b2)
     def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = trim(r)

@@ -29,7 +29,9 @@ object CsvGeoJson {
     try {
       val it = stream.iterator()
       while (it.hasNext && !(stop && out.nonEmpty)) {
-        val row = it.next().split("\t")
+        // limit -1 keeps trailing empty fields, like the reference's
+        // csv.reader (split's default drops them -> index crashes)
+        val row = it.next().split("\t", -1)
         if (query(row)) out += row
       }
     } finally stream.close()
@@ -45,21 +47,31 @@ object CsvGeoJson {
     * null layer (the usual otherconstruction case). '.gz' and '.zip'
     * containers are opened like get_file_object does. */
   def isEmptyGml(path: String): Boolean = {
-    val in: java.io.InputStream =
+    // read UP TO 2000 bytes, looping: a single read() may return fewer
+    // bytes than available (gzip inflate chunks), which would misclassify
+    // a real layer as empty; the reference's Python read(2000) also loops
+    def readHead(in: java.io.InputStream): String = try {
+      val buf = new Array[Byte](2000)
+      var off = 0
+      var n = 0
+      while (off < buf.length && { n = in.read(buf, off, buf.length - off); n > 0 })
+        off += n
+      new String(buf, 0, off, java.nio.charset.StandardCharsets.ISO_8859_1)
+    } finally in.close()
+    val head =
       if (path.endsWith(".gz"))
-        new java.util.zip.GZIPInputStream(
-          java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path)))
+        readHead(new java.util.zip.GZIPInputStream(
+          java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))))
       else if (path.endsWith(".zip")) {
         val zf = new java.util.zip.ZipFile(path)
-        val entry = zf.entries.asScala.find(_.getName.endsWith(".gml"))
-          .getOrElse(zf.entries.asScala.next())
-        zf.getInputStream(entry)
-      } else java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
-    val head = try {
-      val buf = new Array[Byte](2000)
-      val n = math.max(0, in.read(buf))
-      new String(buf, 0, n, java.nio.charset.StandardCharsets.ISO_8859_1)
-    } finally in.close()
+        try {
+          val entries = zf.entries.asScala.toSeq
+          if (entries.isEmpty) return true // no payload at all
+          val entry = entries.find(_.getName.endsWith(".gml")).getOrElse(entries.head)
+          readHead(zf.getInputStream(entry))
+        } finally zf.close()
+      } else readHead(
+        java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path)))
     // completed start tags only — a tag truncated by the 2000-byte window
     // never fires a start event in the reference's pull parser either
     "<[A-Za-z][^>]*>".r.findAllIn(head).size < 3

@@ -109,4 +109,16 @@ class CliSpec extends AnyFunSuite {
     val o = Cli.parse(Seq("33333", "-s", "x.geojson", "--municipality")).toOption.get
     assert(o.municipality && o.split === None)
   }
+
+  test("argparse token forms: --opt=value, bundled shorts, -v") {
+    val eq = Cli.parse(Seq("33333", "--log=debug")).toOption.get
+    assert(eq.logLevel === "DEBUG")
+    val bundle = Cli.parse(Seq("33333", "-bz")).toOption.get
+    assert(bundle.building && bundle.zoning && !bundle.address)
+    assert(Cli.route(Cli.parse(Seq("-v")).toOption.get) === Cli.ShowVersion)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    assert(Main.run(Seq("-v"), Main.Io(out = out += _, err = out += _),
+      () => fail("version needs no session")) === 0)
+    assert(out.exists(_.contains("graft")))
+  }
 }

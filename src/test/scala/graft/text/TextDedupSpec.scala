@@ -174,6 +174,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.35, s"recall $recall should beat the ~0.31 scan fraction")
   }
 
+  test("length filter keeps exact-boundary pairs at thresholds that round UP") {
+    import spark.implicits._
+    // |A|=11 ⊂ |B|=20 distinct shingles -> exact Jaccard 11/20 = 0.55, but
+    // double 0.55 > 11/20, so a ceil()-based size bound would prune the
+    // pair before verification (the recall-1.0 contract would break)
+    val a = (0 until 13).map(i => s"w$i").mkString(" ")      // 11 3-shingles
+    val b = (0 until 22).map(i => s"w$i").mkString(" ")      // 20 3-shingles
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairsExact(docs, "doc_id", "text", threshold = 0.55)
+      .as[(Long, Long, Double)].collect()
+    graft.CacheBin.drain()
+    assert(pairs.map(p => (p._1, p._2)).toSeq === Seq((1L, 2L)),
+      s"boundary pair must survive the length filter: ${pairs.toSeq}")
+    assert(math.abs(pairs.head._3 - 0.55) < 1e-9)
+  }
+
   test("embedNearDups = brute-force threshold pairs restricted to probed buckets") {
     import spark.implicits._
     val emb = spark.read.parquet(s"${TestSpark.sf001}/embeddings.parquet")
