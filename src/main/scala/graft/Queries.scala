@@ -1013,12 +1013,14 @@ object Queries {
               WHERE inter*1.0/(na.sz + nb.sz - inter) >= 0.6
               ORDER BY id_a, id_b""")),
 
-    // SimHash near-dup (rows-only)
+    // SimHash near-dup
     // gated end-to-end: the md5-derived token hash is bit-reproducible in
-    // DuckDB, the pigeonhole blocks are lossless for maxDist=8, so the
-    // engine's banded output must equal the oracle's brute-force O(n²)
-    // hamming scan exactly (production default keeps the faster hash64 —
-    // only the pluggable per-token hash differs, never the join machinery).
+    // DuckDB, the combination-block keys (Manku WWW'07 pigeonhole: b=12
+    // blocks, C(12,4) combos of 4 agreeing blocks -> ~21-bit keys) are
+    // lossless for maxDist=8, so the engine's banded output must equal the
+    // oracle's brute-force O(n²) hamming scan exactly (production default
+    // keeps the faster hash64 — only the pluggable per-token hash differs,
+    // never the join machinery).
     "q_dedup_simhash" -> Q(
       (s, d) => {
         import s.implicits._

@@ -232,40 +232,102 @@ object Dedup {
   /** Hamming distance between two simhashes. */
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Bit spans of `n` near-equal blocks covering the 64-bit signature. */
+  def blockSpansN(n: Int): Seq[(Int, Int)] = {
+    require(n >= 1 && n <= 64, s"nBlocks must be in [1,64], got $n")
+    val base = 64 / n
+    val extra = 64 % n // first `extra` blocks get one more bit
+    val starts = (0 until n).scanLeft(0)((s, b) => s + base + (if (b < extra) 1 else 0))
+    (0 until n).map(b => (starts(b), base + (if (b < extra) 1 else 0)))
+  }
+
   /** Bit spans of `maxDist + 1` near-equal blocks covering the 64-bit
     * signature: by pigeonhole, any pair within Hamming distance `maxDist`
     * agrees on at least one whole block, so the block equi-join is a
     * LOSSLESS candidate generator for that radius. */
-  def blockSpans(maxDist: Int): Seq[(Int, Int)] = {
-    val nBlocks = maxDist + 1
-    require(nBlocks >= 1 && nBlocks <= 64, s"maxDist must be in [0,63], got $maxDist")
-    val base = 64 / nBlocks
-    val extra = 64 % nBlocks // first `extra` blocks get one more bit
-    val starts = (0 until nBlocks).scanLeft(0)((s, b) => s + base + (if (b < extra) 1 else 0))
-    (0 until nBlocks).map(b => (starts(b), base + (if (b < extra) 1 else 0)))
+  def blockSpans(maxDist: Int): Seq[(Int, Int)] = blockSpansN(maxDist + 1)
+
+  private def choose(n: Int, k: Int): Long =
+    (1 to k).foldLeft(1L)((acc, i) => acc * (n - k + i) / i)
+
+  /** Block count b > maxDist whose combination keys (see
+    * [[simhashComboKeys]]) are as wide as possible subject to the
+    * C(b, b-maxDist) replication staying <= 512 — e.g. maxDist=3 -> b=5
+    * (10 combos, ~25-bit keys), maxDist=8 -> b=12 (495 combos of 4 blocks,
+    * ~21-bit keys). Smallest b wins ties, so the radius degrades
+    * gracefully: very large maxDist gets the widest affordable keys
+    * rather than none. */
+  def autoBlocks(maxDist: Int): Int = {
+    val affordable = ((maxDist + 1) to 32)
+      .filter(b => choose(b, b - maxDist) <= 512)
+    affordable.find(b => (b - maxDist) * 64 / b >= 20)
+      .getOrElse(affordable.maxBy(b => (b - maxDist) * 64 / b))
   }
 
-  /** SimHash near-dup candidates: signatures split into `maxDist + 1`
-    * blocks; block equality join generates candidates (pigeonhole: a pair
-    * within Hamming distance maxDist cannot differ in every block), then a
-    * codegen'd bit_count(a ^ b) verifies the exact distance. */
+  /** All C(nBlocks, nBlocks - maxDist) sorted index combinations of
+    * agreeing blocks. */
+  def blockCombos(nBlocks: Int, maxDist: Int): Seq[Seq[Int]] = {
+    require(nBlocks > maxDist, s"need nBlocks > maxDist, got $nBlocks <= $maxDist")
+    (0 until nBlocks).combinations(nBlocks - maxDist).map(_.toSeq).toSeq
+  }
+
+  /** Candidate-join keys for simhash blocking, one row per (doc, combo):
+    * the signature is split into `nBlocks` blocks and, for every
+    * combination of `nBlocks - maxDist` blocks, the combo's block values
+    * are hashed (with the combo id as salt) into ONE 64-bit key.
+    *
+    * Pigeonhole (Manku et al., WWW'07 §3): a pair within Hamming distance
+    * `maxDist` differs in at most `maxDist` blocks, so it AGREES on at
+    * least `nBlocks - maxDist` whole blocks — i.e. on every block of at
+    * least one combo — and shares that combo's key. The generator is
+    * therefore LOSSLESS for the radius, while each key now carries
+    * `(nBlocks - maxDist) * 64/nBlocks` signature bits instead of one
+    * block's worth: bucket width stays ~n / 2^keyBits instead of the
+    * single-block n / 2^(64/nBlocks) that goes quadratic at corpus scale.
+    * (An xxhash64 collision across combos can only ADD a candidate; the
+    * exact bit_count verify discards it.) */
+  def simhashComboKeys(sigs: DataFrame, maxDist: Int, nBlocks: Int): DataFrame = {
+    val spans = blockSpansN(nBlocks)
+    val blks = array(spans.map { case (start, len) =>
+      shiftright(col("sig"), start)
+        .bitwiseAND(lit(if (len == 64) -1L else (1L << len) - 1L))
+    }: _*)
+    val combos = blockCombos(nBlocks, maxDist)
+    val keys = combos.zipWithIndex.map { case (c, ci) =>
+      xxhash64((c.map(i => element_at(col("blks"), i + 1)) :+ lit(ci)): _*)
+    }
+    sigs.withColumn("blks", blks)
+      .select(col("id"), col("sig"), explode(array(keys: _*)).as("key"))
+  }
+
+  /** SimHash near-dup candidates: signatures are blocked into combination
+    * keys ([[simhashComboKeys]] — lossless by pigeonhole), equi-joined per
+    * key, then a codegen'd bit_count(a ^ b) verifies the exact distance.
+    *
+    * `nBlocks` <= 0 picks [[autoBlocks]] (>= 20-bit keys); `maxBucket` > 0
+    * additionally drops keys shared by more than `maxBucket` docs via a
+    * broadcast anti join — a LOSSY skew backstop for corpus-scale
+    * boilerplate clusters (a cluster of k identical pages is k² candidate
+    * pairs no matter how wide the keys are), mirroring minhashNearDups'
+    * cap. Leave it 0 for exact-radius semantics. */
   def simhashNearDups(docs: Dataset[(Long, Seq[String])], maxDist: Int = 3,
-                      tokenHash: String => Long = hash64): DataFrame = {
+                      tokenHash: String => Long = hash64,
+                      nBlocks: Int = 0, maxBucket: Int = 0): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val b = if (nBlocks > 0) nBlocks else autoBlocks(maxDist)
     val sigs = docs.map { case (id, toks) => (id, simhash64(toks, tokenHash)) }
       .toDF("id", "sig")
-    val blocks = sigs.select(
-      col("id"), col("sig"),
-      explode(array(blockSpans(maxDist).zipWithIndex.map { case ((start, len), b) =>
-        struct(lit(b).as("blk"),
-          shiftright(col("sig"), start)
-            .bitwiseAND(lit(if (len == 64) -1L else (1L << len) - 1L)).as("blk_val"))
-      }: _*)).as("b"))
-      .select(col("id"), col("sig"), col("b.blk"), col("b.blk_val"))
-    blocks.as("l").join(blocks.as("r"),
-        col("l.blk") === col("r.blk") && col("l.blk_val") === col("r.blk_val") &&
-          col("l.id") < col("r.id"))
+    val keyed0 = simhashComboKeys(sigs, maxDist, b)
+    val keyed =
+      if (maxBucket <= 0) keyed0
+      else {
+        val hot = keyed0.groupBy("key").agg(count(lit(1)).as("w"))
+          .filter(col("w") > maxBucket).select("key")
+        keyed0.join(broadcast(hot), Seq("key"), "left_anti")
+      }
+    keyed.as("l").join(keyed.as("r"),
+        col("l.key") === col("r.key") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
       .distinct()

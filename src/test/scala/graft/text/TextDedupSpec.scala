@@ -115,6 +115,88 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("autoBlocks yields >=20-bit combo keys with bounded replication") {
+    for (d <- 1 to 12) {
+      val b = Dedup.autoBlocks(d)
+      assert(b > d)
+      val agree = b - d
+      // keys must never be narrower than the old single-block
+      // 64/(d+1)-bit scheme, and strictly wider once that scheme's keys
+      // drop under 20 bits; for practical radii (<= 8) they reach 20+ bits
+      assert(agree * 64 / b >= 64 / (d + 1), s"maxDist=$d -> b=$b narrower than single-block")
+      if (64 / (d + 1) < 20)
+        assert(agree * 64 / b > 64 / (d + 1), s"maxDist=$d -> b=$b no wider than single-block")
+      if (d <= 8) assert(agree * 64 / b >= 20, s"maxDist=$d -> b=$b keys too narrow")
+      assert(Dedup.blockCombos(b, d).size <= 512)
+    }
+    assert(Dedup.autoBlocks(8) === 12) // C(12,4)=495 combos, ~21-bit keys
+    assert(Dedup.blockCombos(12, 8).size === 495)
+  }
+
+  test("combo keys bound bucket width where single-block keys go quadratic") {
+    import spark.implicits._
+    // 600 docs sharing light boilerplate, each with mostly unique content:
+    // pairwise signature distances land well outside radius 8 (these are
+    // NOT near-dups), yet the OLD single-block ~7-bit keys still collide
+    // constantly — bucket width ∝ n/128, the quadratic-candidates killer.
+    // The C(12,4) ~21-bit combination keys must keep buckets narrow on the
+    // very same signatures.
+    val docs = (1 to 600).map { i =>
+      (i.toLong,
+        ((1 to 8).map(k => s"boiler$k") ++ (1 to 12).map(k => s"u${i}_$k")): Seq[String])
+    }
+    val sigs = spark.createDataset(docs)
+      .map { case (id, ts) => (id, Dedup.simhash64(ts)) }.toDF("id", "sig")
+    def maxBucket(keyed: org.apache.spark.sql.DataFrame): Long =
+      keyed.groupBy("key").count().agg(max("count")).as[Long].head()
+    val oldStyle = sigs.select(col("id"),
+      explode(array(Dedup.blockSpans(8).zipWithIndex.map { case ((s0, len), b) =>
+        xxhash64(lit(b), shiftright(col("sig"), s0)
+          .bitwiseAND(lit((1L << len) - 1L)))
+      }: _*)).as("key"))
+    val single = maxBucket(oldStyle)
+    val combo = maxBucket(Dedup.simhashComboKeys(sigs, maxDist = 8, nBlocks = 12))
+    assert(single >= 8 * combo,
+      s"single-block buckets ($single) should dwarf combo buckets ($combo)")
+    assert(combo <= 16, s"combo buckets must stay narrow, got $combo")
+  }
+
+  test("combination-block generator is lossless: equals brute-force hamming") {
+    import spark.implicits._
+    // mixed corpus: boilerplate cluster + drifted variants + unrelated docs
+    val docs: Seq[(Long, Seq[String])] =
+      (1 to 40).map(i => (i.toLong, ((1 to 25).map(k => s"c$k") :+ s"v${i % 5}" :+ s"w${i % 11}"): Seq[String])) ++
+      (41 to 80).map(i => (i.toLong, ((1 to 20).map(k => s"d${(k + i) % 37}")): Seq[String]))
+    val sigOf = docs.map { case (id, ts) => id -> Dedup.simhash64(ts) }.toMap
+    val brute = (for {
+      (a, _) <- docs; (b, _) <- docs
+      if a < b && Dedup.hamming(sigOf(a), sigOf(b)) <= 8
+    } yield (a, b)).toSet
+    val got = Dedup.simhashNearDups(spark.createDataset(docs), maxDist = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(got === brute)
+    assert(brute.nonEmpty, "corpus should contain in-radius pairs")
+  }
+
+  test("maxBucket cap drops boilerplate-cluster pairs but keeps isolated pairs") {
+    import spark.implicits._
+    // 60 identical docs (the k² cluster no key width can fix) + one
+    // isolated near-dup pair; the cap must suppress the cluster's pairs
+    // while the isolated pair — in buckets of width 2 — survives.
+    val cluster = (1 to 60).map(i => (i.toLong, ((1 to 20).map(k => s"b$k")): Seq[String]))
+    val pair = Seq(
+      (101L, ((1 to 20).map(k => s"p$k")): Seq[String]),
+      (102L, (((1 to 19).map(k => s"p$k")) :+ "px"): Seq[String]))
+    val ds = spark.createDataset(cluster ++ pair)
+    assert(Dedup.hamming(Dedup.simhash64(pair(0)._2), Dedup.simhash64(pair(1)._2)) <= 8)
+    val capped = Dedup.simhashNearDups(ds, maxDist = 8, maxBucket = 16)
+      .as[(Long, Long)].collect().toSet
+    assert(capped === Set((101L, 102L)))
+    val uncapped = Dedup.simhashNearDups(ds, maxDist = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(uncapped.size === 60 * 59 / 2 + 1)
+  }
+
   test("prefix-filtered jaccard equals the naive all-pairs join incl. a hot shingle") {
     import spark.implicits._
     // 12 docs all sharing one boilerplate trigram (hot shingle), plus one
