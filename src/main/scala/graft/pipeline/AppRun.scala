@@ -69,7 +69,8 @@ object AppRun {
       consRaw: Seq[ConsF], parcelsRaw: Seq[Parcel],
       addrs: Dataset[MoveAddress.Addr], munCode: String,
       maxParts: Int, buffer: Double,
-      addrTags: Map[String, Map[String, String]]): Result = {
+      addrTags: Map[String, Map[String, String]],
+      taskSource: String): Result = {
     import spark.implicits._
     val consDs = spark.createDataset(consRaw.zipWithIndex.map { case (f, i) =>
       MunSeqCons(munCode, i.toLong, f) })
@@ -79,7 +80,7 @@ object AppRun {
     val tagsDs = spark.createDataset(addrTags.toSeq)
     val mc = munCode
     val mr = runMulti(spark, consDs, parcelsDs, addrDs, (_: String) => mc,
-      maxParts, buffer, Some(tagsDs))
+      maxParts, buffer, Some(tagsDs), taskSource = taskSource)
     val report = new Report
     mr.metrics.filter(_._1 == munCode).foreach { case (_, k, v) => report.set(k, v) }
     val prepared = mr.prepared.collect().sortBy(_.fid).map(_.f).toSeq
@@ -102,10 +103,11 @@ object AppRun {
       maxParts: Int = 20,
       buffer: Double = 30.0,
       distributedChain: Boolean = false,
-      addrTags: Map[String, Map[String, String]] = Map.empty): Result = {
+      addrTags: Map[String, Map[String, String]] = Map.empty,
+      taskSource: String = "building"): Result = {
     if (distributedChain)
       return runViaMulti(spark, consRaw, parcelsRaw, addrs, munCode,
-        maxParts, buffer, addrTags)
+        maxParts, buffer, addrTags, taskSource)
     import spark.implicits._
     val report = new Report
 
@@ -232,7 +234,8 @@ object AppRun {
       maxParts: Int = 20,
       buffer: Double = 30.0,
       addrTags: Option[Dataset[(String, Map[String, String])]] = None,
-      checkpoint: Option[(CheckpointedPipeline, String)] = None): MultiResult = {
+      checkpoint: Option[(CheckpointedPipeline, String)] = None,
+      taskSource: String = "building"): MultiResult = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val munOf = munOfRef
@@ -394,7 +397,11 @@ object AppRun {
     val taskMapCk = ckDf("s12_taskmap")(taskMap)
 
     // ---- get_tasks / process_tasks: label-keyed document cogroup ---------
-    val taskFeats = prepared.toDF().as("p")
+    // the task SOURCE layer mirrors app.py:144-146/161: 'building' (default
+    // and -b) emits the prepared construction features into the task docs;
+    // 'address' (-d, address-only) emits no building geometry — the docs
+    // carry the moved address nodes alone, split by the same task map
+    val buildingFeats = prepared.toDF().as("p")
       .join(taskMapCk.as("t"), col("p.f.ref") === col("t.ref"), "left")
       .select(coalesce(col("t.label"), col("p.f.ref")).as("task"),
         col("p.fid"), col("p.f"))
@@ -405,6 +412,9 @@ object AppRun {
             if (f.kind == "pool") "openAirPool" else null,
             math.max(0, f.levAbove), math.max(0, f.levBelow), 0, ""))
       }
+    val taskFeats =
+      if (taskSource == "address") spark.emptyDataset[OsmOut.TaskFeatureS]
+      else buildingFeats
     val tagsDs = addrTags.getOrElse(
       spark.emptyDataset[(String, Map[String, String])]).toDF("localId", "btags")
     val addrNodes = addressesOut.as("a")

@@ -232,8 +232,9 @@ object Main {
     * (get_task_comment, app.py:106-116), generator, source — rewriting a
     * file only when its tags actually change (idempotent), and warning on
     * fixme tags left by the JOSM review. */
-  def addComments(dir: String, code: String, io: Io): Int = {
-    val tasksDir = Paths.get(s"$dir/tasks")
+  def addComments(dir: String, code: String, io: Io,
+      tasksFolder: String = "tasks"): Int = {
+    val tasksDir = Paths.get(s"$dir/$tasksFolder")
     if (!Files.exists(Paths.get(s"$dir/report.txt"))) {
       io.out("No report found"); return 0
     }
@@ -282,9 +283,17 @@ object Main {
     if (!code.matches("\\d{5}")) {
       io.err(s"Directory name must be a 5 digits ZIP code: $code"); return 1
     }
+    // tasks folder carries the -b/-d opt suffix and the task-source layer
+    // follows it (app.py:76-97: tasks_folder + opt, source='address' for
+    // -d): a -d run's task files carry the address nodes alone, a -b run's
+    // only building geometry, and neither collides with a both-layers run
+    val folderOpt = if (!opts.address) "-b" else if (!opts.building) "-d" else ""
+    val tasksFolder = s"tasks$folderOpt"
+    val taskSource =
+      if (opts.address && !opts.building) "address" else "building"
     // -c: recover task-file metadata after JOSM editing (app.py:184-205
     // add_comments) — runs first and alone, like the reference
-    if (opts.comment) return addComments(dir, code, io)
+    if (opts.comment) return addComments(dir, code, io, tasksFolder)
     // -z: tasks definition only (help text: 'Process only the tasks
     // definition file') — boundary.poly from the zoning layer, no chain
     if (opts.zoning) return processZoning(dir, code, io)
@@ -419,10 +428,11 @@ object Main {
       scala.util.Try(v.toInt).toOption).getOrElse(20)
 
     val result = AppRun.run(spark, cons, Seq.empty, addrs, code,
-      maxParts = maxParts, distributedChain = true, addrTags = addrTags)
+      maxParts = maxParts, distributedChain = true, addrTags = addrTags,
+      taskSource = taskSource)
 
     val docs = spark.createDataset(result.taskDocs.toSeq)
-    OsmOut.writeTaskFiles(docs, s"$dir/tasks")
+    OsmOut.writeTaskFiles(docs, s"$dir/$tasksFolder")
     // <task>.fixmes.geojson review files (cons.py:580-587 export_fixmes:
     // centroid point + the fixme text; no file when a task has none)
     var fixmeCount = 0
@@ -448,7 +458,7 @@ object Main {
         // export_fixmes writes through the GeoJSON driver)
         val gj = features.mkString(
           """{"type":"FeatureCollection","features":[""", ",", "]}")
-        Files.write(Paths.get(s"$dir/tasks/$label.fixmes.geojson"),
+        Files.write(Paths.get(s"$dir/$tasksFolder/$label.fixmes.geojson"),
           gj.getBytes(StandardCharsets.UTF_8))
       }
     }

@@ -27,7 +27,7 @@ class MainSpec extends AnyFunSuite {
     val io = Main.Io(out = out += _, err = out += _)
     val code = Main.run(Seq(dir, "-b"), io, () => spark)
     assert(code === 0, out.mkString("; "))
-    val tasks = Files.list(Paths.get(s"$dir/tasks")).toArray.map(_.toString)
+    val tasks = Files.list(Paths.get(s"$dir/tasks-b")).toArray.map(_.toString)
     assert(tasks.nonEmpty && tasks.forall(_.endsWith(".osm.gz")))
     // every task doc parses back and carries building ways
     val (n0, w0, _) = graft.sources.OsmOut.readOsmFile(tasks.min)
@@ -88,7 +88,7 @@ class MainSpec extends AnyFunSuite {
     val okAll = scala.collection.mutable.ArrayBuffer[String]()
     assert(Main.run(Seq(dir, "-b"),
       Main.Io(out = okAll += _, err = okAll += _), () => spark) === 0)
-    val allTasks = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/tasks"))
+    val allTasks = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/tasks-b"))
       .count()
     // boundary covering only the SW quadrant of the building extent
     val cons = java.nio.file.Files.readString(
@@ -114,7 +114,7 @@ class MainSpec extends AnyFunSuite {
     val Array(kept, total) =
       "(\\d+)/(\\d+)".r.findFirstIn(keptLine).get.split("/").map(_.toInt)
     assert(kept > 0 && kept < total, keptLine)
-    val splitTasks = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir2/tasks"))
+    val splitTasks = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir2/tasks-b"))
       .count()
     assert(splitTasks <= allTasks)
   }
@@ -151,7 +151,7 @@ class MainSpec extends AnyFunSuite {
       val out = scala.collection.mutable.ArrayBuffer[String]()
       assert(Main.run(args, Main.Io(out = out += _, err = out += _),
         () => spark) === 0, out.mkString("; "))
-      java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/tasks")).count()
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/tasks-b")).count()
     }
     val defaultTasks = tasksWith(None)
     val tinyTiles = tasksWith(Some("# my config\nlanguage: es_ES\nparcel_parts: 1\n"))
@@ -189,10 +189,10 @@ class MainSpec extends AnyFunSuite {
     val io = Main.Io(out = out += _, err = out += _)
     assert(Main.run(Seq(dir, "-b"), io, () => spark) === 0)
     out.clear()
-    assert(Main.run(Seq(dir, "-c"), io, () => spark) === 0, out.mkString("; "))
+    assert(Main.run(Seq(dir, "-b", "-c"), io, () => spark) === 0, out.mkString("; "))
     val updated = "Updated (\\d+)".r.findFirstMatchIn(out.mkString).get.group(1).toInt
     assert(updated > 0)
-    val f = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/tasks"))
+    val f = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/tasks-b"))
       .toArray.map(_.toString).min
     val xml = {
       val in = new java.util.zip.GZIPInputStream(
@@ -207,8 +207,70 @@ class MainSpec extends AnyFunSuite {
     assert(ns.nonEmpty && ws.nonEmpty)
     // second -c run: tags already right, nothing rewritten
     out.clear()
-    assert(Main.run(Seq(dir, "-c"), io, () => spark) === 0)
+    assert(Main.run(Seq(dir, "-b", "-c"), io, () => spark) === 0)
     assert(out.exists(_.contains("Updated 0 of")), out.mkString("; "))
+  }
+
+  test("-d writes address-only task files into tasks-d") {
+    val dir = stage()
+    // synthesize an AD address layer whose refs match real buildings: one
+    // Parcel address per refcat, positioned on the building's first vertex
+    val cons = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/38023.building.gml"))
+    val feats = "(?s)<bu-ext2d:Building .*?</bu-ext2d:Building>".r
+      .findAllIn(cons).take(4).toSeq
+    val picks = feats.flatMap { f =>
+      for {
+        ref <- "localId>([0-9A-Z]+)<".r.findFirstMatchIn(f).map(_.group(1))
+        pos <- "posList[^>]*>([0-9. ]+)".r.findFirstMatchIn(f).map(_.group(1))
+      } yield {
+        val n = pos.trim.split("\\s+").map(_.toDouble)
+        (ref, n(0), n(1))
+      }
+    }
+    assert(picks.nonEmpty, "no buildings parsed from the fixture")
+    val members = picks.zipWithIndex.map { case ((ref, x, y), i) =>
+      s"""<AD:Address gml:id="ES.SDGC.AD.38.023.$i">
+         |<base:localId>38.023.$i.$ref</base:localId>
+         |<AD:specification>Parcel</AD:specification>
+         |<AD:designator>${i + 1}</AD:designator>
+         |<gml:pos>$x $y</gml:pos>
+         |<AD:component xlink:href="#ES.SDGC.TN.38.023.1"/>
+         |<AD:component xlink:href="#ES.SDGC.PD.38.023.1"/>
+         |</AD:Address>""".stripMargin
+    }.mkString("\n")
+    val gml =
+      s"""<?xml version="1.0"?>
+         |<gml:FeatureCollection srsName="urn:ogc:def:crs:EPSG::32628">
+         |$members
+         |<AD:ThoroughfareName gml:id="ES.SDGC.TN.38.023.1">
+         |<GN:GeographicalName><GN:text>CL MAYOR</GN:text></GN:GeographicalName>
+         |</AD:ThoroughfareName>
+         |<AD:PostalDescriptor gml:id="ES.SDGC.PD.38.023.1">
+         |<AD:postCode>38680</AD:postCode>
+         |</AD:PostalDescriptor>
+         |</gml:FeatureCollection>""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/38023.address.gml"), gml)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val io = Main.Io(out = out += _, err = out += _)
+    // two-pass highway_names lifecycle, then the -d run proper
+    assert(Main.run(Seq(dir, "-d"), io, () => spark) === 0, out.mkString("; "))
+    assert(out.exists(_.contains("check it and run again")), out.mkString("; "))
+    out.clear()
+    assert(Main.run(Seq(dir, "-d"), io, () => spark) === 0, out.mkString("; "))
+    // app.py:76-97: -d writes to tasks-d, source='address' — task docs
+    // carry the moved address NODES and no building geometry
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/tasks")))
+    val tasks = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/tasks-d"))
+      .toArray.map(_.toString).filter(_.endsWith(".osm.gz"))
+    assert(tasks.nonEmpty, out.mkString("; "))
+    val parsed = tasks.map(graft.sources.OsmOut.readOsmFile)
+    assert(parsed.forall { case (_, ws, rs) => ws.isEmpty && rs.isEmpty })
+    val allNodes = parsed.flatMap(_._1)
+    assert(allNodes.nonEmpty)
+    assert(allNodes.exists(_.tags.get("addr:street").contains("Calle Mayor")),
+      allNodes.flatMap(_.tags).distinct.mkString("; "))
   }
 
   test("bad directory names and missing layers exit non-zero") {
