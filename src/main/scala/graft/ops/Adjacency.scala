@@ -132,10 +132,15 @@ object Adjacency {
     val comps = components(bs)
     val edges = directedEdges(bs).join(comps, "bid")
     // interior walls: the same undirected segment owned by 2 buildings of
-    // one component -> drop both directions; boundary edges survive alone
+    // one component -> drop both directions; boundary edges survive alone.
+    // groupBy + filter(cnt=1), not count-over-window: same shuffle key but
+    // map-side partial aggregation and no per-partition sort — first() is
+    // well-defined because only single-row groups survive the filter
     val boundary = withSegKey(edges)
-      .withColumn("cnt", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("comp", "seg")))
+      .groupBy(col("comp"), col("seg"))
+      .agg(count(lit(1)).as("cnt"),
+        first(col("ax")).as("ax"), first(col("ay")).as("ay"),
+        first(col("bx")).as("bx"), first(col("by")).as("by"))
       .filter(col("cnt") === 1)
       .select(col("comp"), col("ax"), col("ay"), col("bx"), col("by"))
     val nPer = comps.groupBy("comp").agg(count(lit(1)).as("n_buildings"))

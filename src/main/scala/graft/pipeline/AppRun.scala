@@ -258,12 +258,18 @@ object AppRun {
       }
 
     val metrics = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
-    /** Per-mun feature count of a chain stage (collects ≤ |muns| rows). */
-    def stageCounts(ds: Dataset[ConsChain.FidCons],
-        pred: ConsF => Boolean = _ => true): Map[String, Long] =
-      ds.filter(fc => pred(fc.f)).map(fc => munOf(fc.f.ref)).toDF("mun")
-        .groupBy("mun").agg(count(lit(1)).as("n"))
-        .as[(String, Long)].collect().toMap.withDefaultValue(0L)
+    // Per-stage metric counts are DEFERRED: each stage registers a tagged
+    // (tag, mun, n) aggregate frame here, and ONE union job collects the
+    // whole rollup after the last stage — a single action over the already
+    // checkpointed stage tables instead of ~18 small collect jobs.
+    val countDfs = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def deferCons(tag: String, ds: Dataset[ConsChain.FidCons],
+        pred: ConsF => Boolean = _ => true): Unit =
+      countDfs += ds.filter(fc => pred(fc.f)).map(fc => munOf(fc.f.ref)).toDF("mun")
+        .groupBy("mun").agg(count(lit(1)).as("n")).withColumn("tag", lit(tag))
+    def deferMuns(tag: String, munRows: DataFrame): Unit =
+      countDfs += munRows.groupBy("mun").agg(count(lit(1)).as("n"))
+        .withColumn("tag", lit(tag))
     def addDiff(key: String, terms: (Map[String, Long], Long)*): Unit = {
       val muns = terms.flatMap(_._1.keys).distinct.sorted
       muns.foreach { m =>
@@ -282,56 +288,37 @@ object AppRun {
         .select(col("fid"), col("f")).as[(Long, ConsF)]
         .map { case (fid, f) => ConsChain.FidCons(fid, f) }
     }
-    val inpAll = stageCounts(ordered)
-    val inpB = stageCounts(ordered, _.kind == "building")
-    val inpP = stageCounts(ordered, _.kind == "part")
-    val inpPool = stageCounts(ordered, _.kind == "pool")
-    addDiff("inp_features", (inpAll, 1L))
-    addDiff("inp_buildings", (inpB, 1L))
-    addDiff("inp_parts", (inpP, 1L))
-    addDiff("inp_pools", (inpPool, 1L))
-    val underground = stageCounts(ordered, f => f.kind == "part" &&
+    deferCons("inp_all", ordered)
+    deferCons("inp_b", ordered, _.kind == "building")
+    deferCons("inp_p", ordered, _.kind == "part")
+    deferCons("inp_pool", ordered, _.kind == "pool")
+    deferCons("underground", ordered, f => f.kind == "part" &&
       f.levAbove == 0 && f.levBelow != 0 && f.levBelow != -1)
-    addDiff("underground_parts", (underground, 1L))
 
     // ---- process_building: the distributed chain, globally --------------
     val afterOutside = ckDs("s01_outside")(ConsChain.removeOutsidePartsD(ordered))
-    val nOutside = stageCounts(afterOutside)
-    addDiff("outside_parts", (inpAll, 1L), (nOutside, -1L), (underground, -1L))
+    deferCons("n_outside", afterOutside)
     val afterExplode = ckDs("s02_explode")(ConsChain.explodeD(afterOutside))
-    val nExplode = stageCounts(afterExplode)
-    addDiff("exploded_parts_building", (nExplode, 1L), (nOutside, -1L))
+    deferCons("n_explode", afterExplode)
     val afterInvalid = ckDs("s03_invalid")(ConsChain.deleteInvalidD(afterExplode))
-    val nInvalid = stageCounts(afterInvalid)
+    deferCons("n_invalid", afterInvalid)
     val afterTopo = ckDs("s04_topology")(ConsChain.topologyD(afterInvalid))
     val afterMerge = ckDs("s05_mergeparts")(ConsChain.mergePartsD(afterTopo))
-    val topoB = stageCounts(afterTopo, _.kind == "building")
-    val mergeB = stageCounts(afterMerge, _.kind == "building")
-    val nTopo = stageCounts(afterTopo)
-    val nMerge = stageCounts(afterMerge)
-    addDiff("buildings_in_pools", (topoB, 1L), (mergeB, -1L))
-    addDiff("parts_to_outline",
-      (nTopo, 1L), (nMerge, -1L), (topoB, -1L), (mergeB, 1L))
+    deferCons("n_topo", afterTopo)
+    deferCons("topo_b", afterTopo, _.kind == "building")
+    deferCons("n_merge", afterMerge)
+    deferCons("merge_b", afterMerge, _.kind == "building")
     val afterSimplify = ckDs("s06_simplify")(ConsChain.simplifyD(afterMerge))
     val prepared = ckDs("s07_prepared")(ConsChain.deleteSmallD(afterSimplify))
-    val nSimplify = stageCounts(afterSimplify)
-    val nPrepared = stageCounts(prepared)
-    addDiff("geom_invalid_building",
-      (nExplode, 1L), (nInvalid, -1L), (nSimplify, 1L), (nPrepared, -1L))
-    addDiff("out_features", (nPrepared, 1L))
+    deferCons("n_simplify", afterSimplify)
+    deferCons("n_prepared", prepared)
 
     // ---- process_address: move_address over the prepared layer ----------
     val consFeat = prepared.map(fc =>
       MoveAddress.ConsFeature(s"${fc.f.localId}#${fc.fid}", fc.f.ref, fc.f.kind,
         fc.f.geometry))
-    val inpAddr = addrs.map(_.mun).toDF("mun").groupBy("mun")
-      .agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap.withDefaultValue(0L)
-    val inpAddrE = addrs.filter(_.spec == "Entrance").map(_.mun).toDF("mun")
-      .groupBy("mun").agg(count(lit(1)).as("n"))
-      .as[(String, Long)].collect().toMap.withDefaultValue(0L)
-    addDiff("inp_address", (inpAddr, 1L))
-    addDiff("inp_address_entrance", (inpAddrE, 1L))
-    addDiff("inp_address_parcel", (inpAddr, 1L), (inpAddrE, -1L))
+    deferMuns("inp_addr", addrs.map(_.mun).toDF("mun"))
+    deferMuns("inp_addr_e", addrs.filter(_.spec == "Entrance").map(_.mun).toDF("mun"))
     val plainAddrs = addrs.map(a => MoveAddress.Addr(a.localId, a.ref, a.spec, a.x, a.y))
     val addressesOut = ckDf("s08_addresses") {
       MoveAddress.moveAddressFull(plainAddrs, consFeat)
@@ -339,25 +326,13 @@ object AppRun {
         .map(t => (munOf(t._2), t._1, t._2, t._3, t._4, t._5))
         .toDF("mun", "localId", "ref", "spec", "x", "y")
     }
-    val outAddr = addressesOut.groupBy("mun").agg(count(lit(1)).as("n"))
-      .as[(String, Long)].collect().toMap.withDefaultValue(0L)
-    val outAddrE = addressesOut.filter(col("spec") === "Entrance")
-      .groupBy("mun").agg(count(lit(1)).as("n"))
-      .as[(String, Long)].collect().toMap.withDefaultValue(0L)
-    addDiff("out_address", (outAddr, 1L))
-    addDiff("out_address_entrance", (outAddrE, 1L))
-    addDiff("out_address_parcel", (outAddr, 1L), (outAddrE, -1L))
-    addDiff("out_addr_str", (outAddr, 1L))
-    addDiff("out_addr_plc", (outAddr, 0L))
+    deferMuns("out_addr", addressesOut.select("mun"))
+    deferMuns("out_addr_e", addressesOut.filter(col("spec") === "Entrance").select("mun"))
     // orphaned = no building for the refcat (left_anti on ref, no driver set)
     val buildingRefs = prepared.filter(_.f.kind == "building")
       .map(_.f.ref).distinct().toDF("ref")
-    val orphaned = addrs.toDF().join(buildingRefs, Seq("ref"), "left_anti")
-      .groupBy("mun").agg(count(lit(1)).as("n"))
-      .as[(String, Long)].collect().toMap.withDefaultValue(0L)
-    addDiff("orphaned_addresses", (orphaned, 1L))
-    addDiff("multiple_addresses",
-      (inpAddr, 1L), (outAddr, -1L), (orphaned, -1L))
+    deferMuns("orphaned",
+      addrs.toDF().join(buildingRefs, Seq("ref"), "left_anti").select("mun"))
 
     // ---- process_parcel (app.py:286-308) ---------------------------------
     val preparedCons = prepared.map(_.f)
@@ -434,19 +409,50 @@ object AppRun {
       OsmOut.perTaskOsmXmlS(taskFeats, addrNodes)
         .map { case (label, xml) => TaskDoc(munOf(label), label, xml) }
     }
-    val nTasks = taskDocs.map(_.mun).toDF("mun").groupBy("mun")
-      .agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap.withDefaultValue(0L)
-    val nTasksU = taskDocs.filter(_.label.length > 9).map(_.mun).toDF("mun")
-      .groupBy("mun").agg(count(lit(1)).as("n"))
-      .as[(String, Long)].collect().toMap.withDefaultValue(0L)
-    addDiff("tasks", (nTasks, 1L))
-    addDiff("tasks_u", (nTasksU, 1L))
-    addDiff("tasks_r", (nTasks, 1L), (nTasksU, -1L))
+    deferMuns("n_tasks", taskDocs.map(_.mun).toDF("mun"))
+    deferMuns("n_tasks_u", taskDocs.filter(_.label.length > 9).map(_.mun).toDF("mun"))
 
+    // ---- ONE metrics rollup job over all deferred stage counts -----------
+    val rolled = countDfs.reduce(_ unionByName _)
+      .select(col("tag"), col("mun"), col("n"))
+      .as[(String, String, Long)].collect()
+    val byTag: Map[String, Map[String, Long]] = rolled.groupBy(_._1)
+      .map { case (t, rs) => t -> rs.map(r => r._2 -> r._3).toMap }
+    def m(tag: String): Map[String, Long] =
+      byTag.getOrElse(tag, Map.empty).withDefaultValue(0L)
+    addDiff("inp_features", (m("inp_all"), 1L))
+    addDiff("inp_buildings", (m("inp_b"), 1L))
+    addDiff("inp_parts", (m("inp_p"), 1L))
+    addDiff("inp_pools", (m("inp_pool"), 1L))
+    addDiff("underground_parts", (m("underground"), 1L))
+    addDiff("outside_parts",
+      (m("inp_all"), 1L), (m("n_outside"), -1L), (m("underground"), -1L))
+    addDiff("exploded_parts_building", (m("n_explode"), 1L), (m("n_outside"), -1L))
+    addDiff("buildings_in_pools", (m("topo_b"), 1L), (m("merge_b"), -1L))
+    addDiff("parts_to_outline",
+      (m("n_topo"), 1L), (m("n_merge"), -1L), (m("topo_b"), -1L), (m("merge_b"), 1L))
+    addDiff("geom_invalid_building",
+      (m("n_explode"), 1L), (m("n_invalid"), -1L),
+      (m("n_simplify"), 1L), (m("n_prepared"), -1L))
+    addDiff("out_features", (m("n_prepared"), 1L))
+    addDiff("inp_address", (m("inp_addr"), 1L))
+    addDiff("inp_address_entrance", (m("inp_addr_e"), 1L))
+    addDiff("inp_address_parcel", (m("inp_addr"), 1L), (m("inp_addr_e"), -1L))
+    addDiff("out_address", (m("out_addr"), 1L))
+    addDiff("out_address_entrance", (m("out_addr_e"), 1L))
+    addDiff("out_address_parcel", (m("out_addr"), 1L), (m("out_addr_e"), -1L))
+    addDiff("out_addr_str", (m("out_addr"), 1L))
+    addDiff("out_addr_plc", (m("out_addr"), 0L))
+    addDiff("orphaned_addresses", (m("orphaned"), 1L))
+    addDiff("multiple_addresses",
+      (m("inp_addr"), 1L), (m("out_addr"), -1L), (m("orphaned"), -1L))
+    addDiff("tasks", (m("n_tasks"), 1L))
+    addDiff("tasks_u", (m("n_tasks_u"), 1L))
+    addDiff("tasks_r", (m("n_tasks"), 1L), (m("n_tasks_u"), -1L))
 
     // densify: every (mun, key) pair present, 0 where a stage saw no rows —
     // so per-mun Reports have the full key set regardless of data shape
-    val allMuns = (inpAll.keySet ++ inpAddr.keySet).toSeq.sorted
+    val allMuns = (m("inp_all").keySet ++ m("inp_addr").keySet).toSeq.sorted
     val byMk = metrics.map(t => (t._1, t._2) -> t._3).toMap
     val keys = Seq("inp_features", "inp_buildings", "inp_parts", "inp_pools",
       "underground_parts", "outside_parts", "exploded_parts_building",

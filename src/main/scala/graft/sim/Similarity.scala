@@ -233,16 +233,18 @@ object Similarity {
     * annTopK. */
   def embedNearDups(
       emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      nBits: Int = 0, targetBucket: Int = 64): DataFrame = {
+      nBits: Int = 0, targetBucket: Int = 64, nRows: Long = -1L,
+      dim: Int = -1): DataFrame = {
     val bits =
       if (nBits > 0) nBits
       else {
-        val n = emb.count()
+        // callers that know their table size pass nRows and skip this action
+        val n = if (nRows >= 0) nRows else emb.count()
         math.max(4, math.ceil(
           math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2)).toInt)
       }
-    val dim = emb.select(size(col(vecCol))).first().getInt(0)
-    val planes = hyperplanes(bits, dim)
+    val dim0 = if (dim > 0) dim else emb.select(size(col(vecCol))).first().getInt(0)
+    val planes = hyperplanes(bits, dim0)
     val withB = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("b", lshBucket(col("v"), planes))
       .withColumn("n", norm(col("v")))
@@ -271,16 +273,17 @@ object Similarity {
     * letting buckets grow linearly with n. */
   def annTopK(
       emb: DataFrame, idCol: String, vecCol: String, k: Int, nBits: Int = 0,
-      targetBucket: Int = 64): DataFrame = {
+      targetBucket: Int = 64, nRows: Long = -1L, dim: Int = -1): DataFrame = {
     val bits =
       if (nBits > 0) nBits
       else {
-        val n = emb.count()
+        // callers that know their table size pass nRows and skip this action
+        val n = if (nRows >= 0) nRows else emb.count()
         math.max(4, math.ceil(
           math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2)).toInt)
       }
-    val dim = emb.select(size(col(vecCol))).first().getInt(0)
-    val planes = hyperplanes(bits, dim)
+    val dim0 = if (dim > 0) dim else emb.select(size(col(vecCol))).first().getInt(0)
+    val planes = hyperplanes(bits, dim0)
     val withB = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
       .withColumn("b", lshBucket(col("v"), planes))
       .withColumn("n", norm(col("v"))) // per-vector norm, once, pre-join
