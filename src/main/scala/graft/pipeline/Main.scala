@@ -427,7 +427,26 @@ object Main {
     val maxParts = conf.get("parcel_parts").flatMap(v =>
       scala.util.Try(v.toInt).toOption).getOrElse(20)
 
-    val result = AppRun.run(spark, cons, Seq.empty, addrs, code,
+    // get_parcel (app.py:248-273, catatom.py:216-264): read the
+    // CadastralParcel layer when present — real parcel polygons drive the
+    // tiling merges; otherwise the DAG synthesizes parcels from building
+    // outlines via create_missing_parcels (which also fills any refs the
+    // CP layer lacks). Parcels for refs outside the -s/-o cut are deleted
+    // by delete_void_parcels inside the DAG, mirroring the parcel query.
+    val parcelsSeq: Seq[graft.ops.ParcelOps.Parcel] = firstExisting(Seq(
+      s"$dir/A.ES.SDGC.CP.$code.cadastralparcel.gml",
+      s"$dir/$code.cadastralparcel.gml",
+      s"$dir/cadastralparcel.gml")) match {
+      case Some(f) =>
+        val ps = InspireGml.cadastralParcels(f)
+          .filter(_._2.nonEmpty)
+          .map { case (lid, g) => graft.ops.ParcelOps.Parcel(lid, null, 0, g) }
+        io.out(s"Read ${ps.length} parcels in '$f'")
+        ps
+      case None => Seq.empty
+    }
+
+    val result = AppRun.run(spark, cons, parcelsSeq, addrs, code,
       maxParts = maxParts, distributedChain = true, addrTags = addrTags,
       taskSource = taskSource)
 

@@ -103,6 +103,36 @@ object InspireGml {
     }
   }
 
+  /** INSPIRE CadastralParcel reader (the reference's `cadastralparcel`
+    * layer, catatom.py:216-264 read + app.py:248-273 get_parcel): per
+    * cp:CadastralParcel member, (localId, geometry) where localId is the
+    * 14-char refcat and geometry collects every PolygonPatch (exterior +
+    * interior posList rings) — the same surface nesting as the zoning
+    * layer. */
+  def cadastralParcels(
+      path: String): Seq[(String, Array[Array[Array[graft.geom.Pt]]])] = {
+    val xml = Files.readString(Paths.get(path))
+    def ring(posList: String): Array[graft.geom.Pt] = {
+      val nums = posList.trim.split("\\s+").filter(_.nonEmpty).map(_.toDouble)
+      val pts = nums.grouped(2).map(a => graft.geom.Pt(a(0), a(1))).toArray
+      if (pts.length > 1 && pts.head == pts.last) pts.dropRight(1) else pts
+    }
+    members(xml, "cp:CadastralParcel").map { m =>
+      val localId = field(m, "base:localId") match {
+        case "" => field(m, "localId")
+        case v => v
+      }
+      val polys = "(?s)<gml:PolygonPatch>.*?</gml:PolygonPatch>".r.findAllIn(m).map { pp =>
+        val ext = "(?s)<gml:exterior>.*?<gml:posList[^>]*>(.*?)</gml:posList>".r
+          .findFirstMatchIn(pp).map(_.group(1)).getOrElse("")
+        val ints = "(?s)<gml:interior>.*?<gml:posList[^>]*>(.*?)</gml:posList>.*?</gml:interior>".r
+          .findAllMatchIn(pp).map(_.group(1)).toSeq
+        (ring(ext) +: ints.map(ring)).toArray
+      }.toArray
+      (localId, polys)
+    }
+  }
+
   /** The reference's resolve step (xlink → id columns via regex) followed by
     * its three join_field denormalizations (app.py:556-559) — all broadcast
     * hash joins here. */

@@ -273,6 +273,59 @@ class MainSpec extends AnyFunSuite {
       allNodes.flatMap(_.tags).distinct.mkString("; "))
   }
 
+  test("CadastralParcel layer drives the tiling when present (not synthesis)") {
+    // the 38012 fixture family has 16 distinct refcats — enough parcels
+    // for the parts-count pass to actually merge tiles in the control run
+    def stage12(): String = {
+      val d = java.nio.file.Files.createTempDirectory("graft_cp").resolve("38012")
+      java.nio.file.Files.createDirectories(d)
+      Seq("building.gml", "buildingpart.gml").foreach { f =>
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"/root/reference/test/fixtures/$f"), d.resolve(f))
+      }
+      d.toString
+    }
+    // control: no CP layer -> parcels synthesized from building outlines,
+    // clustered together, so the parts-count pass merges nearby tiles
+    val dir0 = stage12()
+    assert(Main.run(Seq(dir0, "-b"),
+      Main.Io(out = _ => (), err = _ => ()), () => spark) === 0)
+    val t0 = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir0/tasks-b"))
+      .toArray.map(_.toString).count(_.endsWith(".osm.gz"))
+    // CP run: one parcel per refcat, squares planted 10 km apart — real
+    // parcel geometry keeps every pair beyond parcel_dist, so the
+    // parts-count merge cannot fire and strictly more task files emerge
+    val dir = stage12()
+    val cons = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/building.gml"))
+    val refs = "localId>([0-9A-Z]+)<".r.findAllMatchIn(cons)
+      .map(m => graft.ops.ParcelOps.refOf(m.group(1))).toSeq.distinct
+    assert(refs.size > 3, s"need several refs, got $refs")
+    val members = refs.zipWithIndex.map { case (r, i) =>
+      val x = 300000.0 + i * 10000.0
+      s"""<gml:featureMember><cp:CadastralParcel gml:id="ES.SDGC.CP.$r">
+         |<cp:inspireId><base:localId>$r</base:localId></cp:inspireId>
+         |<cp:geometry><gml:MultiSurface><gml:surfaceMember><gml:Surface>
+         |<gml:patches><gml:PolygonPatch><gml:exterior><gml:LinearRing>
+         |<gml:posList>$x 3100000 ${x + 50} 3100000 ${x + 50} 3100050 $x 3100050 $x 3100000</gml:posList>
+         |</gml:LinearRing></gml:exterior></gml:PolygonPatch></gml:patches>
+         |</gml:Surface></gml:surfaceMember></gml:MultiSurface></cp:geometry>
+         |</cp:CadastralParcel></gml:featureMember>""".stripMargin
+    }.mkString("\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/38012.cadastralparcel.gml"),
+      s"""<?xml version="1.0"?>\n<gml:FeatureCollection srsName="urn:ogc:def:crs:EPSG::32628">\n$members\n</gml:FeatureCollection>""")
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    assert(Main.run(Seq(dir, "-b"),
+      Main.Io(out = out += _, err = out += _), () => spark) === 0,
+      out.mkString("; "))
+    val readLine = out.find(_.contains("parcels in")).getOrElse(fail(out.mkString("; ")))
+    assert(readLine.contains(s"Read ${refs.size} parcels"), readLine)
+    val t1 = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/tasks-b"))
+      .toArray.map(_.toString).count(_.endsWith(".osm.gz"))
+    assert(t1 > t0, s"layer parcels 10 km apart must suppress tile merges: $t1 vs $t0")
+  }
+
   test("bad directory names and missing layers exit non-zero") {
     val errs = scala.collection.mutable.ArrayBuffer[String]()
     val io = Main.Io(out = _ => (), err = errs += _)
