@@ -71,27 +71,47 @@ object Split {
     (items.toSeq, i + 1)
   }
 
-  /** Overlap area of a (multi)polygon subject with one split polygon:
-    * Σ over subject parts of outer∩part − Σ holes∩part. Subject holes are
-    * ignored (cadastre outers dominate; matches the convex-zone rule's
-    * outer-ring convention in SpatialJoin.assignZonesByArea). */
+  /** Overlap area of a (multi)polygon subject with one split polygon, by
+    * inclusion–exclusion over BOTH ring sets: Σ parts of
+    * (outer∩sp − outer∩spHoles) − (holes∩sp − holes∩spHoles) — subject
+    * holes are subtracted too, so a holey parcel near the 50 % line is
+    * measured on its true area (geo/tools.py:11-19 intersects the real
+    * geometries, holes and all). */
   def overlapArea(subject: MultiPolygon, poly: SplitPoly): Double =
     subject.iterator.map { part =>
-      val outer = part.head
-      Geom.clipAreaSimple(outer, poly.outer) -
-        poly.holes.iterator.map(h => Geom.clipAreaSimple(outer, h)).sum
+      def ringOv(r: Geom.Ring): Double =
+        Geom.clipAreaSimple(r, poly.outer) -
+          poly.holes.iterator.map(h => Geom.clipAreaSimple(r, h)).sum
+      ringOv(part.head) - part.tail.iterator.map(ringOv).sum
     }.sum
 
+  /** Hole-subtracted area of one split polygon. */
+  def polyArea(sp: SplitPoly): Double =
+    Geom.ringArea(sp.outer) - sp.holes.iterator.map(Geom.ringArea).sum
+
   /** geo/tools.py is_inside_area over the split layer: true when SOME split
-    * polygon contains ≥50 % of the subject's outer area. The ratio is
-    * rounded to 1e-6 before the threshold test so a geometrically-exact
-    * 50 % overlap (reachable on gridded data) is classified identically to
-    * closed-form arithmetic — the clip kernel's fp error is ~1e-12, far
-    * inside the rounding guard. */
+    * polygon contains the subject or ≥50 % of its (hole-subtracted) area.
+    * The ratio is rounded to 1e-6 before the threshold test so a
+    * geometrically-exact 50 % overlap (reachable on gridded data) is
+    * classified identically to closed-form arithmetic — the clip kernel's
+    * fp error is ~1e-12, far inside the rounding guard.
+    *
+    * A split polygon strictly INSIDE the subject is NOT a keep: the
+    * reference's `contains(g1)` and `overlaps(g1)` both return False there
+    * (overlaps excludes the contains relation), so is_inside_area falls
+    * through to False even when the inner polygon covers ≥50 % of the
+    * subject's area. */
   def keep(subject: MultiPolygon, polys: Seq[SplitPoly]): Boolean = {
-    val area = subject.iterator.map(p => Geom.ringArea(p.head)).sum
-    area > 0 && polys.exists(sp =>
-      math.round(overlapArea(subject, sp) / area * 1e6) / 1e6 >= 0.5)
+    val area = subject.iterator.map(p =>
+      Geom.ringArea(p.head) - p.tail.iterator.map(Geom.ringArea).sum).sum
+    area > 0 && polys.exists { sp =>
+      val ov = overlapArea(subject, sp)
+      val ratio = math.round(ov / area * 1e6) / 1e6
+      val spA = polyArea(sp)
+      val strictlyInside =
+        ratio < 1.0 && spA > 0 && ov >= spA * (1 - 1e-9)
+      !strictlyInside && ratio >= 0.5
+    }
   }
 
   /** Distributed flavor: typed filter with the (small) boundary broadcast

@@ -71,6 +71,7 @@ object Cli {
     * __main__.py:214-218). */
   /** Single-char flags that may be bundled like argparse ('-bd'). */
   private val BundleFlags = Set('b', 'd', 'z', 'm', 'c', 'w', 'i', 'g', 'x')
+  private val ValueShorts = Set('s', 'o', 'f', 'l')
 
   def parse(rawArgv: Seq[String]): Either[String, Options] = {
     // argparse-compatible token forms: '--opt=value' splits, and bundled
@@ -81,6 +82,11 @@ object Cli {
       case a if a.length > 2 && a.startsWith("-") && !a.startsWith("--") &&
           a.drop(1).forall(BundleFlags) =>
         a.drop(1).map(c => s"-$c")
+      // argparse's attached short-option value form: -sAtocha.geojson,
+      // -oREFCAT, -fconf.yaml, -l28 split into flag + value
+      case a if a.length > 2 && a.startsWith("-") && !a.startsWith("--") &&
+          ValueShorts(a.charAt(1)) =>
+        Seq(a.take(2), a.drop(2))
       case a => Seq(a)
     }
     var o = Options(args = rawArgv.mkString(" "))

@@ -490,10 +490,21 @@ object Main {
     Files.createDirectories(Paths.get(dir))
     Files.write(Paths.get(s"$dir/report.txt"),
       result.report.toDisplayString().getBytes(StandardCharsets.UTF_8))
+    // json.dumps-faithful escaping (report.py export): a municipality name
+    // with a quote or backslash must still produce valid JSON
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val json = (result.report.values.toSeq.sorted
-      .map { case (k, v) => s""""$k": $v""" } ++
+      .map { case (k, v) => s"${jq(k)}: $v" } ++
       result.report.strings.toSeq.sorted
-        .map { case (k, v) => s""""$k": "$v"""" })
+        .map { case (k, v) => s"${jq(k)}: ${jq(v)}" })
       .mkString("{", ", ", "}")
     Files.write(Paths.get(s"$dir/report.json"),
       json.getBytes(StandardCharsets.UTF_8))

@@ -130,8 +130,9 @@ object TextFns {
     * environment's fuzzywuzzy backend (the municipalities.csv golden
     * discriminates: "MAO MAHON" vs "Manacor" scores 50 under difflib
     * blocks but 62 under LCS). Faithful port of find_longest_match +
-    * get_matching_blocks incl. the autojunk rule (no junk at these
-    * lengths). */
+    * get_matching_blocks incl. the autojunk rule for b.length >= 200:
+    * popular chars are pruned from b2j (cannot seed a match) but remain
+    * matchable through the extension loops, exactly like CPython. */
   def difflibMatches(a: String, b: String): Int = {
     if (a.isEmpty || b.isEmpty) return 0
     val b2j = scala.collection.mutable.Map[Char, List[Int]]()
@@ -154,6 +155,17 @@ object TextFns {
         j2len = newj2len
         i += 1
       }
+      // CPython's extension loops: autojunk-popular chars are dropped from
+      // b2j (they cannot SEED a match) but stay matchable — with no junk
+      // function bjunk is empty, so the non-junk and junk loop pairs
+      // collapse into one pair extending through ANY equal chars. Runs
+      // even at bestsize=0 (a popular run at alo/blo can still match).
+      while (besti > alo && bestj > blo && a(besti - 1) == b(bestj - 1)) {
+        besti -= 1; bestj -= 1; bestsize += 1
+      }
+      while (besti + bestsize < ahi && bestj + bestsize < bhi &&
+          a(besti + bestsize) == b(bestj + bestsize))
+        bestsize += 1
       (besti, bestj, bestsize)
     }
     var total = 0

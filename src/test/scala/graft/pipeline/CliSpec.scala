@@ -110,6 +110,17 @@ class CliSpec extends AnyFunSuite {
     assert(o.municipality && o.split === None)
   }
 
+  test("argparse attached short-option values: -sX, -oX, -fX, -lX") {
+    val s = Cli.parse(Seq("33333", "-sAtocha.geojson")).toOption.get
+    assert(s.split === Some("Atocha.geojson"))
+    val o = Cli.parse(Seq("33333", "-oREFCAT")).toOption.get
+    assert(o.parcel === Seq("REFCAT"))
+    val f = Cli.parse(Seq("33333", "-fconf.yaml")).toOption.get
+    assert(f.configFile === Some("conf.yaml"))
+    val l = Cli.parse(Seq("-l28")).toOption.get
+    assert(l.list === "28")
+  }
+
   test("argparse token forms: --opt=value, bundled shorts, -v") {
     val eq = Cli.parse(Seq("33333", "--log=debug")).toOption.get
     assert(eq.logLevel === "DEBUG")

@@ -15,6 +15,22 @@ class TextFnsSpec extends AnyFunSuite {
     assert(TextFns.levenshteinDist("same", "same") === 0)
   }
 
+  test("difflib autojunk parity at 200+ chars (CPython-pinned goldens)") {
+    // every char in these 249-char strings is autojunk-popular (freq >
+    // len/100+1), so b2j prunes them ALL and only the extension loops can
+    // match the common prefix — CPython difflib returns exactly 10 here; a
+    // port that merely drops popular chars from b2j returns 0
+    val a = Seq.fill(10)("calle de la constitucion").mkString(" ")
+    val b = Seq.fill(10)("calle de le constituzion").mkString(" ")
+    assert(a.length === 249)
+    assert(TextFns.difflibMatches(a, b) === 10)
+    val a2 = Seq.fill(18)("avenida x y z").mkString(" ")
+    val b2 = Seq.fill(18)("avenida x q z").mkString(" ")
+    assert(TextFns.difflibMatches(a2, b2) === 10)
+    // token-sorted form: M=68 over 249+249 -> 200*68/498 = 27.31 -> 27
+    assert(TextFns.tokenSortRatio(a, b) === 27)
+  }
+
   test("tokenSortRatio is order-insensitive and calibrated") {
     assert(TextFns.tokenSortRatio("calle mayor", "mayor calle") === 100)
     assert(TextFns.tokenSortRatio("a b", "a b") === 100)
