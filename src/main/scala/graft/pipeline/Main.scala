@@ -104,6 +104,24 @@ object Main {
   private def firstExisting(cands: Seq[String]): Option[String] =
     cands.find(p => Files.exists(Paths.get(p)))
 
+  /** json.dumps-faithful string escaping (report.py export): a municipality
+    * name with a quote or backslash must still produce valid JSON. */
+  private def jq(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** report.export's machine JSON: numeric values + escaped strings. */
+  private def reportJson(report: Report): String =
+    (report.values.toSeq.sorted.map { case (k, v) => s"${jq(k)}: $v" } ++
+      report.strings.toSeq.sorted.map { case (k, v) => s"${jq(k)}: ${jq(v)}" })
+      .mkString("{", ", ", "}")
+
   /** config.get_user_config (config.py:771-786): a flat YAML of
     * `key: value` overrides. The subset this engine consumes is parsed
     * here (scalar lines only — the reference's user surface for the knobs
@@ -343,6 +361,42 @@ object Main {
         kept
     }
 
+    // get_metadata (catatom.py:54-78): ISO-19139 metadata next to each
+    // layer group — source date, Cadastre municipality name, EPSG ref
+    val buMeta = firstExisting(Seq(
+      s"$dir/A.ES.SDGC.BU.MD.$code.xml", s"$dir/$code.bu.md.xml"))
+      .flatMap(f => CadastreGml.getMetadata(f).toOption)
+    val adMeta = firstExisting(Seq(
+      s"$dir/A.ES.SDGC.AD.MD.$code.xml", s"$dir/$code.ad.md.xml"))
+      .flatMap(f => CadastreGml.getMetadata(f).toOption)
+
+    // -i/--info (app.py:127-133): input stats + source metadata only —
+    // read the layers, tags_for_info (no date/options keys are added),
+    // export info[_split].json, and stop before any processing
+    if (opts.info) {
+      val rep = new Report
+      rep.strings("mun_code") = code
+      buMeta.foreach { case (d, mun, _) =>
+        rep.strings("cat_mun") = mun; rep.strings("building_date") = d }
+      adMeta.foreach { case (d, _, _) => rep.strings("address_date") = d }
+      rep.set("inp_features", cons.length)
+      rep.set("inp_buildings", cons.count(_.kind == "building"))
+      rep.set("inp_parts", cons.count(_.kind == "part"))
+      rep.set("inp_pools", cons.count(_.kind == "pool"))
+      addressFile(dir, code).foreach { f =>
+        val specs = InspireGml.resolvedAddresses(spark, f)
+          .select(col("spec")).as[String].collect()
+        rep.set("inp_address", specs.length)
+        rep.set("inp_address_entrance", specs.count(_ == "Entrance"))
+        rep.set("inp_address_parcel", specs.count(_ != "Entrance"))
+      }
+      val fn = opts.split.map(s => s"_$s").getOrElse("")
+      Files.write(Paths.get(s"$dir/info$fn.json"),
+        reportJson(rep).getBytes(StandardCharsets.UTF_8))
+      io.out(s"Generated '$dir/info$fn.json'")
+      return 0
+    }
+
     // get_address + the highway_names two-pass lifecycle (app.py:552-593,
     // 690-729): the FIRST address run resolves street names against any
     // locally present current_highway/place.osm (the Overpass fetch is out
@@ -485,27 +539,20 @@ object Main {
     // report.txt in the reference's human layout (report.to_file) +
     // report.json as the machine checkpoint (report.export)
     result.report.strings("mun_code") = code
+    // source metadata fields (app.py:251,304,527): Cadastre name + dates
+    buMeta.foreach { case (d, mun, _) =>
+      result.report.strings("cat_mun") = mun
+      result.report.strings("building_date") = d
+    }
+    adMeta.foreach { case (d, _, _) =>
+      if (opts.address) result.report.strings("address_date") = d
+    }
     result.report.validate() // fills report.errors for the Problems group
     if (fixmeCount > 0) result.report.set("fixme_count", fixmeCount.toLong)
     Files.createDirectories(Paths.get(dir))
     Files.write(Paths.get(s"$dir/report.txt"),
       result.report.toDisplayString().getBytes(StandardCharsets.UTF_8))
-    // json.dumps-faithful escaping (report.py export): a municipality name
-    // with a quote or backslash must still produce valid JSON
-    def jq(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = (result.report.values.toSeq.sorted
-      .map { case (k, v) => s"${jq(k)}: $v" } ++
-      result.report.strings.toSeq.sorted
-        .map { case (k, v) => s"${jq(k)}: ${jq(v)}" })
-      .mkString("{", ", ", "}")
+    val json = reportJson(result.report)
     Files.write(Paths.get(s"$dir/report.json"),
       json.getBytes(StandardCharsets.UTF_8))
     io.out(s"$code: ${result.taskDocs.size} tasks, " +

@@ -75,6 +75,38 @@ object CadastreGml {
       }.toSeq
   }
 
+  /** catatom.Reader.get_metadata (catatom.py:54-78): ISO-19139 source
+    * metadata — (src_date, cat_mun, crs_ref) from the dateStamp Date, the
+    * municipality name embedded in the title (split on '-' then '('), and
+    * the EPSG code at the tail of the crs code URI. Replays the
+    * reference's own test_get_metadata golden (2017-02-25 / TAZ / 32628).
+    * Returns Left(CatIOError message) when any field is missing, like the
+    * reference raise. */
+  def getMetadata(path: String): Either[String, (String, String, Int)] = {
+    val err = Left(s"Could not read metadata from '$path'")
+    val xml = try {
+      val bytes = Files.readAllBytes(Paths.get(path))
+      val head = new String(bytes, 0, math.min(100, bytes.length),
+        java.nio.charset.StandardCharsets.US_ASCII)
+      val cs = if (head.toUpperCase.contains("ISO-8859-1"))
+        java.nio.charset.StandardCharsets.ISO_8859_1
+      else java.nio.charset.StandardCharsets.UTF_8
+      new String(bytes, cs)
+    } catch { case _: Exception => return err }
+    def str(tag: String): Option[String] =
+      s"(?s)<gmd:$tag>.*?<gco:(?:Date|CharacterString)>\\s*([^<]+?)\\s*</gco:".r
+        .findFirstMatchIn(xml).map(_.group(1))
+    (str("dateStamp"), str("title"), str("code")) match {
+      case (Some(d), Some(t), Some(c)) =>
+        scala.util.Try(c.split("/").last.toInt).toOption match {
+          case Some(epsg) =>
+            Right((d, t.split("-").last.split("\\(")(0).trim, epsg))
+          case None => err
+        }
+      case _ => err
+    }
+  }
+
   /** The ConsLayer.append field mapping (cons.py rename table): source
     * Cadastre tags → layer schema names. */
   def toConsAttrs(f: CadFeature): Map[String, String] = {

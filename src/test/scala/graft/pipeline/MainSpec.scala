@@ -326,6 +326,31 @@ class MainSpec extends AnyFunSuite {
     assert(t1 > t0, s"layer parcels 10 km apart must suppress tile merges: $t1 vs $t0")
   }
 
+  test("-i writes info.json from the layers + ISO-19139 metadata") {
+    val dir = stage()
+    val md =
+      """<?xml version="1.0" encoding="ISO-8859-1"?>
+        |<gmd:MD_Metadata xmlns:gmd="http://www.isotc211.org/2005/gmd" xmlns:gco="http://www.isotc211.org/2005/gco">
+        |<gmd:title><gco:CharacterString>Buildings of 38023-TAZ (foo bar)</gco:CharacterString></gmd:title>
+        |<gmd:dateStamp><gco:Date>2017-02-25</gco:Date></gmd:dateStamp>
+        |<gmd:code><gco:CharacterString>http://www.opengis.net/def/crs/EPSG/0/32628</gco:CharacterString></gmd:code>
+        |</gmd:MD_Metadata>""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/A.ES.SDGC.BU.MD.38023.xml"), md)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    assert(Main.run(Seq(dir, "-i"), Main.Io(out = out += _, err = out += _),
+      () => spark) === 0, out.mkString("; "))
+    val info = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/info.json"))
+    assert(info.contains("\"cat_mun\": \"TAZ\""), info)
+    assert(info.contains("\"building_date\": \"2017-02-25\""), info)
+    assert("\"inp_features\": (\\d+)".r.findFirstMatchIn(info)
+      .exists(_.group(1).toInt > 0), info)
+    // info mode stops before processing: no tasks, no report
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/tasks")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/report.txt")))
+  }
+
   test("bad directory names and missing layers exit non-zero") {
     val errs = scala.collection.mutable.ArrayBuffer[String]()
     val io = Main.Io(out = _ => (), err = errs += _)
