@@ -18,7 +18,7 @@ object ScalePipeline {
         graft.layers.SynthMuni.inputs(spark, sfDir, nMuns = cores)
       val t0 = System.nanoTime()
       val r = graft.pipeline.AppRun.runMulti(
-        spark, cons, parcels, addrs, graft.layers.SynthMuni.munOf)
+        spark, cons, parcels, addrs, graft.layers.SynthMuni.munOfFor(cores))
       val docs = r.taskDocs.count()
       ((System.nanoTime() - t0) / 1e9, docs)
     } finally { CacheBin.drain(); spark.stop() }
@@ -26,15 +26,17 @@ object ScalePipeline {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val pair = sys.env.getOrElse("SPARK_GRAFT_PAIR", "2,8")
+    val points = sys.env.getOrElse("SPARK_GRAFT_PAIR", "2,8,32")
       .split(",").map(_.trim.toInt)
-    timed(pair(0), sfDir) // warmup (JIT + codegen caches)
-    val results = pair.map(c => c -> timed(c, sfDir))
+    timed(points(0), sfDir) // warmup (JIT + codegen caches)
+    val results = points.map(c => c -> timed(c, sfDir))
     val pts = results.map { case (c, (sec, docs)) =>
       f""""local$c":{"sec":$sec%.2f,"muns":$c,"task_docs":$docs,"docs_per_sec":${(docs / sec).toLong}}"""
     }.mkString(",")
-    val eff = results.head._2._1 / results.last._2._1
-    println(s"""{"job":"pipeline_weak_scale","points":{$pts},""" +
-      f""""weak_eff_${pair(0)}_to_${pair(1)}":$eff%.3f}""")
+    // ideal weak scaling holds sec flat: eff(a->b) = sec(a) / sec(b)
+    val effs = results.sliding(2).collect { case Array((a, (sa, _)), (b, (sb, _))) =>
+      f""""weak_eff_${a}_to_$b":${sa / sb}%.3f"""
+    }.mkString(",")
+    println(s"""{"job":"pipeline_weak_scale","points":{$pts},$effs}""")
   }
 }

@@ -24,30 +24,19 @@ object AddressNames {
 
   final case class Named(name: String, bbox: Geom.BBox)
 
-  /** get_names over grouped address points. bboxBuffer mirrors the
-    * reference's grow(0.002 * 100000) — effectively a global candidate pool
-    * on degree data, kept for fidelity. */
-  def getNames(
-      addresses: Seq[(String, Pt)],
-      highways: Seq[Named],
-      places: Seq[Named],
-      bboxBuffer: Double = 0.002 * 100000): Map[String, (String, String)] = {
-    val byName = addresses.filter(_._1 != null).filter(_._1.nonEmpty).groupBy(_._1)
-    byName.map { case (name, pts) =>
-      val xs = pts.map(_._2.x); val ys = pts.map(_._2.y)
-      val bbox = Geom.BBox(xs.min, ys.min, xs.max, ys.max).grow(bboxBuffer)
-      def pool(cands: Seq[Named]) =
-        cands.filter(c => c.bbox.intersects(bbox)).map(_.name)
-      val hgwType = TextFns.parseStreetName(name).split(" ")(0).toLowerCase
-      val result =
-        if (PlaceTypes.contains(hgwType)) TextFns.matchName(name, pool(places))
-        else if (name.split(" ")(0) == "PZ") {
-          val m = TextFns.matchName(name, pool(places))
-          if (m._2 == "CAT") TextFns.matchName(name, pool(highways))
-          else ("square" + m._1, m._2)
-        } else TextFns.matchName(name, pool(highways))
-      (name, result)
-    }
+  /** Build the NamedRow dataset for [[getNamesD]] from highway + place
+    * pools (source order becomes the tie-break idx, like the reference's
+    * layer order). */
+  def namedRows(spark: SparkSession, highways: Seq[Named],
+      places: Seq[Named]): org.apache.spark.sql.Dataset[NamedRow] = {
+    import spark.implicits._
+    spark.createDataset(
+      highways.zipWithIndex.map { case (n, i) =>
+        NamedRow("highway", i.toLong, n.name,
+          n.bbox.xmin, n.bbox.ymin, n.bbox.xmax, n.bbox.ymax) } ++
+      places.zipWithIndex.map { case (n, i) =>
+        NamedRow("place", i.toLong, n.name,
+          n.bbox.xmin, n.bbox.ymin, n.bbox.xmax, n.bbox.ymax) })
   }
 
   /** A named highway/place feature row for the Dataset form: `side` is

@@ -97,9 +97,8 @@ object Conflate {
     outer.toSeq
   }
 
-  private val RelBit = 1L << 62 // distinguishes relation ids in the poly set
-
-  /** conflateDoc, Dataset-native (VERDICT r2 item 4): ways and relations
+  /** ConsLayer.conflate over a full parsed document (cons.py:524-578),
+    * Dataset-native and the ONLY orchestration flavor: ways and relations
     * stay in Dataset land end-to-end — relation outer rings are assembled
     * by a member-explode join + per-relation cogroup, conflict marking is
     * the distributed cell-join probe, and the delete flavor is expressed as
@@ -124,7 +123,7 @@ object Conflate {
     // relation outer rings: member explode -> equi-join way geometry ->
     // per-relation chain (outerGeometry is per-relation bounded work).
     // Relations and ways mark in two separate passes, so their id spaces
-    // never need the Seq flavor's RelBit packing.
+    // never collide (the retired Seq flavor needed a tag bit here).
     val members = rels.filter(r => cand(r.tags))
       .flatMap(r => r.memberWays.zipWithIndex.map { case (w, i) => (r.id, i, w, r.tags) })
       .toDF("rel_id", "pos", "way_id", "tags")
@@ -182,53 +181,4 @@ object Conflate {
     }
   }
 
-  /** ConsLayer.conflate over a full parsed document (cons.py:524-578):
-    * candidates are closed building/pool ways plus building/pool relations
-    * (outer rings chained); conflict detection runs distributed through
-    * markConflicts; delete=true removes non-conflicting candidates (and
-    * member ways orphaned by a removed relation), delete=false tags
-    * conflicted elements. Elements whose chained geometry fails to close
-    * (the reference's isGeosValid warning path) are skipped, not deleted. */
-  def conflateDoc(
-      spark: org.apache.spark.sql.SparkSession,
-      ways: Seq[OsmWayG], rels: Seq[OsmRelG],
-      cons: Seq[MultiPolygon], grid: CellGrid,
-      delete: Boolean = true): (Seq[OsmWayG], Seq[OsmRelG]) = {
-    import spark.implicits._
-    val wayById = ways.map(w => w.id -> w).toMap
-    def cand(tags: Map[String, String]) =
-      tags.contains("building") || tags.get("leisure").contains("swimming_pool")
-    // isGeosValid gate (cons.py:556-560): a self-intersecting candidate
-    // (bowtie ring) takes the reference's warning path — never tested for
-    // conflicts, never deleted
-    def ringsValid(mp: MultiPolygon): Boolean =
-      mp.forall(_.forall(r => !graft.clean.DeleteInvalid.selfIntersects(r)))
-    val wayCands = ways.filter(w => cand(w.tags) && isClosed(w.pts))
-      .map(w => OsmPoly(w.id, w.tags, Array(Array(w.pts.dropRight(1)))))
-      .filter(p => ringsValid(p.geometry))
-    val relCands = rels.filter(r => cand(r.tags)).flatMap { r =>
-      val rings = outerGeometry(r.memberWays.flatMap(wayById.get).map(_.pts))
-      if (rings.isEmpty || !rings.forall(isClosed))
-        None // invalid multipolygon -> reference logs a warning and skips
-      else Some(OsmPoly(r.id | RelBit, r.tags,
-        rings.map(rr => Array(rr.dropRight(1))).toArray))
-    }.filter(p => ringsValid(p.geometry))
-    val marked = markConflicts(
-        spark.createDataset(wayCands ++ relCands), cons, grid)
-      .collect().map(p => p.id -> p.tags.contains("conflict")).toMap
-    if (!delete) {
-      (ways.map(w => if (marked.getOrElse(w.id, false))
-          w.copy(tags = w.tags + ("conflict" -> "yes")) else w),
-        rels.map(r => if (marked.getOrElse(r.id | RelBit, false))
-          r.copy(tags = r.tags + ("conflict" -> "yes")) else r))
-    } else {
-      val dropWays = wayCands.collect { case p if !marked(p.id) => p.id }.toSet
-      val dropRels = relCands.collect { case p if !marked(p.id) => p.id & ~RelBit }.toSet
-      val keptRels = rels.filterNot(r => dropRels.contains(r.id))
-      val stillReferenced = keptRels.flatMap(_.memberWays).toSet
-      val orphaned = rels.filter(r => dropRels.contains(r.id))
-        .flatMap(_.memberWays).toSet -- stillReferenced
-      (ways.filterNot(w => dropWays.contains(w.id) || orphaned.contains(w.id)), keptRels)
-    }
-  }
 }

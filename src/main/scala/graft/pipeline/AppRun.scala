@@ -32,33 +32,6 @@ object AppRun {
       taskDocs: Map[String, String],
       report: Report)
 
-  /** process_building via the Seq chain, tallying stage deletions. */
-  private def runChainSeq(
-      spark: SparkSession, consRaw: Seq[ConsF], report: Report): Seq[ConsF] = {
-    val underground = consRaw.count(f => f.kind == "part" &&
-      f.levAbove == 0 && f.levBelow != 0 && f.levBelow != -1)
-    val afterOutside = ConsChain.removeOutsideParts(consRaw)
-    report.set("underground_parts", underground)
-    report.set("outside_parts", consRaw.length - afterOutside.length - underground)
-    val afterExplode = ConsChain.explode(afterOutside)
-    report.set("exploded_parts_building", afterExplode.length - afterOutside.length)
-    val afterInvalid = ConsChain.deleteInvalid(spark, afterExplode)
-    val afterTopo = ConsChain.topology(spark, afterInvalid)
-    val afterMerge = ConsChain.mergeParts(spark, afterTopo)
-    // merge deletions: buildings lost are pool-coincident, parts lost are
-    // merged-to-outline/adjacent (lumped into parts_to_outline)
-    val bLost = afterTopo.count(_.kind == "building") - afterMerge.count(_.kind == "building")
-    report.set("buildings_in_pools", bLost)
-    report.set("parts_to_outline", afterTopo.length - afterMerge.length - bLost)
-    val afterSimplify = ConsChain.simplify(spark, afterMerge)
-    val prepared = ConsChain.deleteSmall(afterSimplify)
-    // small/degenerate deletions land in the invalid-geometry bucket
-    report.set("geom_invalid_building",
-      (afterExplode.length - afterInvalid.length) +
-        (afterSimplify.length - prepared.length))
-    prepared
-  }
-
   /** Single-municipality entry over the DATASET path: builds the Dataset
     * inputs, delegates to runMulti (zero feature collects between stages),
     * and collects the small outputs into the Seq-shaped Result — so the
@@ -94,6 +67,9 @@ object AppRun {
     Result(prepared, parcels2, tasks, addressesOut, docs, report)
   }
 
+  /** Single-municipality entry — delegates to the Dataset-native
+    * [[runMulti]] (the only orchestration path; the Seq chain was retired
+    * once every golden rode the D forms). */
   def run(
       spark: SparkSession,
       consRaw: Seq[ConsF],
@@ -102,101 +78,10 @@ object AppRun {
       munCode: String,
       maxParts: Int = 20,
       buffer: Double = 30.0,
-      distributedChain: Boolean = false,
       addrTags: Map[String, Map[String, String]] = Map.empty,
-      taskSource: String = "building"): Result = {
-    if (distributedChain)
-      return runViaMulti(spark, consRaw, parcelsRaw, addrs, munCode,
-        maxParts, buffer, addrTags, taskSource)
-    import spark.implicits._
-    val report = new Report
-
-    // ---- get_building --------------------------------------------------
-    report.set("inp_features", consRaw.length)
-    report.set("inp_buildings", consRaw.count(_.kind == "building"))
-    report.set("inp_parts", consRaw.count(_.kind == "part"))
-    report.set("inp_pools", consRaw.count(_.kind == "pool"))
-
-    // ---- process_building (app.py:241-263) ------------------------------
-    val prepared = runChainSeq(spark, consRaw, report)
-    report.set("out_features", prepared.length)
-
-    // ---- process_address (move_address over the prepared layer) ---------
-    val consFeat = spark.createDataset(prepared.zipWithIndex.map { case (f, i) =>
-      MoveAddress.ConsFeature(s"${f.localId}#$i", f.ref, f.kind, f.geometry)
-    })
-    val addrRows = addrs.collect()
-    report.set("inp_address", addrRows.length)
-    report.set("inp_address_entrance", addrRows.count(_.spec == "Entrance"))
-    report.set("inp_address_parcel", addrRows.count(_.spec != "Entrance"))
-    val addressesOut = MoveAddress.moveAddressFull(addrs, consFeat)
-      .as[(String, String, String, Double, Double)].collect()
-    report.set("out_address", addressesOut.length)
-    report.set("out_address_entrance", addressesOut.count(_._3 == "Entrance"))
-    report.set("out_address_parcel", addressesOut.count(_._3 != "Entrance"))
-    report.set("out_addr_str", addressesOut.length) // all street-typed here
-    report.set("out_addr_plc", 0)
-    // deleted addresses: no building for the refcat -> orphaned; the rest
-    // (non-Entrance with several buildings) -> multiple
-    val buildingRefs = prepared.filter(_.kind == "building").map(_.ref).toSet
-    val orphaned = addrRows.count(a => !buildingRefs.contains(a.ref))
-    report.set("orphaned_addresses", orphaned)
-    report.set("multiple_addresses",
-      addrRows.length - addressesOut.length - orphaned)
-
-    // ---- process_parcel (app.py:286-308) --------------------------------
-    val preparedDs = spark.createDataset(prepared)
-    val pcl1 = ParcelOps.deleteVoidParcels(spark.createDataset(parcelsRaw), preparedDs)
-    val pcl2 = ParcelOps.createMissingParcels(pcl1, preparedDs)
-    val counted = ParcelOps.countParts(pcl2, preparedDs).collect().toSeq
-      .sortBy(_.localId)
-    var tasks: Map[String, String] = counted.map(p => p.localId -> p.localId).toMap
-    def compose(m: Map[String, String]): Unit =
-      tasks = tasks.map { case (k, v) => k -> m.getOrElse(v, v) }
-    // distributed per-municipality merge drivers
-    val mp1 = spark.createDataset(counted.zipWithIndex.map { case (p, i) =>
-      ParcelOps.MunParcel(munCode, i.toLong, p) })
-    val mc1 = spark.createDataset(prepared.map(c => ParcelOps.MunCons(munCode, c)))
-    val rows1 = ParcelOps.mergeByAdjacentBuildingsByMun(mp1, mc1).collect()
-    val parcels1 = rows1.filter(_.parcel != null).sortBy(_.seq).map(_.parcel).toSeq
-    compose(rows1.filter(_.taskFrom != null).map(r => r.taskFrom -> r.taskTo).toMap)
-    val mp2 = spark.createDataset(parcels1.zipWithIndex.map { case (p, i) =>
-      ParcelOps.MunParcel(munCode, i.toLong, p) })
-    val rows2 = ParcelOps.mergeByPartsCountByMun(mp2, maxParts, buffer).collect()
-    val parcels2 = rows2.filter(_.parcel != null).sortBy(_.seq).map(_.parcel).toSeq
-    compose(rows2.filter(_.taskFrom != null).map(r => r.taskFrom -> r.taskTo).toMap)
-
-    // ---- get_tasks / process_tasks (app.py:310-389) ----------------------
-    def labelOf(ref: String): String = tasks.getOrElse(ref, ref)
-    val labels = (prepared.map(f => labelOf(f.ref)) ++
-      addressesOut.map(a => labelOf(a._2))).distinct.sorted
-    val labelId = labels.zipWithIndex.map { case (l, i) => l -> i.toLong }.toMap
-    report.set("tasks", labels.length)
-    report.set("tasks_u", labels.count(_.length > 9)) // urban refcat labels
-    report.set("tasks_r", labels.count(_.length <= 9))
-    val taskFeats = spark.createDataset(prepared.zipWithIndex.map { case (f, i) =>
-      OsmOut.TaskFeature(labelId(labelOf(f.ref)), s"${f.localId}#$i", f.geometry,
-        Translate.buildingTagsRow(f.localId, null, null,
-          if (f.kind == "pool") "openAirPool" else null,
-          math.max(0, f.levAbove), math.max(0, f.levBelow), 0, ""))
-    })
-    // node tags: the caller supplies the translate.address_tags output per
-    // localId (Translate.addressTagsRow over the resolved layer); addr:ref
-    // is always added so task docs stay self-describing
-    // entrance=yes follows the spec RESOLVED by move_address (the reference
-    // computes address_tags after move_address): an address demoted from
-    // Entrance drops the tag, one classified Entrance gains it
-    val addrNodes = spark.createDataset(addressesOut.toSeq.map { a =>
-      val base0 = addrTags.getOrElse(a._1, Map.empty[String, String])
-      val base = if (a._3 == "Entrance") base0 + ("entrance" -> "yes")
-        else base0 - "entrance"
-      (labelId(labelOf(a._2)), a._4, a._5, base + ("addr:ref" -> a._1))
-    })
-    val docs = OsmOut.perTaskOsmXml(taskFeats, addrNodes).collect().toMap
-    val byLabel = labels.map(l => l -> docs(labelId(l))).toMap
-
-    Result(prepared, parcels2, tasks, addressesOut, byLabel, report)
-  }
+      taskSource: String = "building"): Result =
+    runViaMulti(spark, consRaw, parcelsRaw, addrs, munCode,
+      maxParts, buffer, addrTags, taskSource)
 
   // ------------------------------------------------------------------
   // Dataset-native, multi-municipality orchestration: N municipalities'

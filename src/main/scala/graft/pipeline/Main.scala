@@ -446,10 +446,13 @@ object Main {
               val places = pool("current_place.osm",
                 d => graft.ops.AddressNames.placesFromOsm(d)
                   .map { case (n, p) => (n, Seq(p)) })
-              graft.ops.AddressNames.getNames(
-                  resolved.toSeq.map(r => (r._2, graft.geom.Pt(r._6, r._7))),
-                  highways, places)
-                .map { case (k, (v, _)) => k -> v }
+              val addrDs = spark.createDataset(
+                resolved.toSeq.map(r => (r._2, r._6, r._7)))
+              graft.ops.AddressNames
+                .getNamesD(addrDs,
+                  graft.ops.AddressNames.namedRows(spark, highways, places))
+                .as[(String, String, String)].collect()
+                .map(t => t._1 -> t._2).toMap
             }
           if (isNew) {
             io.out(s"Generated '$namesPath'. Please, check it and run again")
@@ -501,8 +504,7 @@ object Main {
     }
 
     val result = AppRun.run(spark, cons, parcelsSeq, addrs, code,
-      maxParts = maxParts, distributedChain = true, addrTags = addrTags,
-      taskSource = taskSource)
+      maxParts = maxParts, addrTags = addrTags, taskSource = taskSource)
 
     val docs = spark.createDataset(result.taskDocs.toSeq)
     OsmOut.writeTaskFiles(docs, s"$dir/$tasksFolder")

@@ -37,7 +37,15 @@ class AddressNamesGoldenSpec extends AnyFunSuite {
       .toSeq
     val highways = AddressNames.loadNamed(spark, s"$fx/highway.geojson")
     val places = AddressNames.loadNamed(spark, s"$fx/place.geojson")
-    val got = AddressNames.getNames(addresses, highways, places)
+    // the Dataset path IS the only get_names flavor; the golden rides it
+    val got = {
+      import spark.implicits._
+      AddressNames.getNamesD(
+          spark.createDataset(addresses.map(a => (a._1, a._2.x, a._2.y))),
+          AddressNames.namedRows(spark, highways, places))
+        .as[(String, String, String)].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+    }
     val golden = Map(
       "AV PAZ (FASNIA)" -> (("Avenida la Paz", "OSM")),
       "CL SAN JOAQUIN (FASNIA)" -> (("Calle San Joaquín", "OSM")),
@@ -53,7 +61,7 @@ class AddressNamesGoldenSpec extends AnyFunSuite {
     }
   }
 
-  test("Dataset get_names path reproduces the Seq kernel's full table") {
+  test("get_names is partitioning-invariant") {
     import spark.implicits._
     val addresses = spark.read.option("multiLine", true).json(s"$fx/address.geojson")
       .select(explode(col("features")).as("f"))
@@ -65,25 +73,16 @@ class AddressNamesGoldenSpec extends AnyFunSuite {
       .toSeq
     val highways = AddressNames.loadNamed(spark, s"$fx/highway.geojson")
     val places = AddressNames.loadNamed(spark, s"$fx/place.geojson")
-    val expect = AddressNames.getNames(addresses, highways, places)
-
     val addrDs = spark.createDataset(addresses.map(a => (a._1, a._2.x, a._2.y)))
-    val namedDs = spark.createDataset(
-      highways.zipWithIndex.map { case (n, i) =>
-        AddressNames.NamedRow("highway", i.toLong, n.name,
-          n.bbox.xmin, n.bbox.ymin, n.bbox.xmax, n.bbox.ymax) } ++
-      places.zipWithIndex.map { case (n, i) =>
-        AddressNames.NamedRow("place", i.toLong, n.name,
-          n.bbox.xmin, n.bbox.ymin, n.bbox.xmax, n.bbox.ymax) })
+    val namedDs = AddressNames.namedRows(spark, highways, places)
     val got = AddressNames.getNamesD(addrDs, namedDs)
       .as[(String, String, String)].collect()
       .map(t => t._1 -> ((t._2, t._3))).toMap
-    assert(got === expect)
-    // and the Dataset path is partitioning-invariant
     val got8 = AddressNames.getNamesD(addrDs.repartition(8), namedDs.repartition(5))
       .as[(String, String, String)].collect()
       .map(t => t._1 -> ((t._2, t._3))).toMap
-    assert(got8 === expect)
+    assert(got8 === got)
+    assert(got.nonEmpty)
   }
 }
 

@@ -99,24 +99,26 @@ class ConflateGoldenSpec extends AnyFunSuite {
       OsmRelG(10L, Map("building" -> "yes", "ref" -> "10"), Seq(104L, 105L)))
     assert(ways.length === 14 && rels.length === 2)
     val grid = CellGrid(0.001, origin = -180.0, rowWidth = 1L << 31)
-    val (keptWays, keptRels) = Conflate.conflateDoc(spark, ways, rels, cons, grid)
-    assert(keptWays.length === 12, s"ways: ${keptWays.map(_.id)}")
-    assert(keptRels.length === 2)
-    assert(keptWays.flatMap(_.tags.get("ref")).toSet === Set("3", "4", "5", "6", "7", "8"))
-
-    // the Dataset-native path reproduces both flavors, at any partitioning
+    // delete=True (the reference's documented tail): 2 non-conflicting
+    // candidate ways removed, both relations conflicted and kept — the
+    // golden rides the Dataset path directly (the Seq flavor is retired)
     val waysDs = spark.createDataset(ways).repartition(7)
     val relsDs = spark.createDataset(rels).repartition(3)
     val (dWays, dRels) = Conflate.conflateDocD(spark, waysDs, relsDs, cons, grid)
-    assert(dWays.collect().map(w => (w.id, w.tags)).toSet ===
-      keptWays.map(w => (w.id, w.tags)).toSet)
-    assert(dRels.collect().map(r => (r.id, r.tags, r.memberWays)).toSet ===
-      keptRels.map(r => (r.id, r.tags, r.memberWays)).toSet)
-    val (mWays, mRels) = Conflate.conflateDoc(spark, ways, rels, cons, grid, delete = false)
+    val keptWays = dWays.collect()
+    assert(keptWays.length === 12, s"ways: ${keptWays.map(_.id).toSeq}")
+    assert(dRels.count() === 2)
+    assert(keptWays.flatMap(_.tags.get("ref")).toSet === Set("3", "4", "5", "6", "7", "8"))
+    // delete=False marks instead of deleting: everything survives, and
+    // conflict=yes lands exactly on the conflicted CANDIDATES — closed
+    // building ways the delete flavor kept (refs 3,4,7,8; 5 and 6 are
+    // open polylines, never candidates, kept unmarked) and both relations
     val (dmWays, dmRels) = Conflate.conflateDocD(spark, waysDs, relsDs, cons, grid, delete = false)
-    assert(dmWays.collect().map(w => (w.id, w.tags)).toSet ===
-      mWays.map(w => (w.id, w.tags)).toSet)
-    assert(dmRels.collect().map(r => (r.id, r.tags)).toSet ===
-      mRels.map(r => (r.id, r.tags)).toSet)
+    val mw = dmWays.collect()
+    assert(mw.length === 14)
+    assert(mw.filter(_.tags.contains("conflict")).flatMap(_.tags.get("ref")).toSet ===
+      Set("3", "4", "7", "8"))
+    val mr = dmRels.collect()
+    assert(mr.length === 2 && mr.forall(_.tags.contains("conflict")))
   }
 }

@@ -102,5 +102,31 @@ class AppRunMultiSpec extends AnyFunSuite {
     // municipalities scale out, the per-mun feature count does not move
     assert(m2.values.toSet.size === 1 && m8.values.toSet.size === 1)
     assert(m2("M0") === m8("M0"))
+    // wide id scheme past the single-digit slot: 12 muns, same invariants
+    val m12 = perMun(12)
+    assert(m12.keySet === (0 until 12).map(i => f"M$i%02d").toSet)
+    assert(m12.values.toSet.size === 1 && m12("M00") === m2("M0"))
+  }
+
+  test("wide scheme (nMuns>9) runs the full DAG with per-mun closed forms") {
+    import spark.implicits._
+    val n = 12
+    val (cons, parcels, addrs) = graft.layers.SynthMuni
+      .inputs(spark, graft.TestSpark.sf001, nMuns = n)
+    val mr = graft.pipeline.AppRun.runMulti(
+      spark, cons, parcels, addrs, graft.layers.SynthMuni.munOfFor(n))
+    mr.taskDocs.count() // materialize
+    val byMun = mr.metrics.groupBy(_._1)
+    assert(byMun.keySet === (0 until n).map(i => f"M$i%02d").toSet)
+    // same closed forms as the 4-mun oracle: out_features = 5t per mun
+    val t = spark.read.parquet(s"${graft.TestSpark.sf001}/events.parquet")
+      .count() / 100
+    for ((m, rows) <- byMun) {
+      val v = rows.map(r => r._2 -> r._3).toMap
+      assert(v("out_features") === 5 * t, s"$m")
+      assert(v("tasks") === t, s"$m")
+      assert(v("out_address") === 5 * t, s"$m")
+    }
+    graft.CacheBin.drain()
   }
 }

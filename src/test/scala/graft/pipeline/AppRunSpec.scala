@@ -102,22 +102,22 @@ class AppRunSpec extends AnyFunSuite {
     }
   }
 
-  test("distributedChain=true run matches the Seq-chain run bit for bit") {
+  test("the single Dataset orchestration path is deterministic across runs") {
     import spark.implicits._
     val ads = InspireGml.addresses(spark, "/root/reference/test/fixtures/address.gml")
       .select(col("localId"),
         element_at(split(col("localId"), "\\."), -1).as("ref"),
         col("spec"), col("x"), col("y"))
       .as[MoveAddress.Addr]
-    val dist = AppRun.run(spark, consRaw, parcels, ads, "38012",
-      distributedChain = true)
+    val again = AppRun.run(spark, consRaw, parcels, ads.repartition(7), "38012")
     val r = result
-    assert(dist.report.values.toMap === r.report.values.toMap,
-      s"metrics diverge: ${dist.report.values.toMap} vs ${r.report.values.toMap}")
-    assert(dist.parcels.map(p => (p.localId, p.parts)).sortBy(_._1) ===
+    assert(again.report.values.toMap === r.report.values.toMap,
+      s"metrics diverge: ${again.report.values.toMap} vs ${r.report.values.toMap}")
+    assert(again.parcels.map(p => (p.localId, p.parts)).sortBy(_._1) ===
       r.parcels.map(p => (p.localId, p.parts)).sortBy(_._1))
-    assert(dist.tasks === r.tasks)
-    assert(dist.report.validate().isEmpty)
+    assert(again.tasks === r.tasks)
+    assert(again.taskDocs === r.taskDocs) // byte-identical documents
+    assert(again.report.validate().isEmpty)
   }
 
   test("translate.address_tags output flows into the task documents") {
