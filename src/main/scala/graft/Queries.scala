@@ -192,6 +192,34 @@ object Queries {
               SELECT CAST(floor(y/10.0) AS BIGINT)*1000 + CAST(floor(x/10.0) AS BIGINT) AS cell,
               count(*) AS n FROM pts GROUP BY 1 ORDER BY cell""")),
 
+    // Z-order hierarchical cell rollup — the S2-level-13 analog the north
+    // rule names: geotags encode to a Morton key (pure shift/and/or column
+    // math, whole-stage codegen), and every coarser level is `key >> 2Δ`
+    // (morton(ix,iy)>>2 == morton(ix>>1,iy>>1)), so the multi-resolution
+    // tile rollup is ONE pass + shifts — no re-encoding join, the shape H3
+    // compaction uses. Axis indices are the raw integer geotag residues
+    // (14-bit, level-13-ish resolution), so the oracle replays the exact
+    // bits with the same ANSI shift arithmetic.
+    "q_cell_rollup" -> Q(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val ix = col("event_id") * lit(7919L) % lit(10000L)
+        val iy = col("event_id") * lit(104729L) % lit(10000L)
+        ev.select(graft.spatial.Morton.mortonCol(ix, iy).as("m"))
+          .select(col("m"), explode(sequence(lit(0), lit(3))).as("level"))
+          .select(col("level"), expr("shiftright(m, level * 2)").as("cell"))
+          .groupBy("level", "cell").agg(count(lit(1)).as("n"))
+          .orderBy("level", "cell")
+      },
+      Some {
+        val m = graft.spatial.Morton.mortonSql(
+          "(event_id*7919)%10000", "(event_id*104729)%10000")
+        s"""WITH m AS (SELECT $m AS m FROM events),
+            l AS (SELECT m, unnest(range(4)) AS level FROM m)
+            SELECT level, m >> (level*2) AS cell, count(*) AS n
+            FROM l GROUP BY 1, 2 ORDER BY level, cell"""
+      }),
+
     // flagship: cell-join + exact ray-casting PIP (set_zones, parcel.py:91-114)
     // — the codegen path: broadcast hash join on cell id + native
     // PointInPolygonExpr refinement, all in one WholeStageCodegen stage

@@ -293,11 +293,21 @@ object Dedup {
         .bitwiseAND(lit(if (len == 64) -1L else (1L << len) - 1L))
     }: _*)
     val combos = blockCombos(nBlocks, maxDist)
-    val keys = combos.zipWithIndex.map { case (c, ci) =>
-      xxhash64((c.map(i => element_at(col("blks"), i + 1)) :+ lit(ci)): _*)
-    }
+    val k = nBlocks - maxDist
+    // the combo table is a LITERAL array exploded per row, and the key is
+    // ONE xxhash64 over k element_at lookups — not C(b,k) inline hash
+    // expressions in a single projection, which blows generated-code size
+    // (hundreds of combos × shifts ≈ thousands of expression nodes) and
+    // measurably stalls codegen at maxDist=8's 495 combos
+    val comboLit = array(combos.zipWithIndex.map { case (c, ci) =>
+      struct((lit(ci).as("cid") +: c.zipWithIndex.map { case (b, j) =>
+        lit(b).as(s"i$j") }): _*)
+    }: _*)
     sigs.withColumn("blks", blks)
-      .select(col("id"), col("sig"), explode(array(keys: _*)).as("key"))
+      .select(col("id"), col("sig"), col("blks"), explode(comboLit).as("c"))
+      .select(col("id"), col("sig"),
+        xxhash64(((0 until k).map(j =>
+          element_at(col("blks"), col(s"c.i$j") + 1)) :+ col("c.cid")): _*).as("key"))
   }
 
   /** SimHash near-dup candidates: signatures are blocked into combination
@@ -318,7 +328,13 @@ object Dedup {
     val b = if (nBlocks > 0) nBlocks else autoBlocks(maxDist)
     val sigs = docs.map { case (id, toks) => (id, simhash64(toks, tokenHash)) }
       .toDF("id", "sig")
-    val keyed0 = simhashComboKeys(sigs, maxDist, b)
+    // persisted: both self-join sides (and the hot-bucket scan) read ONE
+    // combo-key generation, and the cache gives AQE REAL size stats — the
+    // parquet-derived estimate misses the C(b,k)× explode, and Spark would
+    // otherwise auto-broadcast the multi-GB keyed table and kill the
+    // driver (observed at 320k docs). Registered in CacheBin (caller
+    // drains after its terminal action).
+    val keyed0 = graft.CacheBin.persist(simhashComboKeys(sigs, maxDist, b))
     val keyed =
       if (maxBucket <= 0) keyed0
       else {
@@ -326,7 +342,12 @@ object Dedup {
           .filter(col("w") > maxBucket).select("key")
         keyed0.join(broadcast(hot), Seq("key"), "left_anti")
       }
-    keyed.as("l").join(keyed.as("r"),
+    // merge-join hint on both sides: the candidate join must SHUFFLE on
+    // the ~21-bit keys — never broadcast a table that grows with n — and
+    // sort-merge (unlike shuffled-hash, whose build side must FIT in
+    // execution memory and OOMs once partitions carry tens of millions of
+    // keyed rows) spills gracefully at any per-partition volume
+    keyed.as("l").hint("merge").join(keyed.as("r").hint("merge"),
         col("l.key") === col("r.key") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))

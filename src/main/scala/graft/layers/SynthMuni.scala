@@ -62,8 +62,11 @@ object SynthMuni {
     def mLabel(m: Long): String = if (wide) f"M$m%02d" else s"M$m"
     val events = spark.read.parquet(s"$sfDir/events.parquet")
     val u = (events.count() / 100L) * 5L * nMuns
-    val ids = events.select(col("event_id").cast("long"))
-      .filter(col("event_id") < u).as[Long]
+    // event_ids are the consecutive 0..N-1, so range(0, u) IS the filtered
+    // id column — and it stays correct when u exceeds |events| (large
+    // nMuns sweeps), where the filter would silently shrink per-mun work
+    // and break the weak-scaling premise
+    val ids = spark.range(0, u).as[Long]
     val cons = ids.flatMap { id =>
       val m = id % nMuns; val k = id / nMuns; val c = k / 5; val s = k % 5
       val l = mkLid(c, m, k)

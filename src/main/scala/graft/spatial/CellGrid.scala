@@ -16,6 +16,58 @@ import graft.geom.Geom
   * The packing uses an offset so negative coordinates work, and a row width
   * large enough that distinct (cx, cy) never collide.
   */
+/** Z-order (Morton) hierarchical cell encoding — the S2-level-13 analog on
+  * a planar grid (public interleave construction; S2/H3 ids are the same
+  * idea on the sphere). The key property: `morton(ix, iy) >> 2` IS
+  * `morton(ix >> 1, iy >> 1)`, so the parent cell at any coarser level is
+  * one integer shift — tile rollups/compaction need no re-encoding join.
+  * Pure column math (shift/and/or), fully inside whole-stage codegen, and
+  * bit-reproducible in ANSI SQL for the oracle. */
+object Morton {
+
+  /** Spread the low 32 bits of v so they occupy even bit positions. */
+  def spreadCol(v: Column): Column = {
+    var x = v.bitwiseAND(lit(0xFFFFFFFFL))
+    x = (x.bitwiseOR(shiftleft(x, 16))).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+    x = (x.bitwiseOR(shiftleft(x, 8))).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+    x = (x.bitwiseOR(shiftleft(x, 4))).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+    x = (x.bitwiseOR(shiftleft(x, 2))).bitwiseAND(lit(0x3333333333333333L))
+    x = (x.bitwiseOR(shiftleft(x, 1))).bitwiseAND(lit(0x5555555555555555L))
+    x
+  }
+
+  /** Interleaved 64-bit Morton key of two 32-bit axis indices. */
+  def mortonCol(ix: Column, iy: Column): Column =
+    spreadCol(ix).bitwiseOR(shiftleft(spreadCol(iy), 1))
+
+  /** Scala mirror — MUST stay arithmetically identical to mortonCol. */
+  def spread(v0: Long): Long = {
+    var x = v0 & 0xFFFFFFFFL
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+    x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+    x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+  def morton(ix: Long, iy: Long): Long = spread(ix) | (spread(iy) << 1)
+
+  /** ANSI SQL fragment computing [[spreadCol]] of expression `v` —
+    * identical constants/shifts, so DuckDB replays the bits exactly. */
+  def spreadSql(v: String): String = {
+    def step(e: String, sh: Int, mask: Long) = s"((($e) | (($e) << $sh)) & $mask)"
+    var e = s"(($v) & ${0xFFFFFFFFL})"
+    e = step(e, 16, 0x0000FFFF0000FFFFL)
+    e = step(e, 8, 0x00FF00FF00FF00FFL)
+    e = step(e, 4, 0x0F0F0F0F0F0F0F0FL)
+    e = step(e, 2, 0x3333333333333333L)
+    e = step(e, 1, 0x5555555555555555L)
+    e
+  }
+  def mortonSql(ix: String, iy: String): String =
+    s"(${spreadSql(ix)} | (${spreadSql(iy)} << 1))"
+}
+
 final case class CellGrid(cellSize: Double, origin: Double = -1e7, rowWidth: Long = 1L << 31) {
 
   /** Catalyst expression: cell id of a point column pair. */

@@ -190,3 +190,43 @@ class MinHashExprSpec extends AnyFunSuite {
     assert(sigs.values.flatten.forall(_ >= 0))
   }
 }
+
+/** Z-order hierarchical cell encoding: column math == scala mirror, and
+  * the parent law morton(ix,iy)>>2 == morton(ix>>1,iy>>1) that makes
+  * multi-level tile rollups a shift instead of a re-encoding join. */
+class MortonSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  test("bit interleave: known values and axis separation") {
+    assert(Morton.morton(0, 0) === 0L)
+    assert(Morton.morton(1, 0) === 1L)
+    assert(Morton.morton(0, 1) === 2L)
+    assert(Morton.morton(3, 5) === 39L) // x=11 y=101 -> 100111
+    // full 32-bit axes survive
+    assert(Morton.morton(0xFFFFFFFFL, 0) === 0x5555555555555555L)
+    assert(Morton.morton(0, 0xFFFFFFFFL) === 0xAAAAAAAAAAAAAAAAL)
+  }
+
+  test("parent law: shift by 2 halves both axes") {
+    val vals = Seq(0L, 1L, 7L, 123L, 9999L, 123456L, (1L << 20) - 3)
+    for (ix <- vals; iy <- vals) {
+      assert(Morton.morton(ix, iy) >>> 2 === Morton.morton(ix >> 1, iy >> 1))
+      assert(Morton.morton(ix, iy) >>> 6 === Morton.morton(ix >> 3, iy >> 3))
+    }
+  }
+
+  test("Catalyst column matches the scala mirror") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = spark.range(0, 5000)
+      .select(col("id"),
+        (col("id") * 7919L % 10000L).as("ix"),
+        (col("id") * 104729L % 10000L).as("iy"))
+      .select(col("ix"), col("iy"),
+        Morton.mortonCol(col("ix"), col("iy")).as("m"))
+      .as[(Long, Long, Long)].collect()
+    rows.foreach { case (ix, iy, m) =>
+      assert(m === Morton.morton(ix, iy), s"($ix,$iy)")
+    }
+  }
+}
