@@ -33,12 +33,9 @@ object Bench {
     * its own throttle context (host-noise windows here have inflated
     * identical binaries 2.5×; see BENCH.md). */
   def calibBrowPerSec(spark: SparkSession, cpus: Int): Double = {
-    import org.apache.spark.sql.functions._
     val n = 10000000000L
     val t0 = System.nanoTime()
-    spark.range(0, n, 1, cpus * 2)
-      .select((col("id") * 2654435761L % 1000003L).as("h"))
-      .agg(sum("h")).first()
+    ScaleCalib.kernel(spark, n, cpus * 2) // the SAME kernel the calib sweep times
     n / ((System.nanoTime() - t0) / 1e9) / 1e9
   }
 

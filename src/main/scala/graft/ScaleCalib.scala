@@ -8,6 +8,14 @@ import org.apache.spark.sql.functions._
   * Its 8→32-core efficiency is the ceiling this VM can deliver; Scale's
   * flagship efficiency should be read against it. */
 object ScaleCalib {
+
+  /** The shared canary kernel: range → multiply/mod → one agg. Bench's
+    * in-line calib_brow_s and this sweep MUST measure the same kernel. */
+  def kernel(s: SparkSession, n: Long, parts: Int): Unit =
+    s.range(0, n, 1, parts)
+      .select((col("id") * 2654435761L % 1000003L).as("h"))
+      .agg(sum("h")).first()
+
   def run(cores: Int, n: Long): Double = {
     val s = SparkSession.builder().master(s"local[$cores]")
       .appName(s"calib-$cores")
@@ -16,9 +24,7 @@ object ScaleCalib {
       .config("spark.ui.enabled", "false").getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     val t0 = System.nanoTime()
-    s.range(0, n, 1, cores * 2)
-      .select((col("id") * 2654435761L % 1000003L).as("h"))
-      .agg(sum("h")).first()
+    kernel(s, n, cores * 2)
     val sec = (System.nanoTime() - t0) / 1e9
     s.stop(); sec
   }

@@ -36,7 +36,10 @@ object ScalePipeline {
     // ideal weak scaling holds sec flat: eff(a->b) = sec(a) / sec(b)
     val effs = results.sliding(2).collect { case Array((a, (sa, _)), (b, (sb, _))) =>
       f""""weak_eff_${a}_to_$b":${sa / sb}%.3f"""
-    }.mkString(",")
-    println(s"""{"job":"pipeline_weak_scale","points":{$pts},$effs}""")
+    }.toSeq
+    // single-point sweeps emit valid JSON too (no trailing comma)
+    val fields = (s""""job":"pipeline_weak_scale"""" +: s""""points":{$pts}""" +: effs)
+      .mkString(",")
+    println(s"{$fields}")
   }
 }

@@ -247,8 +247,10 @@ object Dedup {
     * LOSSLESS candidate generator for that radius. */
   def blockSpans(maxDist: Int): Seq[(Int, Int)] = blockSpansN(maxDist + 1)
 
-  private def choose(n: Int, k: Int): Long =
-    (1 to k).foldLeft(1L)((acc, i) => acc * (n - k + i) / i)
+  // BigInt: intermediate products overflow Long around C(64,32), and a
+  // wrapped-negative count would sneak past the <= 512 replication filter
+  private def choose(n: Int, k: Int): BigInt =
+    (1 to k).foldLeft(BigInt(1))((acc, i) => acc * (n - k + i) / i)
 
   /** Block count b > maxDist whose combination keys (see
     * [[simhashComboKeys]]) are as wide as possible subject to the
@@ -258,7 +260,10 @@ object Dedup {
     * gracefully: very large maxDist gets the widest affordable keys
     * rather than none. */
   def autoBlocks(maxDist: Int): Int = {
-    val affordable = ((maxDist + 1) to 32)
+    require(maxDist >= 0 && maxDist <= 63, s"maxDist must be in [0,63], got $maxDist")
+    // b can run to 64 one-bit blocks, so `affordable` is never empty:
+    // b = maxDist+1 always costs C(b,1) = b <= 64 combos
+    val affordable = ((maxDist + 1) to 64)
       .filter(b => choose(b, b - maxDist) <= 512)
     affordable.find(b => (b - maxDist) * 64 / b >= 20)
       .getOrElse(affordable.maxBy(b => (b - maxDist) * 64 / b))

@@ -102,8 +102,7 @@ object Split {
     * through to False even when the inner polygon covers ≥50 % of the
     * subject's area. */
   def keep(subject: MultiPolygon, polys: Seq[SplitPoly]): Boolean = {
-    val area = subject.iterator.map(p =>
-      Geom.ringArea(p.head) - p.tail.iterator.map(Geom.ringArea).sum).sum
+    val area = Geom.area(subject)
     area > 0 && polys.exists { sp =>
       val ov = overlapArea(subject, sp)
       val ratio = math.round(ov / area * 1e6) / 1e6

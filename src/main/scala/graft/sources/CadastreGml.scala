@@ -93,9 +93,17 @@ object CadastreGml {
       else java.nio.charset.StandardCharsets.UTF_8
       new String(bytes, cs)
     } catch { case _: Exception => return err }
+    // two bounded steps: isolate the <gmd:tag> ELEMENT first, then find the
+    // gco child inside it — an unbounded `.*?<gco:` would scan past the
+    // closing tag and steal the next element's text (e.g. a dateStamp
+    // holding gco:DateTime would silently yield the title string, where
+    // the reference's find('gmd:x/gco:y') returns None and raises)
     def str(tag: String): Option[String] =
-      s"(?s)<gmd:$tag>.*?<gco:(?:Date|CharacterString)>\\s*([^<]+?)\\s*</gco:".r
-        .findFirstMatchIn(xml).map(_.group(1))
+      s"(?s)<gmd:$tag>(.*?)</gmd:$tag>".r.findFirstMatchIn(xml)
+        .map(_.group(1))
+        .flatMap(inner =>
+          "(?s)<gco:(?:Date|CharacterString)>\\s*([^<]+?)\\s*</gco:".r
+            .findFirstMatchIn(inner).map(_.group(1)))
     (str("dateStamp"), str("title"), str("code")) match {
       case (Some(d), Some(t), Some(c)) =>
         scala.util.Try(c.split("/").last.toInt).toOption match {

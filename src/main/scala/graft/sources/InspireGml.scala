@@ -1,6 +1,7 @@
 package graft.sources
 
 import java.nio.file.{Files, Paths}
+import scala.util.chaining._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -84,7 +85,8 @@ object InspireGml {
     val xml = Files.readString(Paths.get(path))
     def ring(posList: String): Array[graft.geom.Pt] = {
       val nums = posList.trim.split("\\s+").filter(_.nonEmpty).map(_.toDouble)
-      val pts = nums.grouped(2).map(a => graft.geom.Pt(a(0), a(1))).toArray
+      // collect only complete pairs: a truncated/odd posList must not throw
+      val pts = nums.grouped(2).collect { case Array(x, y) => graft.geom.Pt(x, y) }.toArray
       if (pts.length > 1 && pts.head == pts.last) pts.dropRight(1) else pts
     }
     members(xml, "cp:CadastralZoning").map { m =>
@@ -93,8 +95,13 @@ object InspireGml {
       val level = "(?s)<gmd:LocalisedCharacterString[^>]*>\\s*(.)".r
         .findFirstMatchIn(m).map(_.group(1)).getOrElse("")
       val polys = "(?s)<gml:PolygonPatch>.*?</gml:PolygonPatch>".r.findAllIn(m).map { pp =>
-        val ext = "(?s)<gml:exterior>.*?<gml:posList[^>]*>(.*?)</gml:posList>".r
+        // bound the search to the exterior ELEMENT: an exterior without a
+        // posList (curve-encoded ring) must yield an empty outer, not
+        // steal the first interior's coordinates
+        val ext = "(?s)<gml:exterior>(.*?)</gml:exterior>".r
           .findFirstMatchIn(pp).map(_.group(1)).getOrElse("")
+          .pipe(e => "(?s)<gml:posList[^>]*>(.*?)</gml:posList>".r
+            .findFirstMatchIn(e).map(_.group(1)).getOrElse(""))
         val ints = "(?s)<gml:interior>.*?<gml:posList[^>]*>(.*?)</gml:posList>.*?</gml:interior>".r
           .findAllMatchIn(pp).map(_.group(1)).toSeq
         (ring(ext) +: ints.map(ring)).toArray
@@ -114,7 +121,8 @@ object InspireGml {
     val xml = Files.readString(Paths.get(path))
     def ring(posList: String): Array[graft.geom.Pt] = {
       val nums = posList.trim.split("\\s+").filter(_.nonEmpty).map(_.toDouble)
-      val pts = nums.grouped(2).map(a => graft.geom.Pt(a(0), a(1))).toArray
+      // collect only complete pairs: a truncated/odd posList must not throw
+      val pts = nums.grouped(2).collect { case Array(x, y) => graft.geom.Pt(x, y) }.toArray
       if (pts.length > 1 && pts.head == pts.last) pts.dropRight(1) else pts
     }
     members(xml, "cp:CadastralParcel").map { m =>
@@ -123,8 +131,13 @@ object InspireGml {
         case v => v
       }
       val polys = "(?s)<gml:PolygonPatch>.*?</gml:PolygonPatch>".r.findAllIn(m).map { pp =>
-        val ext = "(?s)<gml:exterior>.*?<gml:posList[^>]*>(.*?)</gml:posList>".r
+        // bound the search to the exterior ELEMENT: an exterior without a
+        // posList (curve-encoded ring) must yield an empty outer, not
+        // steal the first interior's coordinates
+        val ext = "(?s)<gml:exterior>(.*?)</gml:exterior>".r
           .findFirstMatchIn(pp).map(_.group(1)).getOrElse("")
+          .pipe(e => "(?s)<gml:posList[^>]*>(.*?)</gml:posList>".r
+            .findFirstMatchIn(e).map(_.group(1)).getOrElse(""))
         val ints = "(?s)<gml:interior>.*?<gml:posList[^>]*>(.*?)</gml:posList>.*?</gml:interior>".r
           .findAllMatchIn(pp).map(_.group(1)).toSeq
         (ring(ext) +: ints.map(ring)).toArray
