@@ -788,6 +788,38 @@ object Queries {
         graft.sources.Pages.fromDocuments(s, d)),
       Some("SELECT count(*) AS n_total, count(*) AS n_match FROM documents")),
 
+    // latest-snapshot-per-url dedup — the canonical Common-Crawl revision
+    // collapse (input_hint's url/warc_ts columns): each url's crawl
+    // history is synthesized deterministically (1 + doc_id%3 snapshots,
+    // ts strictly increasing), and ONE groupBy(url) with map-side partial
+    // max/max_by keeps the newest revision — shuffle on url, no window
+    // sort, the plan that survives 10^12 pages. Timestamps are integer
+    // epoch seconds so both engines aggregate the exact same values.
+    "q_url_latest" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val snaps = docs
+          .select(col("doc_id"),
+            explode(sequence(lit(0L), col("doc_id") % 3)).as("k"))
+          .select(
+            concat(lit("https://synth.example/doc/"), col("doc_id")).as("url"),
+            (lit(1704067200L) + col("k") * 86400L).as("ts_s"),
+            concat(lit("rev"), col("k")).as("rev"))
+        snaps.groupBy("url")
+          .agg(max("ts_s").as("latest_ts"),
+            expr("max_by(rev, ts_s)").as("latest_rev"),
+            count(lit(1)).as("n_snapshots"))
+          .orderBy("url")
+      },
+      Some("""WITH s AS (
+                SELECT doc_id, unnest(range(doc_id % 3 + 1)) AS k FROM documents
+              )
+              SELECT 'https://synth.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                     max(1704067200 + k*86400) AS latest_ts,
+                     arg_max('rev' || CAST(k AS VARCHAR), 1704067200 + k*86400) AS latest_rev,
+                     count(*) AS n_snapshots
+              FROM s GROUP BY 1 ORDER BY url""")),
+
     // fuzzy street-name matching: token-sorted levenshtein argmin
     // (hgwnames.match/dsmatch, hgwnames.py:49-96)
     "q_fuzzy_match" -> Q(
