@@ -972,6 +972,29 @@ object Queries {
               (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ' ')))//2 AS n_a
               FROM documents ORDER BY doc_id""")),
 
+    // duplicate-n-gram repetition filter (the Gopher/C4-family quality
+    // rule: a page whose 2-grams repeat heavily is boilerplate/spam).
+    // Pure array column math — shingle, count, distinct-count — no
+    // explode, no shuffle beyond the final sort: a 10^12-row scan-shaped
+    // filter. The oracle rebuilds the identical 2-gram stream in SQL.
+    "q_repetition" -> Q(
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        t(s, d, "documents")
+          .select(col("doc_id"), Dedup.shingles(toks, 2).as("gs"))
+          .select(col("doc_id"), size(col("gs")).as("n"),
+            size(array_distinct(col("gs"))).as("nd"))
+          .select(col("doc_id"), col("n").as("n_bigrams"),
+            round(lit(1.0) - col("nd") / col("n"), 6).as("dup_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              x AS (SELECT doc_id, w, unnest(range(1, greatest(len(w), 2))) AS i FROM t),
+              g AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS sh FROM x)
+              SELECT doc_id, count(*) AS n_bigrams,
+                round(1.0 - count(DISTINCT sh)*1.0/count(*), 6) AS dup_ratio
+              FROM g GROUP BY doc_id ORDER BY doc_id""")),
+
     "q_lang_profile" -> Q(
       (s, d) => t(s, d, "documents")
         .groupBy("lang")
