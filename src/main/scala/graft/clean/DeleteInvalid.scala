@@ -136,24 +136,63 @@ object DeleteInvalid {
       if (ringValid(next)) next else ring
     })
 
-  /** Layer-level operator: clean every feature, then broadcast the moved-
-    * vertex map and propagate it to every surviving feature. Two stages,
-    * both embarrassingly parallel; the moves map is tiny (∝ spike count). */
+  /** Distributed layer-wide move propagation: from per-feature cleanup
+    * results, compute each feature's RELEVANT move submap as a vertex-keyed
+    * join — no driver collect, so driver memory stays flat however many
+    * features (or municipalities) are unioned through the stage.
+    *
+    * Winner per source vertex is the move recorded LATEST in
+    * (fid, move-index) order — the reference's to_move dict last-write-wins
+    * over its layer iteration (polygon.py:418-437), reproduced as a total
+    * order instead of partition order.
+    *
+    * Returns (fid, mv: array<struct sx,sy,tx,ty>) only for features that
+    * actually contain a moved vertex; everything else left-joins to null.
+    */
+  def perFeatureMoves(
+      cleaned: Dataset[(Long, Option[MultiPolygon], Seq[(Pt, Pt)])]): org.apache.spark.sql.DataFrame = {
+    val spark = cleaned.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val moves = cleaned.flatMap { case (fid, _, mv) =>
+      mv.zipWithIndex.map { case ((va, vx), i) => (va.x, va.y, fid, i, vx.x, vx.y) }
+    }.toDF("sx", "sy", "fid", "midx", "tx", "ty")
+      .groupBy("sx", "sy")
+      .agg(max(struct(col("fid"), col("midx"), col("tx"), col("ty"))).as("m"))
+      .select(col("sx"), col("sy"), col("m.tx").as("tx"), col("m.ty").as("ty"))
+    val verts = cleaned.flatMap { case (fid, g, _) =>
+      g.iterator.flatMap(mp =>
+        mp.iterator.flatMap(_.iterator.flatMap(_.iterator)).map(p => (fid, p.x, p.y)))
+    }.toDF("fid", "sx", "sy")
+    verts.join(moves, Seq("sx", "sy"))
+      .groupBy("fid")
+      .agg(collect_set(struct(col("sx").as("_1"), col("sy").as("_2"),
+        col("tx").as("_3"), col("ty").as("_4"))).as("mv"))
+  }
+
+  /** Layer-level operator: clean every feature, then propagate the moved
+    * vertices to coincident vertices of every surviving feature via a
+    * vertex-keyed join (zero driver state; the moves table is ∝ spike
+    * count and lives entirely on executors). */
   def deleteInvalidGeometries(
       features: Dataset[(Long, MultiPolygon)]): Dataset[(Long, MultiPolygon)] = {
     val spark = features.sparkSession
     import spark.implicits._
+    import org.apache.spark.sql.functions.col
     val cleaned = features
       .map { case (fid, mp) =>
         val r = cleanFeature(mp)
         (fid, r.geometry, r.moves)
       }
       .persist()
-    val moves = cleaned.flatMap(_._3).collect().toMap
-    val bMoves = spark.sparkContext.broadcast(moves)
-    cleaned
-      .flatMap { case (fid, g, _) =>
-        g.map(mp => (fid, applyMoves(mp, bMoves.value)))
+    val perFid = perFeatureMoves(cleaned)
+    cleaned.map { case (fid, g, _) => (fid, g) }.toDF("fid", "g")
+      .join(perFid, Seq("fid"), "left")
+      .as[(Long, Option[MultiPolygon], Option[Array[(Double, Double, Double, Double)]])]
+      .flatMap { case (fid, g, mvOpt) =>
+        val m = mvOpt.getOrElse(Array.empty)
+          .map(t => Pt(t._1, t._2) -> Pt(t._3, t._4)).toMap
+        g.map(mp => (fid, applyMoves(mp, m)))
       }
   }
 }

@@ -208,20 +208,29 @@ object ConsChain {
     }
   }
 
-  /** delete_invalid_geometries, distributed (the moves map is spike-bounded
-    * and broadcast — the one accepted driver touch in the chain). */
+  /** delete_invalid_geometries, distributed end-to-end: the layer-wide
+    * moved-vertex propagation is a vertex-keyed join
+    * (DeleteInvalid.perFeatureMoves), NOT a driver collect — runMulti
+    * unions every municipality through this stage, so driver memory must
+    * stay flat in total corpus spike count. */
   def deleteInvalidD(exploded: Dataset[FidCons]): Dataset[FidCons] = {
     val spark = exploded.sparkSession
     import spark.implicits._
+    import org.apache.spark.sql.functions.col
     val cleanedRaw = exploded.map { fc =>
       val r = DeleteInvalid.cleanFeature(fc.f.geometry, querySmall = fc.f.kind != "part")
       (fc.fid, fc.f, r.geometry, r.moves.toSeq)
     }.persist()
-    val moves = cleanedRaw.flatMap(_._4).collect().toMap
-    val bMoves = spark.sparkContext.broadcast(moves)
-    cleanedRaw.flatMap { case (fid, f, g, _) =>
-      g.map(mp => FidCons(fid, f.copy(geometry = DeleteInvalid.applyMoves(mp, bMoves.value))))
-    }
+    val perFid = DeleteInvalid.perFeatureMoves(
+      cleanedRaw.map { case (fid, _, g, mv) => (fid, g, mv) })
+    cleanedRaw.map { case (fid, f, g, _) => (fid, f, g) }.toDF("fid", "f", "g")
+      .join(perFid, Seq("fid"), "left")
+      .as[(Long, ConsF, Option[Geom.MultiPolygon], Option[Array[(Double, Double, Double, Double)]])]
+      .flatMap { case (fid, f, g, mvOpt) =>
+        val m = mvOpt.getOrElse(Array.empty)
+          .map(t => Pt(t._1, t._2) -> Pt(t._3, t._4)).toMap
+        g.map(mp => FidCons(fid, f.copy(geometry = DeleteInvalid.applyMoves(mp, m))))
+      }
   }
 
   /** topology over outer rings (holes pass through), distributed. */
