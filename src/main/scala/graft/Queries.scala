@@ -1183,6 +1183,24 @@ object Queries {
                 FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id)
               WHERE rank <= 3 ORDER BY vec_id, rank""")),
 
+    // EXACT nearest neighbors via the blocked IVF + triangle-pruning path
+    // (Similarity.exactTopK): same answer as brute force — the pair cosine
+    // is the identical DotF32 kernel on the identical float arrays — but
+    // candidate work per query is nprobe lists + the un-prunable tail
+    // instead of all n. Gated by the SAME brute-force SQL oracle, which IS
+    // the exactness proof at the gate.
+    "q_nn_blocked" -> Q(
+      (s, d) => Similarity
+        .exactTopK(t(s, d, "embeddings"), "vec_id", "embedding", 3)
+        .orderBy("vec_id", "rank"),
+      Some("""SELECT vec_id, rank, nbr_id FROM (
+                SELECT a.vec_id, b.vec_id AS nbr_id,
+                  row_number() OVER (PARTITION BY a.vec_id
+                    ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                             b.vec_id) AS rank
+                FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id)
+              WHERE rank <= 3 ORDER BY vec_id, rank""")),
+
     // LSH-bucketed ANN, oracle-gated end-to-end: nBits pinned to 4 so the
     // oracle can embed the SAME float-rounded hyperplane constants as SQL
     // literals and replay bucket assignment + Hamming-1 multiprobe +

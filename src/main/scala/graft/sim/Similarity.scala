@@ -92,6 +92,117 @@ object Similarity {
     topKPerVec(pairs, k)
   }
 
+  // ---- exact top-k without all-pairs (blocked IVF + triangle pruning) ----
+
+  /** Unit vector in double precision (‖u‖ = 1 to ~1e-15, so the bound math
+    * below can use a tight epsilon). */
+  private def unitD(v: Array[Float]): Array[Double] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+    val n = math.sqrt(s)
+    val u = new Array[Double](v.length)
+    i = 0
+    while (i < v.length) { u(i) = if (n > 0) v(i) / n else 0.0; i += 1 }
+    u
+  }
+
+  private def distToCentroid(u: Array[Double], c: Array[Double]): Double = {
+    var d = 0.0; var i = 0
+    while (i < u.length) { val t = u(i) - c(i); d += t * t; i += 1 }
+    math.sqrt(d)
+  }
+
+  private def nearestListsDbl(
+      u: Array[Double], cs: Array[Array[Double]], n: Int): Seq[Int] =
+    cs.indices.map(c => (distToCentroid(u, cs(c)), c)).sorted.take(n).map(_._2)
+
+  /** EXACT top-k cosine neighbors WITHOUT the all-pairs join — the scale
+    * path for the exact semantics (bruteForceTopK stays as the small-n
+    * oracle baseline). cos(a,b) maps to L2 distance on unit vectors
+    * (d² = 2 − 2·cos), so exact cosine top-k is exact k-NN in normalized
+    * space, where the triangle inequality prunes whole clusters:
+    *
+    *  1. partition unit vectors into nlist inverted lists (deterministic
+    *     Lloyd, same machinery as ivfTopK); record each list's radius
+    *     r_j = max ‖u − c_j‖ over members — the only driver-side state is
+    *     the (nlist × dim) centroid matrix + nlist radii, same as ivfTopK;
+    *  2. pass 1 scans the nprobe nearest lists per query → provisional
+    *     top-k and the kth distance bound d_k (∞ when fewer than k
+    *     candidates); only ≤k rows per query survive to the merge;
+    *  3. pass 2 scans ONLY unprobed lists j with
+    *     ‖u_q − c_j‖ − r_j ≤ d_k + ε: any neighbor that could still enter
+    *     the top-k must live in such a list (triangle inequality), so the
+    *     union of both passes is provably the exact answer. Candidate work
+    *     per query is nprobe lists + the un-prunable tail instead of n.
+    *
+    * Pair cosine uses the identical DotF32 expression over the ORIGINAL
+    * float arrays as bruteForceTopK — bit-identical scores, so ranking
+    * (cos DESC, nbr ASC) matches brute force exactly, and the brute-force
+    * SQL oracle gates this operator too. ε = 1e-9 covers double rounding
+    * (unit vectors are normalized in double); it only ever ADDS clusters.
+    */
+  def exactTopK(
+      emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 1,
+      seedHash: Long => Long = mixSeedHash): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Array[Float])]
+    val normedDf = vecs.map { case (id, v) =>
+      (id, unitD(v).map(_.toFloat))
+    }.toDF("id", "v")
+    val centroids = kmeansCentroids(normedDf, "id", "v", nlist, iters, seedHash)
+    val bC = spark.sparkContext.broadcast(centroids)
+    val assigned = vecs.map { case (id, v) =>
+      val u = unitD(v)
+      val lists = nearestListsDbl(u, bC.value, 1)
+      (lists.head, id, v, distToCentroid(u, bC.value(lists.head)))
+    }.toDF("list", "nbr_id", "vb", "dc")
+      .withColumn("nb", norm(col("vb")))
+      .persist()
+    val radii: Array[Double] = {
+      val m = assigned.groupBy("list")
+        .agg(max(col("dc")).as("r")).as[(Int, Double)].collect().toMap
+      Array.tabulate(centroids.length)(j => m.getOrElse(j, 0.0))
+    }
+    val bR = spark.sparkContext.broadcast(radii)
+    val lists = assigned.select(col("list"), col("nbr_id"), col("vb"), col("nb"))
+    // pass 1: nprobe nearest lists per query
+    val probes1 = vecs.flatMap { case (id, v) =>
+      nearestListsDbl(unitD(v), bC.value, nprobe).map(c => (c, id, v))
+    }.toDF("list", "vec_id", "va").withColumn("na", norm(col("va")))
+    val pairs1 = probes1.join(lists, Seq("list"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .select(col("vec_id"), col("nbr_id"), col("cos"))
+    val top1 = pairs1.as[(Long, Long, Double)]
+      .groupByKey(_._1).agg(new TopKByCos(k).toColumn).persist()
+    val bounds = top1.map { case (id, s) =>
+      (id, if (s.length < k) Double.MaxValue else 2.0 - 2.0 * s.last._1)
+    }.toDF("vec_id", "dk2")
+    val pairs1Top = top1.flatMap { case (id, s) =>
+      s.map { case (c, n) => (id, n, c) }
+    }.toDF("vec_id", "nbr_id", "cos")
+    // pass 2: unprobed lists that can still beat the kth candidate
+    val qinfo = vecs.toDF("vec_id", "va").join(bounds, Seq("vec_id"), "left")
+    val probes2 = qinfo.as[(Long, Array[Float], Option[Double])]
+      .flatMap { case (id, v, dk2Opt) =>
+        val u = unitD(v)
+        val dk = math.sqrt(dk2Opt.getOrElse(Double.MaxValue))
+        val probed = nearestListsDbl(u, bC.value, nprobe).toSet
+        bC.value.indices.iterator
+          .filterNot(probed)
+          .filter(j => distToCentroid(u, bC.value(j)) - bR.value(j) <= dk + 1e-9)
+          .map(j => (j, id, v)).toSeq
+      }.toDF("list", "vec_id", "va").withColumn("na", norm(col("va")))
+    val pairs2 = probes2.join(lists, Seq("list"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .select(col("vec_id"), col("nbr_id"), col("cos"))
+    topKPerVec(pairs1Top.unionByName(pairs2), k)
+  }
+
   /** Deterministic random hyperplanes: nBits × dim, seeded (pure function of
     * (seed, bit, component) via splitmix — no RNG state). */
   def hyperplanes(nBits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] =

@@ -254,6 +254,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top(2L) === 3L)
   }
 
+  test("blocked exact top-k equals brute force on a 10k corpus") {
+    // exactTopK's triangle-inequality pruning must be invisible in the
+    // answer: same rows, same ranks as the all-pairs baseline. Clustered
+    // corpus (20 tight direction clusters) so the prune path actually
+    // fires rather than degenerating to a full scan.
+    import spark.implicits._
+    def u(z: Long): Double = (Similarity.mixSeedHash(z) >>> 11).toDouble / (1L << 53).toDouble
+    val n = 10000; val dim = 4
+    val data = (0 until n).map { i =>
+      val c = i % 20
+      val v = Array.tabulate(dim) { d =>
+        val center = u(c.toLong * 100 + d) * 2 - 1
+        val noise = (u(i.toLong * 7919 + d) - 0.5) * 0.1
+        (center + noise).toFloat
+      }
+      (i.toLong, v)
+    }
+    val df = data.toDF("vec_id", "embedding").repartition(8)
+    val exact = Similarity.bruteForceTopK(df, "vec_id", "embedding", 3)
+      .orderBy("vec_id", "rank").as[(Long, Int, Long)].collect()
+    val blocked = Similarity.exactTopK(df, "vec_id", "embedding", 3)
+      .orderBy("vec_id", "rank").as[(Long, Int, Long)].collect()
+    assert(exact.length === n * 3)
+    assert(blocked.toSeq === exact.toSeq)
+  }
+
   test("ANN recall beats its candidate-scan fraction (LSH is informative)") {
     // These synthetic embeddings are near-uniform (top-1 cosine ≈ 0.37, i.e.
     // ~68° — per-bit collision P ≈ 0.62), so high top-1 recall is
