@@ -97,14 +97,16 @@ object Dedup {
       .select(col("id"), explode(lshBands(col("sig"), bands, nPerm / bands)).as("b"))
       .select(col("id"), col("b.band_id"), col("b.band_hash")), storage)
     // skew guard: drop degenerate buckets wider than maxBucket. The hot
-    // set is found with a map-side-combined groupBy (tiny result: only
-    // over-cap buckets) and removed with a broadcast anti join — no full
-    // sort of the band rows, unlike a count-over-window
+    // set is found with a map-side-combined groupBy (small result: only
+    // over-cap buckets), but it grows with the number of boilerplate
+    // clusters, so it is removed with a merge-hinted sort-merge anti join
+    // — shuffling on the same bucket key the candidate join needs anyway —
+    // rather than broadcast through the driver
     val hot = bandRows.groupBy("band_id", "band_hash")
       .agg(count(lit(1)).as("w")).filter(col("w") > maxBucket)
       .select("band_id", "band_hash")
-    val bucketed = bandRows
-      .join(broadcast(hot), Seq("band_id", "band_hash"), "left_anti")
+    val bucketed = bandRows.hint("merge")
+      .join(hot.hint("merge"), Seq("band_id", "band_hash"), "left_anti")
     val cand = bucketed.as("l")
       .join(bucketed.as("r"),
         col("l.band_id") === col("r.band_id") &&
@@ -201,9 +203,20 @@ object Dedup {
     * whose bits an external SQL engine can reproduce exactly
     * (`('0x' || substr(md5(t),1,16))::UBIGINT` in DuckDB), used to
     * oracle-gate the simhash pipeline end-to-end. */
+  // one MessageDigest per executor thread: getInstance allocates (and
+  // provider-lookups) per call, and md5Hash64 runs inside simhash64's
+  // per-token loop — the allocation churn was the top cost of the
+  // signature stage
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
   def md5Hash64(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     var h = 0L
     var i = 0
     while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
@@ -343,21 +356,30 @@ object Dedup {
     val keyed =
       if (maxBucket <= 0) keyed0
       else {
+        // the over-cap key set grows with the number of boilerplate
+        // clusters (~C(b,k) keys each), so it must NEVER route through the
+        // driver: a merge-hinted sort-merge anti join shuffles on the same
+        // key the candidate join needs anyway, instead of broadcasting a
+        // potentially multi-GB hot-key table
         val hot = keyed0.groupBy("key").agg(count(lit(1)).as("w"))
           .filter(col("w") > maxBucket).select("key")
-        keyed0.join(broadcast(hot), Seq("key"), "left_anti")
+        keyed0.hint("merge").join(hot.hint("merge"), Seq("key"), "left_anti")
       }
     // merge-join hint on both sides: the candidate join must SHUFFLE on
     // the ~21-bit keys — never broadcast a table that grows with n — and
     // sort-merge (unlike shuffled-hash, whose build side must FIT in
     // execution memory and OOMs once partitions carry tens of millions of
-    // keyed rows) spills gracefully at any per-partition volume
+    // keyed rows) spills gracefully at any per-partition volume.
+    // The Hamming verify runs BEFORE the pair dedup: bit_count is a pure
+    // per-row function, so filtering first commutes with distinct while
+    // (a) the dedup exchange carries only true near-dup id pairs — two
+    // longs, no signatures — and (b) the up-to-C(b,k) duplicate copies of
+    // each surviving pair collapse map-side in distinct's partial
+    // aggregate instead of crossing the wire
     keyed.as("l").hint("merge").join(keyed.as("r").hint("merge"),
         col("l.key") === col("r.key") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
+      .filter(bit_count(col("l.sig").bitwiseXOR(col("r.sig"))) <= maxDist)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
-      .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= maxDist)
-      .select("id_a", "id_b")
   }
 }
