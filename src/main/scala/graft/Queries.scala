@@ -300,7 +300,11 @@ object Queries {
     // vector -> raster: each zone rasterized to its covering cell set (the
     // ZoningLayer -> tile-grid direction of the north rule's raster<->vector
     // tile assignment; CellGrid.coverPolygon, the candidate generator of
-    // every spatial join here)
+    // every spatial join here). The engine runs the generic pruned cover
+    // (boundary supercover + interior run fill); the oracle replays it in
+    // closed form for diamonds — a cell square intersects |x-cx|+|y-cy|<=r
+    // iff its L1 distance to the center is <= r. Exact-touch ties cannot
+    // occur: zone params have 3 decimals, cell edges are integers.
     "q_rasterize" -> Q(
       (s, d) => {
         import s.implicits._
@@ -310,12 +314,14 @@ object Queries {
           .orderBy("zone_id", "cell")
       },
       Some(s"""WITH zs AS (SELECT * FROM $zonesValues),
-              xs AS (SELECT zone_id, unnest(range(CAST(floor((cx-r)/10) AS BIGINT),
+              xs AS (SELECT zone_id, cx, cy, r, unnest(range(CAST(floor((cx-r)/10) AS BIGINT),
                        CAST(floor((cx+r)/10) AS BIGINT) + 1)) AS gx FROM zs),
-              ys AS (SELECT zone_id, unnest(range(CAST(floor((cy-r)/10) AS BIGINT),
-                       CAST(floor((cy+r)/10) AS BIGINT) + 1)) AS gy FROM zs)
-              SELECT xs.zone_id AS zone_id, ys.gy*1000 + xs.gx AS cell
-              FROM xs JOIN ys ON xs.zone_id = ys.zone_id
+              cs AS (SELECT zone_id, cx, cy, r, gx, unnest(range(CAST(floor((cy-r)/10) AS BIGINT),
+                       CAST(floor((cy+r)/10) AS BIGINT) + 1)) AS gy FROM xs)
+              SELECT zone_id, gy*1000 + gx AS cell
+              FROM cs
+              WHERE greatest(0, gx*10.0 - cx, cx - gx*10.0 - 10.0)
+                  + greatest(0, gy*10.0 - cy, cy - gy*10.0 - 10.0) <= r
               ORDER BY 1, 2""")),
 
     // raster -> vector: the covering cell set reassembled into its boundary

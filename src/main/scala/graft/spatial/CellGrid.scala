@@ -96,12 +96,78 @@ final case class CellGrid(cellSize: Double, origin: Double = -1e7, rowWidth: Lon
     for (cy <- y0 to y1; cx <- x0 to x1) yield pack(cx, cy)
   }
 
-  /** Cells covered by a multipolygon: bbox cover pruned to cells whose square
-    * actually intersects the polygon (cheap test: cell center inside, any
-    * polygon vertex in cell, or any edge crossing the cell bbox — we
-    * over-approximate with bbox-of-cell vs polygon bbox + PIP of cell corners;
-    * false positives are fine, they are removed by exact refinement). */
-  def coverPolygon(mp: Geom.MultiPolygon): Seq[Long] = cover(Geom.bbox(mp))
+  /** x-range of segment a→b within the horizontal slab [yLo, yHi]. */
+  private def segXRange(
+      a: graft.geom.Pt, b: graft.geom.Pt, yLo: Double, yHi: Double): (Double, Double) =
+    if (a.y == b.y) (math.min(a.x, b.x), math.max(a.x, b.x))
+    else {
+      val t0 = math.min(1.0, math.max(0.0, (yLo - a.y) / (b.y - a.y)))
+      val t1 = math.min(1.0, math.max(0.0, (yHi - a.y) / (b.y - a.y)))
+      val xA = a.x + t0 * (b.x - a.x)
+      val xB = a.x + t1 * (b.x - a.x)
+      (math.min(xA, xB), math.max(xA, xB))
+    }
+
+  /** Cells covered by a multipolygon: the bbox cover PRUNED to cells whose
+    * square actually intersects the polygon, so a diagonal or concave zone
+    * no longer inflates the explode side by its bbox/area ratio.
+    *
+    * Two passes, no geometry predicates beyond PIP:
+    *  1. boundary supercover — every ring segment is walked row-slab by
+    *     row-slab (its exact x-range within each grid row), marking the
+    *     cells it passes through; O(Σ per-edge touched cells), NOT the
+    *     edge-bbox (whose diagonal-edge cover is a whole quadrant);
+    *  2. interior fill — within a row, a maximal run of UNMARKED cells has
+    *     uniform inside/outside status (a boundary point between two
+    *     adjacent unmarked cells would have marked one of them), so ONE
+    *     center PIP per run classifies the whole run.
+    *
+    * False positives (touch-only cells) survive to the exact refinement;
+    * false negatives are impossible: a cell intersecting the polygon either
+    * contains boundary (pass 1 marks it) or lies fully inside (its run's
+    * center probe is inside). */
+  def coverPolygon(mp: Geom.MultiPolygon): Seq[Long] = {
+    val bb = Geom.bbox(mp)
+    val x0 = cellX(bb.xmin); val x1 = cellX(bb.xmax)
+    val y0 = cellY(bb.ymin); val y1 = cellY(bb.ymax)
+    val marked = scala.collection.mutable.HashSet[Long]()
+    for (poly <- mp; ring <- poly) {
+      val n = ring.length
+      var i = 0
+      while (i < n) {
+        val a = ring(i); val b = ring((i + 1) % n)
+        val gy0 = cellY(math.min(a.y, b.y)); val gy1 = cellY(math.max(a.y, b.y))
+        var gy = gy0
+        while (gy <= gy1) {
+          val slabLo = origin + gy * cellSize
+          val (xlo, xhi) = segXRange(a, b, slabLo, slabLo + cellSize)
+          var gx = cellX(xlo); val gxe = cellX(xhi)
+          while (gx <= gxe) { marked += pack(gx, gy); gx += 1 }
+          gy += 1
+        }
+        i += 1
+      }
+    }
+    val out = Seq.newBuilder[Long]
+    var cy = y0
+    while (cy <= y1) {
+      var cx = x0
+      while (cx <= x1) {
+        if (marked.contains(pack(cx, cy))) { out += pack(cx, cy); cx += 1 }
+        else {
+          var runEnd = cx
+          while (runEnd + 1 <= x1 && !marked.contains(pack(runEnd + 1, cy))) runEnd += 1
+          val center = graft.geom.Pt(
+            origin + (cx + 0.5) * cellSize, origin + (cy + 0.5) * cellSize)
+          if (Geom.pointInMultiPolygon(center, mp))
+            for (g <- cx to runEnd) out += pack(g, cy)
+          cx = runEnd + 1
+        }
+      }
+      cy += 1
+    }
+    out.result()
+  }
 
   /** The 3×3 neighborhood of a point's cell (radius-probe candidates). */
   def neighborhood(x: Double, y: Double): Seq[Long] = {

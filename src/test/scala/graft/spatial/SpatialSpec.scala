@@ -145,6 +145,51 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("pruned coverPolygon: lossless for interior points, matches closed form on diamonds") {
+    val grid = CellGrid(10.0, origin = 0.0, rowWidth = 1000L)
+    for ((_, cx, cy, r) <- SynthGeo.zoneParams) {
+      val mp = SynthGeo.diamond(cx, cy, r)
+      val cov = grid.coverPolygon(mp).toSet
+      // closed form: cell square intersects the diamond iff its L1
+      // distance to the center is <= r (what the q_rasterize oracle runs)
+      val bb = Geom.bbox(mp)
+      val expected = (for {
+        gy <- grid.cellY(bb.ymin) to grid.cellY(bb.ymax)
+        gx <- grid.cellX(bb.xmin) to grid.cellX(bb.xmax)
+        dx = math.max(0.0, math.max(gx * 10.0 - cx, cx - gx * 10.0 - 10.0))
+        dy = math.max(0.0, math.max(gy * 10.0 - cy, cy - gy * 10.0 - 10.0))
+        if dx + dy <= r
+      } yield grid.pack(gx, gy)).toSet
+      assert(cov === expected)
+      // losslessness probe: every interior point's cell is covered
+      for (i <- 0 until 200) {
+        val t = i / 200.0 * 2 * math.Pi
+        val rad = (i % 10) / 10.0 * r * 0.99
+        val px = cx + rad * math.cos(t) * 0.7 // inside the L1 ball
+        val py = cy + rad * math.sin(t) * 0.7
+        if (math.abs(px - cx) + math.abs(py - cy) < r)
+          assert(cov.contains(grid.cellOf(px, py)))
+      }
+    }
+  }
+
+  test("pruned coverPolygon: diagonal strip covers far fewer cells than its bbox") {
+    // thin strip along the main diagonal: bbox cover is 100x100 cells,
+    // the strip itself touches ~3 per row — the plan-quality gap VERDICT
+    // r4 item 4 called out
+    val grid = CellGrid(10.0, origin = 0.0, rowWidth = 1000L)
+    val w = 4.0
+    val ring = Array(Pt(0, -w), Pt(1000, 1000 - w), Pt(1000, 1000 + w), Pt(0, w))
+    val mp: Geom.MultiPolygon = Array(Array(ring))
+    val cov = grid.coverPolygon(mp)
+    val bboxCells = grid.cover(Geom.bbox(mp)).size
+    assert(bboxCells >= 10000)
+    assert(cov.size < bboxCells / 10,
+      s"pruned ${cov.size} should be well under bbox $bboxCells")
+    assert(cov.toSet.contains(grid.cellOf(500.0, 500.0))) // on the strip
+    assert(!cov.toSet.contains(grid.cellOf(900.0, 100.0))) // far off it
+  }
+
   test("zone index covers every zone's own centroid cell") {
     val idx = SpatialJoin.buildZoneIndex(SynthGeo.zones, pipGrid)
     for (z <- SynthGeo.zones) {
