@@ -59,12 +59,23 @@ object Adjacency {
 
   /** Connected components by min-label propagation. Returns (bid, comp)
     * where comp = min bid of the component. */
-  def connectedComponents(vertices: DataFrame, edges: DataFrame, maxIter: Int = 30): DataFrame = {
+  def connectedComponents(vertices: DataFrame, edges: DataFrame, maxIter: Int = 30): DataFrame =
+    connectedComponentsWithRounds(vertices, edges, maxIter)._1
+
+  /** Min-label propagation with POINTER JUMPING: each round does one
+    * neighbor-min hop (c1 = min(comp, neighbors' comp)) and then one path
+    * shortcut (comp' = c1's own c1). The shortcut more than doubles the
+    * label's reach per round — on a path graph the distance-to-minimum
+    * after round k is 2^(k+1) − 2 — so rounds drop from O(diameter) to
+    * O(log diameter), the property the spec pins. Returns (labels, rounds
+    * incl. the final no-change detection round). */
+  def connectedComponentsWithRounds(
+      vertices: DataFrame, edges: DataFrame, maxIter: Int = 30): (DataFrame, Int) = {
     val spark = vertices.sparkSession
     import spark.implicits._
     // localCheckpoint (eager) per round truncates the lineage — without it
     // every convergence check replays all previous rounds, turning an
-    // O(diameter) loop into O(diameter²) plan growth
+    // O(log d) loop into O(log² d) plan growth
     var labels = vertices.select(col("bid"), col("bid").as("comp")).localCheckpoint()
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
@@ -74,14 +85,23 @@ object Adjacency {
     while (!converged && it < maxIter) {
       val nbrMin = sym.join(labels, sym("b") === labels("bid"))
         .groupBy(sym("a").as("bid")).agg(min("comp").as("nbr_comp"))
+      val hop = labels.join(nbrMin, Seq("bid"), "left")
+        .select(col("bid"), col("comp").as("old"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("c1"))
+      // pointer jump: comp = c1(c1(bid)). Labels are always vertex ids of
+      // the same component (hop adopts a neighbor's label, the jump adopts
+      // that vertex's label), so the shortcut never crosses components.
+      // The hop subplan feeds both sides of this self-join; its aggregate
+      // exchange is reused (ReusedExchange), not recomputed.
+      val jump = hop.select(col("bid").as("jbid"), col("c1").as("jc"))
       // the convergence signal rides the checkpoint's own materialization
       // job as an accumulator side effect — no separate probe action per
       // round. Task retries can only inflate a NONZERO count, never turn a
       // converged (zero) round nonzero, so the zero-test stays exact.
       val changedAcc = spark.sparkContext.longAccumulator(s"cc_changed_$it")
-      val next = labels.join(nbrMin, Seq("bid"), "left")
-        .select(col("bid"), col("comp").as("old"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+      val next = hop.join(jump, hop("c1") === jump("jbid"), "left")
+        .select(col("bid"), col("old"),
+          least(col("c1"), coalesce(col("jc"), col("c1"))).as("comp"))
         .as[(Long, Long, Long)]
         .map { r => if (r._2 != r._3) changedAcc.add(1L); (r._1, r._3) }
         .toDF("bid", "comp")
@@ -90,7 +110,7 @@ object Adjacency {
       converged = changedAcc.value == 0L
       it += 1
     }
-    labels
+    (labels, it)
   }
 
   def components(bs: Dataset[Building]): DataFrame = {
