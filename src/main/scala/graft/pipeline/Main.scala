@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import scala.jdk.CollectionConverters._
 
@@ -27,8 +27,9 @@ import graft.sources.{CadastreGml, InspireGml, OsmOut}
   *    input CSVs found next to the output file.
   *  - `ListCodes`: the static office table ('99') or an injected
   *    municipality source (the reference fetches an ATOM feed — network).
-  *  - `Download`: reports the layer requests it would issue (zero-egress
-  *    build: the INSPIRE fetch itself is out of scope by design).
+  *  - `Download` (-w): the reference's ATOM fetch honored without egress —
+  *    a config `download_base: file://...` names a staged mirror dir and
+  *    the layer files are resolved and copied in ([[downloadPath]]).
   */
 object Main {
 
@@ -36,10 +37,7 @@ object Main {
       out: String => Unit = println,
       err: String => Unit = s => System.err.println(s),
       /** -l PROV municipality source (network in the reference). */
-      municipalities: String => Seq[(String, String)] = _ => Seq.empty,
-      /** -w sink: (path, layer) per requested download. */
-      download: (String, String) => Unit = (p, l) =>
-        System.err.println(s"download disabled in this build: $p $l"))
+      municipalities: String => Seq[(String, String)] = _ => Seq.empty)
 
   def main(args: Array[String]): Unit = {
     val code = run(args.toSeq, Io(), () => {
@@ -77,11 +75,7 @@ object Main {
             s => { io.out(s); 0 })
         case Cli.Download(paths) =>
           // Reader.download call order, __main__.py:58-61
-          paths.foreach { p =>
-            Seq("address", "cadastralzoning", "building")
-              .foreach(io.download(p, _))
-          }
-          0
+          paths.map(p => downloadPath(p, io)).max
         case Cli.GenerateMunicipalities(paths) =>
           generateMunicipalities(mkSpark(), paths, io)
         case Cli.Process(opts) =>
@@ -136,6 +130,63 @@ object Main {
         l.substring(0, i).trim -> l.substring(i + 1).trim.stripPrefix("\"").stripSuffix("\"")
       }
       .toMap
+
+  /** -w: the reference's Reader.download step (catatom.py:204-215 +
+    * get_atom_file:81-108) re-expressed without egress: a `download_base`
+    * config key holds a file:// URL of a staged ATOM mirror directory, and
+    * "downloading" resolves every `A.ES.SDGC.<group>.*<code>*` file under
+    * it (zip / gml / MD xml — the same artifacts the ATOM feed serves) and
+    * copies them into the municipality directory. Layer groups and call
+    * order follow __main__.py:58-61 (address, cadastralzoning, building →
+    * AD, CP, BU). A code matching nothing in the mirror fails with the
+    * reference's CatValueError message; a single group with no files only
+    * warns, so partially staged mirrors (e.g. building-only) stay usable. */
+  def downloadPath(path: String, io: Io): Int = {
+    val dir = path.stripSuffix("/")
+    val code = Paths.get(dir).getFileName.toString
+    if (!code.matches("\\d{5}")) {
+      io.err(s"Directory name must be a 5 digits ZIP code: $code"); return 1
+    }
+    val conf = firstExisting(Seq(s"$dir/config.yaml", "config.yaml"))
+      .map(readUserConfig).getOrElse(Map.empty)
+    val base = conf.get("download_base").getOrElse {
+      io.err("download_base not configured: set 'download_base: " +
+        "file:///path/to/atom-mirror' in config.yaml (zero-egress build)")
+      return 1
+    }
+    if (!base.startsWith("file://")) {
+      io.err(s"only file:// download_base is supported in this zero-egress build: $base")
+      return 1
+    }
+    val baseDir = Paths.get(base.stripPrefix("file://"))
+    if (!Files.isDirectory(baseDir)) {
+      io.err(s"download_base directory not found: $baseDir"); return 1
+    }
+    Files.createDirectories(Paths.get(dir))
+    var total = 0
+    for ((layer, group) <- Seq("address" -> "AD", "cadastralzoning" -> "CP",
+        "building" -> "BU")) {
+      val found = {
+        val s = Files.walk(baseDir, 3)
+        try s.iterator().asScala.filter { p =>
+          val n = p.getFileName.toString
+          Files.isRegularFile(p) && n.startsWith(s"A.ES.SDGC.$group.") &&
+            n.contains(code)
+        }.toSeq
+        finally s.close()
+      }
+      if (found.isEmpty)
+        io.err(s"No staged files for layer '$layer' of '$code' in $baseDir")
+      found.foreach { src =>
+        val dest = Paths.get(dir).resolve(src.getFileName.toString)
+        io.out(s"Downloading '$dest'")
+        Files.copy(src, dest, StandardCopyOption.REPLACE_EXISTING)
+        total += 1
+      }
+    }
+    if (total == 0) { io.err(s"Municipality code '$code' don't exists"); 1 }
+    else 0
+  }
 
   /** catatom.py:52-76 layer filename resolution, tolerant of the
     * test-fixture names (`<code>.building.gml`, `building.gml`). */

@@ -42,17 +42,16 @@ class CliSpec extends AnyFunSuite {
     }
   }
 
-  test("test_download: -w routes each path to the three layer downloads in order") {
+  test("test_download: -w routes to Download; unconfigured base is a clear error") {
     val o = Cli.parse(Seq("-w", "33333")).toOption.get
     assert(o.download && o.args === "-w 33333")
     assert(Cli.route(o) === Cli.Download(Seq("33333")))
-    val calls = scala.collection.mutable.ArrayBuffer[(String, String)]()
-    val io = Main.Io(out = _ => (), err = _ => (),
-      download = (p, l) => calls += ((p, l)))
+    val errs = scala.collection.mutable.ArrayBuffer[String]()
+    val io = Main.Io(out = _ => (), err = errs += _)
     assert(Main.run(Seq("-w", "33333"), io,
-      () => fail("download must not build a session")) === 0)
-    assert(calls.toSeq === Seq(
-      ("33333", "address"), ("33333", "cadastralzoning"), ("33333", "building")))
+      () => fail("download must not build a session")) === 1)
+    assert(errs.exists(_.contains("download_base not configured")),
+      errs.mkString("; "))
   }
 
   test("-l with no value lists provincial offices ('99' const)") {

@@ -21,6 +21,43 @@ class MainSpec extends AnyFunSuite {
     dir.toString
   }
 
+  test("-w fetches staged ATOM files via file:// then the dir processes cleanly") {
+    // stage a zero-egress "ATOM mirror": reference 38023 fixtures under
+    // their canonical served names
+    val mirror = Files.createTempDirectory("graft_atom")
+    val fx = "/root/reference/test/fixtures"
+    Files.copy(Paths.get(s"$fx/38023.building.gml"),
+      mirror.resolve("A.ES.SDGC.BU.38023.building.gml"))
+    Files.copy(Paths.get(s"$fx/38023.buildingpart.gml"),
+      mirror.resolve("A.ES.SDGC.BU.38023.buildingpart.gml"))
+    val dir = Files.createTempDirectory("graft_dl").resolve("38023")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("config.yaml"),
+      s"download_base: file://$mirror\n")
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val io = Main.Io(out = out += _, err = out += _)
+    // -w: fetch the municipality's files into the dir
+    assert(Main.run(Seq(dir.toString, "-w"), io, () => spark) === 0,
+      out.mkString("; "))
+    assert(out.count(_.startsWith("Downloading '")) === 2, out.mkString("; "))
+    assert(Files.exists(dir.resolve("A.ES.SDGC.BU.38023.building.gml")))
+    // then the standard process run consumes exactly what -w staged
+    out.clear()
+    assert(Main.run(Seq(dir.toString, "-b"), io, () => spark) === 0,
+      out.mkString("; "))
+    assert(Files.list(dir.resolve("tasks-b")).toArray.nonEmpty)
+    // unknown code in the mirror -> the reference's CatValueError message
+    val bad = Files.createTempDirectory("graft_dl2").resolve("99999")
+    Files.createDirectories(bad)
+    Files.writeString(bad.resolve("config.yaml"),
+      s"download_base: file://$mirror\n")
+    val errs = scala.collection.mutable.ArrayBuffer[String]()
+    assert(Main.run(Seq(bad.toString, "-w"),
+      Main.Io(out = _ => (), err = errs += _), () => spark) === 1)
+    assert(errs.exists(_.contains("Municipality code '99999' don't exists")),
+      errs.mkString("; "))
+  }
+
   test("process runs the building-only pipeline over a municipality dir") {
     val dir = stage()
     val out = scala.collection.mutable.ArrayBuffer[String]()
