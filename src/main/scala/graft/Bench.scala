@@ -12,7 +12,7 @@ object Bench {
     "q_pip_join", "q_zone_count", "q_knn_nearest", "q_radius_join",
     "q_cell_assign", "q_cell_rollup", "q_multi_join", "q_agg_parts", "q_window_argmin",
     "q_dedup_minhash", "q_dedup_simhash", "q_dedup_embed", "q_jaccard_pairs",
-    "q_nn_exact",
+    "q_nn_exact", "q_nn_blocked",
     "q_ann_topk", "q_word_freq", "q_event_windows", "q_clean_polygons",
     "q_adjacency_components", "q_union_geoms", "q_tile_pack",
     "q_move_address", "q_fuzzy_match", "q_extract_text", "q_media_meta",
@@ -50,24 +50,36 @@ object Bench {
 
     var nPoints = 0L
     // min-of-2 per query: a single throttled scheduling window can't
-    // masquerade as a per-query regression in the recorded snapshot
+    // masquerade as a per-query regression in the recorded snapshot.
+    // Only SUCCESSFUL attempts count toward the min — a thrown query's
+    // (fast) failure time must not silently improve the headline; failed
+    // queries surface in an "errors" field of the JSON itself, not just
+    // on stderr.
+    val errors = scala.collection.mutable.LinkedHashSet[String]()
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        val times = (1 to 2).map { _ =>
+        val times = (1 to 2).flatMap { _ =>
           val t0 = System.nanoTime()
-          try {
-            val n = fn(spark, sfDir).count()
-            if (name == "q_pip_join") nPoints = n
-          } catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-          finally CacheBin.drain() // release operator-internal persists per query
-          (System.nanoTime() - t0) / 1e9
+          val ok =
+            try {
+              val n = fn(spark, sfDir).count()
+              if (name == "q_pip_join") nPoints = n
+              true
+            } catch {
+              case e: Throwable =>
+                System.err.println(s"[bench] $name: $e"); errors += name; false
+            } finally CacheBin.drain() // release operator-internal persists
+          if (ok) Some((System.nanoTime() - t0) / 1e9) else None
         }
-        name -> times.min
+        // no successful attempt: record -1 (an impossible duration) so the
+        // snapshot is self-evidently broken rather than quietly fast
+        name -> (if (times.nonEmpty) times.min else -1.0)
       }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
     // flagship throughput on a replicated point set large enough that fixed
     // job overhead doesn't dominate (same job as graft.Scale)
     val repl = 300
@@ -86,7 +98,7 @@ object Bench {
     val pipeSec = (System.nanoTime() - tp0) / 1e9
     val calibEnd = calibBrowPerSec(spark, cpus.toInt)
     println(
-      s"""{"metric":"headline_total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"docs_per_sec":$docsPerSec,"flagship_rows":$flagRows,"pipeline_sec":${f"$pipeSec%.3f"},"pipeline_rows":$pipeRows,"calib_brow_s":${f"$calibStart%.2f"},"calib_brow_s_end":${f"$calibEnd%.2f"},"cpus":"$cpus","sf":"$sfDir"}""")
+      s"""{"metric":"headline_total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"errors":$errJson,"docs_per_sec":$docsPerSec,"flagship_rows":$flagRows,"pipeline_sec":${f"$pipeSec%.3f"},"pipeline_rows":$pipeRows,"calib_brow_s":${f"$calibStart%.2f"},"calib_brow_s_end":${f"$calibEnd%.2f"},"cpus":"$cpus","sf":"$sfDir"}""")
     spark.stop()
   }
 }

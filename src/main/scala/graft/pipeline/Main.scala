@@ -600,6 +600,9 @@ object Main {
     adMeta.foreach { case (d, _, _) =>
       if (opts.address) result.report.strings("address_date") = d
     }
+    // -d (source='address'): match the reference's address-only report
+    // surface — building-chain metrics never reach report.txt/report.json
+    if (taskSource == "address") result.report.suppressBuildingGroup()
     result.report.validate() // fills report.errors for the Problems group
     if (fixmeCount > 0) result.report.set("fixme_count", fixmeCount.toLong)
     Files.createDirectories(Paths.get(dir))

@@ -50,6 +50,20 @@ class Report {
     errors.toSeq
   }
 
+  /** -d (address-only) report surface: when source='address' the reference
+    * skips building processing, so its report carries no building metrics.
+    * The engine still runs the chain (task geometry needs it) but strips
+    * every Buildings-group key — derived from the Titles table between
+    * group_buildings and group_tasks — plus the building-type counter,
+    * before validation/export. */
+  def suppressBuildingGroup(): Report = {
+    Report.Titles.map(_._1)
+      .dropWhile(_ != "group_buildings").takeWhile(_ != "group_tasks")
+      .foreach { k => values.remove(k); strings.remove(k) }
+    buildingCounter = Map.empty
+    this
+  }
+
   /** String-valued display fields (mun_name, date, ...) for to_string. */
   val strings: mutable.Map[String, String] = mutable.Map()
   /** Per-feature fixme sentences (report.fixmes). The reference appends

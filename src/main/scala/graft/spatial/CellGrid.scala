@@ -53,7 +53,14 @@ object Morton {
   def morton(ix: Long, iy: Long): Long = spread(ix) | (spread(iy) << 1)
 
   /** ANSI SQL fragment computing [[spreadCol]] of expression `v` —
-    * identical constants/shifts, so DuckDB replays the bits exactly. */
+    * identical constants/shifts, so DuckDB replays the bits exactly.
+    *
+    * ORACLE AXIS LIMIT: <= 30-bit axis indices only. Spark's shiftleft
+    * wraps, but DuckDB's `<<` on BIGINT is overflow-checked: an axis using
+    * bit 31 spreads to bit 62, and the interleave's final `<< 1` for the
+    * y-axis would set bit 63 and error on the oracle side ([[mortonSql]]).
+    * 30 bits per axis = 2^30 cells/axis at any practical resolution; the
+    * engine-side [[mortonCol]]/[[morton]] remain full 32-bit. */
   def spreadSql(v: String): String = {
     def step(e: String, sh: Int, mask: Long) = s"((($e) | (($e) << $sh)) & $mask)"
     var e = s"(($v) & ${0xFFFFFFFFL})"
@@ -64,6 +71,9 @@ object Morton {
     e = step(e, 1, 0x5555555555555555L)
     e
   }
+  /** ANSI replay of [[mortonCol]]. See the <=30-bit axis limit above —
+    * callers must keep oracle-gated axis indices below 2^30 (q_cell_rollup
+    * feeds 14-bit residues). */
   def mortonSql(ix: String, iy: String): String =
     s"(${spreadSql(ix)} | (${spreadSql(iy)} << 1))"
 }

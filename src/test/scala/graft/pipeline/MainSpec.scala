@@ -308,6 +308,18 @@ class MainSpec extends AnyFunSuite {
     assert(allNodes.nonEmpty)
     assert(allNodes.exists(_.tags.get("addr:street").contains("Calle Mayor")),
       allNodes.flatMap(_.tags).distinct.mkString("; "))
+    // reference -d report surface: source='address' carries address stats
+    // only — no Buildings group in report.txt, no building keys in json
+    val reportTxt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/report.txt"))
+    assert(!reportTxt.contains("=Buildings="), reportTxt)
+    assert(reportTxt.contains("=Addresses="), reportTxt)
+    val reportJson = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/report.json"))
+    for (k <- Seq("inp_features", "out_features", "parts_to_outline",
+        "inp_buildings", "out_buildings"))
+      assert(!reportJson.contains("\"" + k + "\""), s"$k leaked: $reportJson")
+    assert(reportJson.contains("\"out_address\""), reportJson)
   }
 
   test("CadastralParcel layer drives the tiling when present (not synthesis)") {
