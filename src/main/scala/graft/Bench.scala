@@ -49,6 +49,19 @@ object Bench {
     val calibStart = calibBrowPerSec(spark, cpus.toInt)
 
     var nPoints = 0L
+    // per-query Spark JOB counts: multi-job queries (iterative components,
+    // kmeans, persisted-stage dedup) amplify scheduler contention in
+    // throttled windows — emitting the counts makes a polluted snapshot
+    // self-diagnosing (a query whose time blew up WITHOUT a job-count
+    // change was contention, not a regression)
+    val jobCounter = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobCounter.incrementAndGet()
+      })
+    val jobCounts = scala.collection.mutable.LinkedHashMap[String, Long]()
     // min-of-2 per query: a single throttled scheduling window can't
     // masquerade as a per-query regression in the recorded snapshot.
     // Only SUCCESSFUL attempts count toward the min — a thrown query's
@@ -58,7 +71,8 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashSet[String]()
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        val times = (1 to 2).flatMap { _ =>
+        val times = (1 to 2).flatMap { attempt =>
+          val j0 = jobCounter.get()
           val t0 = System.nanoTime()
           val ok =
             try {
@@ -69,6 +83,10 @@ object Bench {
               case e: Throwable =>
                 System.err.println(s"[bench] $name: $e"); errors += name; false
             } finally CacheBin.drain() // release operator-internal persists
+          if (attempt == 2) {
+            Thread.sleep(50) // listener bus drain; ±1 job is acceptable
+            jobCounts(name) = jobCounter.get() - j0
+          }
           if (ok) Some((System.nanoTime() - t0) / 1e9) else None
         }
         // no successful attempt: record -1 (an impossible duration) so the
@@ -77,6 +95,8 @@ object Bench {
       }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val jobsJson = jobCounts.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -98,7 +118,7 @@ object Bench {
     val pipeSec = (System.nanoTime() - tp0) / 1e9
     val calibEnd = calibBrowPerSec(spark, cpus.toInt)
     println(
-      s"""{"metric":"headline_total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"errors":$errJson,"docs_per_sec":$docsPerSec,"flagship_rows":$flagRows,"pipeline_sec":${f"$pipeSec%.3f"},"pipeline_rows":$pipeRows,"calib_brow_s":${f"$calibStart%.2f"},"calib_brow_s_end":${f"$calibEnd%.2f"},"cpus":"$cpus","sf":"$sfDir"}""")
+      s"""{"metric":"headline_total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"jobs":$jobsJson,"errors":$errJson,"docs_per_sec":$docsPerSec,"flagship_rows":$flagRows,"pipeline_sec":${f"$pipeSec%.3f"},"pipeline_rows":$pipeRows,"calib_brow_s":${f"$calibStart%.2f"},"calib_brow_s_end":${f"$calibEnd%.2f"},"cpus":"$cpus","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -11,7 +11,7 @@ package graft
   */
 object ScalePipeline {
 
-  private def timed(cores: Int, sfDir: String): (Double, Long) = {
+  private def timed(cores: Int, sfDir: String): (Double, Long, Long) = {
     val spark = Scale.makeSession(cores)
     try {
       val (cons, parcels, addrs) =
@@ -20,7 +20,14 @@ object ScalePipeline {
       val r = graft.pipeline.AppRun.runMulti(
         spark, cons, parcels, addrs, graft.layers.SynthMuni.munOfFor(cores))
       val docs = r.taskDocs.count()
-      ((System.nanoTime() - t0) / 1e9, docs)
+      val sec = (System.nanoTime() - t0) / 1e9
+      // driver-heap evidence: the cleanup chain keeps zero unbounded
+      // driver state (r5: delete_invalid move propagation is a join, not a
+      // collect), so used heap must stay ~flat as nMuns grows
+      System.gc(); Thread.sleep(200)
+      val rt = Runtime.getRuntime
+      val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024L * 1024L)
+      (sec, docs, heapMb)
     } finally { CacheBin.drain(); spark.stop() }
   }
 
@@ -30,11 +37,11 @@ object ScalePipeline {
       .split(",").map(_.trim.toInt)
     timed(points(0), sfDir) // warmup (JIT + codegen caches)
     val results = points.map(c => c -> timed(c, sfDir))
-    val pts = results.map { case (c, (sec, docs)) =>
-      f""""local$c":{"sec":$sec%.2f,"muns":$c,"task_docs":$docs,"docs_per_sec":${(docs / sec).toLong}}"""
+    val pts = results.map { case (c, (sec, docs, heap)) =>
+      f""""local$c":{"sec":$sec%.2f,"muns":$c,"task_docs":$docs,"docs_per_sec":${(docs / sec).toLong},"driver_heap_mb":$heap}"""
     }.mkString(",")
     // ideal weak scaling holds sec flat: eff(a->b) = sec(a) / sec(b)
-    val effs = results.sliding(2).collect { case Array((a, (sa, _)), (b, (sb, _))) =>
+    val effs = results.sliding(2).collect { case Array((a, (sa, _, _)), (b, (sb, _, _))) =>
       f""""weak_eff_${a}_to_$b":${sa / sb}%.3f"""
     }.toSeq
     // single-point sweeps emit valid JSON too (no trailing comma)

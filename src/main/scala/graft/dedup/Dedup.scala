@@ -99,14 +99,17 @@ object Dedup {
     // skew guard: drop degenerate buckets wider than maxBucket. The hot
     // set is found with a map-side-combined groupBy (small result: only
     // over-cap buckets), but it grows with the number of boilerplate
-    // clusters, so it is removed with a merge-hinted sort-merge anti join
-    // — shuffling on the same bucket key the candidate join needs anyway —
-    // rather than broadcast through the driver
+    // clusters, so it must never be FORCED through the driver: no
+    // broadcast hint. The anti join is left to AQE, whose runtime stats on
+    // an aggregate output are REAL (unlike the post-explode estimate the
+    // candidate join needs a hint for) — small hot sets broadcast, a
+    // corpus-scale hot set falls back to a spillable sort-merge anti on
+    // the same bucket key the candidate join shuffles on anyway
     val hot = bandRows.groupBy("band_id", "band_hash")
       .agg(count(lit(1)).as("w")).filter(col("w") > maxBucket)
       .select("band_id", "band_hash")
-    val bucketed = bandRows.hint("merge")
-      .join(hot.hint("merge"), Seq("band_id", "band_hash"), "left_anti")
+    val bucketed = bandRows
+      .join(hot, Seq("band_id", "band_hash"), "left_anti")
     val cand = bucketed.as("l")
       .join(bucketed.as("r"),
         col("l.band_id") === col("r.band_id") &&
@@ -357,13 +360,14 @@ object Dedup {
       if (maxBucket <= 0) keyed0
       else {
         // the over-cap key set grows with the number of boilerplate
-        // clusters (~C(b,k) keys each), so it must NEVER route through the
-        // driver: a merge-hinted sort-merge anti join shuffles on the same
-        // key the candidate join needs anyway, instead of broadcasting a
-        // potentially multi-GB hot-key table
+        // clusters (~C(b,k) keys each), so it must never be FORCED through
+        // the driver: no broadcast hint. AQE's runtime stats on the
+        // aggregate output are real, so a small hot set broadcasts and a
+        // multi-GB one falls back to a spillable sort-merge anti on the
+        // same key the candidate join shuffles on anyway
         val hot = keyed0.groupBy("key").agg(count(lit(1)).as("w"))
           .filter(col("w") > maxBucket).select("key")
-        keyed0.hint("merge").join(hot.hint("merge"), Seq("key"), "left_anti")
+        keyed0.join(hot, Seq("key"), "left_anti")
       }
     // merge-join hint on both sides: the candidate join must SHUFFLE on
     // the ~21-bit keys — never broadcast a table that grows with n — and
