@@ -83,11 +83,14 @@ object Bench {
               case e: Throwable =>
                 System.err.println(s"[bench] $name: $e"); errors += name; false
             } finally CacheBin.drain() // release operator-internal persists
+          // elapsed captured BEFORE the job-count bookkeeping: the listener
+          // drain sleep must not inflate the recorded attempt time
+          val elapsed = (System.nanoTime() - t0) / 1e9
           if (attempt == 2) {
             Thread.sleep(50) // listener bus drain; ±1 job is acceptable
             jobCounts(name) = jobCounter.get() - j0
           }
-          if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+          if (ok) Some(elapsed) else None
         }
         // no successful attempt: record -1 (an impossible duration) so the
         // snapshot is self-evidently broken rather than quietly fast

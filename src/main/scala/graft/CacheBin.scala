@@ -26,11 +26,14 @@ object CacheBin {
       p
     }
 
-  /** Unpersist every registered handle (non-blocking). Handles whose
-    * SparkContext has already stopped are simply dropped. */
-  def drain(): Unit = synchronized {
+  /** Unpersist every registered handle. Non-blocking by default; pass
+    * blocking = true when the caller is about to MEASURE memory (e.g.
+    * ScalePipeline's driver-heap probe) so async block-manager cleanup
+    * can't pollute the reading. Handles whose SparkContext has already
+    * stopped are simply dropped. */
+  def drain(blocking: Boolean = false): Unit = synchronized {
     held.foreach { ds =>
-      try ds.unpersist(blocking = false)
+      try ds.unpersist(blocking)
       catch { case _: Throwable => () }
     }
     held.clear()

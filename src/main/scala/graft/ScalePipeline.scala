@@ -23,7 +23,10 @@ object ScalePipeline {
       val sec = (System.nanoTime() - t0) / 1e9
       // driver-heap evidence: the cleanup chain keeps zero unbounded
       // driver state (r5: delete_invalid move propagation is a join, not a
-      // collect), so used heap must stay ~flat as nMuns grows
+      // collect), so used heap must stay ~flat as nMuns grows. Blocking
+      // drain first: async unpersist would leave nMuns-proportional cached
+      // blocks in this local-mode JVM and pollute the reading.
+      CacheBin.drain(blocking = true)
       System.gc(); Thread.sleep(200)
       val rt = Runtime.getRuntime
       val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024L * 1024L)

@@ -178,13 +178,11 @@ object DeleteInvalid {
       features: Dataset[(Long, MultiPolygon)]): Dataset[(Long, MultiPolygon)] = {
     val spark = features.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.functions.col
-    val cleaned = features
+    val cleaned = graft.CacheBin.persist(features
       .map { case (fid, mp) =>
         val r = cleanFeature(mp)
         (fid, r.geometry, r.moves)
-      }
-      .persist()
+      })
     val perFid = perFeatureMoves(cleaned)
     cleaned.map { case (fid, g, _) => (fid, g) }.toDF("fid", "g")
       .join(perFid, Seq("fid"), "left")

@@ -216,11 +216,10 @@ object ConsChain {
   def deleteInvalidD(exploded: Dataset[FidCons]): Dataset[FidCons] = {
     val spark = exploded.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.functions.col
-    val cleanedRaw = exploded.map { fc =>
+    val cleanedRaw = graft.CacheBin.persist(exploded.map { fc =>
       val r = DeleteInvalid.cleanFeature(fc.f.geometry, querySmall = fc.f.kind != "part")
       (fc.fid, fc.f, r.geometry, r.moves.toSeq)
-    }.persist()
+    })
     val perFid = DeleteInvalid.perFeatureMoves(
       cleanedRaw.map { case (fid, _, g, mv) => (fid, g, mv) })
     cleanedRaw.map { case (fid, f, g, _) => (fid, f, g) }.toDF("fid", "f", "g")

@@ -601,7 +601,11 @@ object Main {
       if (opts.address) result.report.strings("address_date") = d
     }
     // -d (source='address'): match the reference's address-only report
-    // surface — building-chain metrics never reach report.txt/report.json
+    // surface — building-chain metrics never reach report.txt/report.json.
+    // The CLI summary counts what the run actually shipped (addresses in
+    // -d, building features otherwise), captured before the suppression.
+    val outCount = result.report.get(
+      if (taskSource == "address") "out_address" else "out_features")
     if (taskSource == "address") result.report.suppressBuildingGroup()
     result.report.validate() // fills report.errors for the Problems group
     if (fixmeCount > 0) result.report.set("fixme_count", fixmeCount.toLong)
@@ -611,8 +615,7 @@ object Main {
     val json = reportJson(result.report)
     Files.write(Paths.get(s"$dir/report.json"),
       json.getBytes(StandardCharsets.UTF_8))
-    io.out(s"$code: ${result.taskDocs.size} tasks, " +
-      s"${result.report.get("out_features")} features")
+    io.out(s"$code: ${result.taskDocs.size} tasks, $outCount features")
     0
   }
 

@@ -154,13 +154,15 @@ object Similarity {
     }.toDF("id", "v")
     val centroids = kmeansCentroids(normedDf, "id", "v", nlist, iters, seedHash)
     val bC = spark.sparkContext.broadcast(centroids)
-    val assigned = vecs.map { case (id, v) =>
-      val u = unitD(v)
-      val lists = nearestListsDbl(u, bC.value, 1)
-      (lists.head, id, v, distToCentroid(u, bC.value(lists.head)))
-    }.toDF("list", "nbr_id", "vb", "dc")
-      .withColumn("nb", norm(col("vb")))
-      .persist()
+    // registered in CacheBin (drained by the session driver after its
+    // terminal action), like every other operator-internal persist
+    val assigned = graft.CacheBin.persist(
+      vecs.map { case (id, v) =>
+        val u = unitD(v)
+        val lists = nearestListsDbl(u, bC.value, 1)
+        (lists.head, id, v, distToCentroid(u, bC.value(lists.head)))
+      }.toDF("list", "nbr_id", "vb", "dc")
+        .withColumn("nb", norm(col("vb"))))
     val radii: Array[Double] = {
       val m = assigned.groupBy("list")
         .agg(max(col("dc")).as("r")).as[(Int, Double)].collect().toMap
@@ -176,8 +178,8 @@ object Similarity {
       .filter(col("vec_id") =!= col("nbr_id"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .select(col("vec_id"), col("nbr_id"), col("cos"))
-    val top1 = pairs1.as[(Long, Long, Double)]
-      .groupByKey(_._1).agg(new TopKByCos(k).toColumn).persist()
+    val top1 = graft.CacheBin.persist(pairs1.as[(Long, Long, Double)]
+      .groupByKey(_._1).agg(new TopKByCos(k).toColumn))
     val bounds = top1.map { case (id, s) =>
       (id, if (s.length < k) Double.MaxValue else 2.0 - 2.0 * s.last._1)
     }.toDF("vec_id", "dk2")
@@ -189,7 +191,11 @@ object Similarity {
     val probes2 = qinfo.as[(Long, Array[Float], Option[Double])]
       .flatMap { case (id, v, dk2Opt) =>
         val u = unitD(v)
-        val dk = math.sqrt(dk2Opt.getOrElse(Double.MaxValue))
+        // clamp: a kth cosine that rounds above 1.0 gives dk2 < 0; sqrt
+        // would be NaN and silently disable pass 2 (every comparison
+        // false) — clamped to 0 it correctly means "only lists whose
+        // bound is exactly reachable can still matter"
+        val dk = math.sqrt(math.max(0.0, dk2Opt.getOrElse(Double.MaxValue)))
         val probed = nearestListsDbl(u, bC.value, nprobe).toSet
         bC.value.indices.iterator
           .filterNot(probed)
