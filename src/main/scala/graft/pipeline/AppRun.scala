@@ -67,6 +67,38 @@ object AppRun {
     Result(prepared, parcels2, tasks, addressesOut, docs, report)
   }
 
+  /** Single-municipality run that KEEPS the task documents distributed:
+    * the CLI sink writes them through OsmOut.writeTaskFiles (a distributed
+    * file writer), so output volume never serializes through the driver —
+    * even a mega-municipality's task XML stays on executors. Returns the
+    * (checkpoint-materialized) task-doc Dataset plus the per-mun report;
+    * use [[run]] only when the reference-equivalence Seq surfaces
+    * (prepared features, parcels, task map) are actually needed. */
+  def runDocs(
+      spark: SparkSession,
+      consRaw: Seq[ConsF], parcelsRaw: Seq[Parcel],
+      addrs: Dataset[MoveAddress.Addr], munCode: String,
+      maxParts: Int = 20, buffer: Double = 30.0,
+      addrTags: Map[String, Map[String, String]] = Map.empty,
+      taskSource: String = "building"): (Dataset[TaskDoc], Report) = {
+    import spark.implicits._
+    val consDs = spark.createDataset(consRaw.zipWithIndex.map { case (f, i) =>
+      MunSeqCons(munCode, i.toLong, f) })
+    val parcelsDs = spark.createDataset(parcelsRaw.zipWithIndex.map { case (p, i) =>
+      ParcelOps.MunParcel(munCode, i.toLong, p) })
+    val addrDs = addrs.map(a => MunAddr(munCode, a.localId, a.ref, a.spec, a.x, a.y))
+    val tagsDs = spark.createDataset(addrTags.toSeq)
+    val mc = munCode
+    val mr = runMulti(spark, consDs, parcelsDs, addrDs, (_: String) => mc,
+      maxParts, buffer, Some(tagsDs), taskSource = taskSource)
+    val report = new Report
+    mr.metrics.filter(_._1 == munCode).foreach { case (_, k, v) => report.set(k, v) }
+    // taskDocs is a checkpoint-materialized stage — safe to read after the
+    // operator-internal persists are released
+    graft.CacheBin.drain()
+    (mr.taskDocs, report)
+  }
+
   /** Single-municipality entry — delegates to the Dataset-native
     * [[runMulti]] (the only orchestration path; the Seq chain was retired
     * once every golden rode the D forms). */

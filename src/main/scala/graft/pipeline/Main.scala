@@ -554,16 +554,19 @@ object Main {
       case None => Seq.empty
     }
 
-    val result = AppRun.run(spark, cons, parcelsSeq, addrs, code,
-      maxParts = maxParts, addrTags = addrTags, taskSource = taskSource)
-
-    val docs = spark.createDataset(result.taskDocs.toSeq)
-    OsmOut.writeTaskFiles(docs, s"$dir/$tasksFolder")
+    // distributed single-mun run: task documents stay a Dataset end to end
+    // (writeTaskFiles is a distributed file sink; the XML never collects)
+    val (taskDocsDs, report) = AppRun.runDocs(spark, cons, parcelsSeq, addrs,
+      code, maxParts = maxParts, addrTags = addrTags, taskSource = taskSource)
+    val nTasks = OsmOut.writeTaskFiles(
+      taskDocsDs.map(d => (d.label, d.xml)), s"$dir/$tasksFolder")
     // <task>.fixmes.geojson review files (cons.py:580-587 export_fixmes:
-    // centroid point + the fixme text; no file when a task has none)
-    var fixmeCount = 0
-    for ((label, xml) <- result.taskDocs) {
-      val (ns, ws, _) = OsmOut.parseOsm(xml)
+    // centroid point + the fixme text; no file when a task has none).
+    // Per-task parsing happens on executors; only the (small) fixme point
+    // lists of affected tasks return to the driver for the file writes.
+    val fixmeDocs = taskDocsDs.flatMap { d =>
+      val label = d.label
+      val (ns, ws, _) = OsmOut.parseOsm(d.xml)
       val byId = ns.map(n => n.id -> n).toMap
       val pts = ns.filter(_.tags.contains("fixme"))
         .map(n => (n.tags("fixme"), n.lon, n.lat)) ++
@@ -573,8 +576,8 @@ object Main {
           else Some((w.tags("fixme"),
             wp.map(_.lon).sum / wp.size, wp.map(_.lat).sum / wp.size))
         }
-      if (pts.nonEmpty) {
-        fixmeCount += pts.size
+      if (pts.isEmpty) None
+      else {
         def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
         val features = pts.map { case (f, x, y) =>
           s"""{"type":"Feature","properties":{"fixme":"${esc(f)}"},""" +
@@ -582,40 +585,44 @@ object Main {
         }
         // a proper FeatureCollection — JOSM/ogr open it (the reference's
         // export_fixmes writes through the GeoJSON driver)
-        val gj = features.mkString(
-          """{"type":"FeatureCollection","features":[""", ",", "]}")
-        Files.write(Paths.get(s"$dir/$tasksFolder/$label.fixmes.geojson"),
-          gj.getBytes(StandardCharsets.UTF_8))
+        Some((label, pts.size, features.mkString(
+          """{"type":"FeatureCollection","features":[""", ",", "]}")))
       }
+    }.collect()
+    var fixmeCount = 0
+    for ((label, n, gj) <- fixmeDocs) {
+      fixmeCount += n
+      Files.write(Paths.get(s"$dir/$tasksFolder/$label.fixmes.geojson"),
+        gj.getBytes(StandardCharsets.UTF_8))
     }
     if (fixmeCount > 0) io.err(s"Check $fixmeCount fixme tags")
     // report.txt in the reference's human layout (report.to_file) +
     // report.json as the machine checkpoint (report.export)
-    result.report.strings("mun_code") = code
+    report.strings("mun_code") = code
     // source metadata fields (app.py:251,304,527): Cadastre name + dates
     buMeta.foreach { case (d, mun, _) =>
-      result.report.strings("cat_mun") = mun
-      result.report.strings("building_date") = d
+      report.strings("cat_mun") = mun
+      report.strings("building_date") = d
     }
     adMeta.foreach { case (d, _, _) =>
-      if (opts.address) result.report.strings("address_date") = d
+      if (opts.address) report.strings("address_date") = d
     }
     // -d (source='address'): match the reference's address-only report
     // surface — building-chain metrics never reach report.txt/report.json.
     // The CLI summary counts what the run actually shipped (addresses in
     // -d, building features otherwise), captured before the suppression.
-    val outCount = result.report.get(
+    val outCount = report.get(
       if (taskSource == "address") "out_address" else "out_features")
-    if (taskSource == "address") result.report.suppressBuildingGroup()
-    result.report.validate() // fills report.errors for the Problems group
-    if (fixmeCount > 0) result.report.set("fixme_count", fixmeCount.toLong)
+    if (taskSource == "address") report.suppressBuildingGroup()
+    report.validate() // fills report.errors for the Problems group
+    if (fixmeCount > 0) report.set("fixme_count", fixmeCount.toLong)
     Files.createDirectories(Paths.get(dir))
     Files.write(Paths.get(s"$dir/report.txt"),
-      result.report.toDisplayString().getBytes(StandardCharsets.UTF_8))
-    val json = reportJson(result.report)
+      report.toDisplayString().getBytes(StandardCharsets.UTF_8))
+    val json = reportJson(report)
     Files.write(Paths.get(s"$dir/report.json"),
       json.getBytes(StandardCharsets.UTF_8))
-    io.out(s"$code: ${result.taskDocs.size} tasks, $outCount features")
+    io.out(s"$code: $nTasks tasks, $outCount features")
     0
   }
 
