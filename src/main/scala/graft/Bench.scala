@@ -55,13 +55,22 @@ object Bench {
     // self-diagnosing (a query whose time blew up WITHOUT a job-count
     // change was contention, not a regression)
     val jobCounter = new java.util.concurrent.atomic.AtomicLong
+    // shuffle WRITE bytes per query (stage-aggregated): the direct measure
+    // of exchange volume — a diet (e.g. dropping signatures from a dedup
+    // exchange) shows up here even when wall-clock is contention-noisy
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
             js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
           jobCounter.incrementAndGet()
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          shuffleBytes.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
       })
     val jobCounts = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val shuffleMb = scala.collection.mutable.LinkedHashMap[String, Double]()
     // min-of-2 per query: a single throttled scheduling window can't
     // masquerade as a per-query regression in the recorded snapshot.
     // Only SUCCESSFUL attempts count toward the min — a thrown query's
@@ -73,6 +82,7 @@ object Bench {
       SparkEntry.queries.get(name).map { fn =>
         val times = (1 to 2).flatMap { attempt =>
           val j0 = jobCounter.get()
+          val s0 = shuffleBytes.get()
           val t0 = System.nanoTime()
           val ok =
             try {
@@ -89,6 +99,7 @@ object Bench {
           if (attempt == 2) {
             Thread.sleep(50) // listener bus drain; ±1 job is acceptable
             jobCounts(name) = jobCounter.get() - j0
+            shuffleMb(name) = (shuffleBytes.get() - s0) / 1e6
           }
           if (ok) Some(elapsed) else None
         }
@@ -100,6 +111,8 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val jobsJson = jobCounts.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val shufJson = shuffleMb.map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -121,7 +134,7 @@ object Bench {
     val pipeSec = (System.nanoTime() - tp0) / 1e9
     val calibEnd = calibBrowPerSec(spark, cpus.toInt)
     println(
-      s"""{"metric":"headline_total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"jobs":$jobsJson,"errors":$errJson,"docs_per_sec":$docsPerSec,"flagship_rows":$flagRows,"pipeline_sec":${f"$pipeSec%.3f"},"pipeline_rows":$pipeRows,"calib_brow_s":${f"$calibStart%.2f"},"calib_brow_s_end":${f"$calibEnd%.2f"},"cpus":"$cpus","sf":"$sfDir"}""")
+      s"""{"metric":"headline_total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"jobs":$jobsJson,"shuffle_mb":$shufJson,"errors":$errJson,"docs_per_sec":$docsPerSec,"flagship_rows":$flagRows,"pipeline_sec":${f"$pipeSec%.3f"},"pipeline_rows":$pipeRows,"calib_brow_s":${f"$calibStart%.2f"},"calib_brow_s_end":${f"$calibEnd%.2f"},"cpus":"$cpus","sf":"$sfDir"}""")
     spark.stop()
   }
 }
