@@ -11,12 +11,23 @@ package graft
   * correctness invariant and wall time is the scaling measure. */
 object ScaleSimhash {
 
-  def timed(cores: Int, sfDir: String, repl: Int): (Double, Long, Long) = {
+  def timed(cores: Int, sfDir: String, repl: Int): (Double, Long, Long, Double) = {
     val spark = Scale.makeSession(cores)
     import spark.implicits._
     import org.apache.spark.sql.functions._
+    // shuffle-write volume of the dedup run: the exchange-size evidence
+    // for the candidate-join diet, contention-immune unlike wall time
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          shuffleBytes.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      })
     val d = ScaleDedup.docs(spark, sfDir, repl, cores)
     val nDocs = d.count()
+    val s0 = shuffleBytes.get()
     val t0 = System.nanoTime()
     val docsDs = d
       .select(col("doc_id"),
@@ -31,9 +42,11 @@ object ScaleSimhash {
     val pairs = graft.dedup.Dedup
       .simhashNearDups(docsDs, maxDist = 8, maxBucket = 64).count()
     val sec = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(100) // listener bus drain
+    val shufMb = (shuffleBytes.get() - s0) / 1e6
     CacheBin.drain()
     spark.stop()
-    (sec, nDocs, pairs)
+    (sec, nDocs, pairs, shufMb)
   }
 
   def main(args: Array[String]): Unit = {
@@ -44,13 +57,13 @@ object ScaleSimhash {
     timed(8, sfDir, 4) // warmup
     val runs = pair.map { c =>
       val repl = perCore * c
-      val (sec, nDocs, pairs) = Seq.fill(2)(timed(c, sfDir, repl)).minBy(_._1)
-      (c, sec, nDocs, pairs, nDocs / sec)
+      val (sec, nDocs, pairs, shufMb) = Seq.fill(2)(timed(c, sfDir, repl)).minBy(_._1)
+      (c, sec, nDocs, pairs, nDocs / sec, shufMb)
     }
     val thr = runs.map(r => r._1 -> r._5).toMap
     val eff = (thr(pair.last) / thr(pair.head)) / (pair.last.toDouble / pair.head)
-    val pts = runs.map { case (c, sec, n, p, t) =>
-      f""""local$c":{"sec":$sec%.2f,"docs":$n,"pairs":$p,"docs_per_sec":${t.round}}"""
+    val pts = runs.map { case (c, sec, n, p, t, sm) =>
+      f""""local$c":{"sec":$sec%.2f,"docs":$n,"pairs":$p,"docs_per_sec":${t.round},"shuffle_mb":$sm%.1f}"""
     }.mkString("{", ",", "}")
     println(s"""{"job":"simhash_dedup_scale","points":$pts,"eff_${pair.head}_to_${pair.last}":${f"$eff%.3f"}}""")
   }
