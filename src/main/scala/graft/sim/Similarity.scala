@@ -144,7 +144,8 @@ object Similarity {
   def exactTopK(
       emb: DataFrame, idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 1,
-      seedHash: Long => Long = mixSeedHash): DataFrame = {
+      seedHash: Long => Long = mixSeedHash,
+      probeAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val vecs = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
@@ -197,10 +198,14 @@ object Similarity {
         // bound is exactly reachable can still matter"
         val dk = math.sqrt(math.max(0.0, dk2Opt.getOrElse(Double.MaxValue)))
         val probed = nearestListsDbl(u, bC.value, nprobe).toSet
-        bC.value.indices.iterator
+        val out = bC.value.indices.iterator
           .filterNot(probed)
           .filter(j => distToCentroid(u, bC.value(j)) - bR.value(j) <= dk + 1e-9)
           .map(j => (j, id, v)).toSeq
+        // optional pruning diagnostic: pass-2 list probes actually emitted
+        // (the spec pins this << n * (nlist - nprobe) on clustered data)
+        probeAcc.foreach(_.add(out.size.toLong))
+        out
       }.toDF("list", "vec_id", "va").withColumn("na", norm(col("va")))
     val pairs2 = probes2.join(lists, Seq("list"))
       .filter(col("vec_id") =!= col("nbr_id"))

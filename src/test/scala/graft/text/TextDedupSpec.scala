@@ -274,10 +274,17 @@ class SimilaritySpec extends AnyFunSuite {
     val df = data.toDF("vec_id", "embedding").repartition(8)
     val exact = Similarity.bruteForceTopK(df, "vec_id", "embedding", 3)
       .orderBy("vec_id", "rank").as[(Long, Int, Long)].collect()
-    val blocked = Similarity.exactTopK(df, "vec_id", "embedding", 3)
+    val probes = spark.sparkContext.longAccumulator("pass2_probes")
+    val blocked = Similarity.exactTopK(df, "vec_id", "embedding", 3,
+        probeAcc = Some(probes))
       .orderBy("vec_id", "rank").as[(Long, Int, Long)].collect()
     assert(exact.length === n * 3)
     assert(blocked.toSeq === exact.toSeq)
+    // the pruning must actually fire on clustered data: a no-op bound
+    // would emit every unprobed list, n * (nlist - nprobe) = 120k probes
+    val fullScan = n.toLong * (16 - 4)
+    assert(probes.value < fullScan / 2,
+      s"pass-2 probes ${probes.value} should be well under full-scan $fullScan")
   }
 
   test("ANN recall beats its candidate-scan fraction (LSH is informative)") {
