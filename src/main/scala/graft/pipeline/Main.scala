@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions.col
 
 import graft.ops.{MoveAddress, Municipalities, ParcelOps}
 import graft.ops.ParcelOps.ConsF
-import graft.sources.{CadastreGml, InspireGml, OsmOut}
+import graft.sources.{CadastreGml, GmlText, InspireGml, OsmOut}
 
 /** Command-line entry point: the reference's `catatom2osm` executable
   * (__main__.py:53-73 process()) over this engine. [[Cli]] owns the
@@ -188,32 +188,50 @@ object Main {
     else 0
   }
 
+  /** [[firstExisting]] for container paths: `archive.zip!member.gml`
+    * candidates resolve when the archive holds the member. */
+  private def firstAvailable(cands: Seq[String]): Option[String] =
+    cands.find(GmlText.exists)
+
   /** catatom.py:52-76 layer filename resolution, tolerant of the
-    * test-fixture names (`<code>.building.gml`, `building.gml`). */
+    * test-fixture names (`<code>.building.gml`, `building.gml`). The
+    * downloaded ZIP is tried when no bare GML exists — the reference's
+    * read() zip path (catatom.py:236-241); bare GML first keeps
+    * fix_encoding/fix_amp outputs authoritative. */
   private def layerFile(dir: String, code: String, layer: String): Option[String] =
-    firstExisting(Seq(
+    firstAvailable(Seq(
       s"$dir/A.ES.SDGC.BU.$code.$layer.gml",
       s"$dir/$code.$layer.gml",
-      s"$dir/$layer.gml"))
+      s"$dir/$layer.gml",
+      s"$dir/A.ES.SDGC.BU.$code.zip!A.ES.SDGC.BU.$code.$layer.gml"))
 
   private def addressFile(dir: String, code: String): Option[String] =
-    firstExisting(Seq(
+    firstAvailable(Seq(
       s"$dir/A.ES.SDGC.AD.$code.gml",
       s"$dir/$code.address.gml",
-      s"$dir/address.gml"))
+      s"$dir/address.gml",
+      s"$dir/A.ES.SDGC.AD.$code.zip!A.ES.SDGC.AD.$code.gml"))
 
   /** UTM zone from a GML's srsName (e.g. urn:ogc:def:crs:EPSG::32628 →
     * 28; ETRS89 25828-25831 → 28-31). Defaults to 30 (peninsular). */
   private def utmZone(gmlPath: String): Int = {
     // bounded read: only the header region is needed, not the whole file
-    val in = Files.newInputStream(Paths.get(gmlPath))
-    val head = try {
-      val buf = new Array[Byte](200000)
-      var off = 0; var n = 0
-      while (off < buf.length && { n = in.read(buf, off, buf.length - off); n > 0 })
-        off += n
-      new String(buf, 0, off, StandardCharsets.UTF_8)
-    } finally in.close()
+    // (container paths fall back to the GmlText loader)
+    val head =
+      if (gmlPath.contains(".zip!") || gmlPath.endsWith(".zip") ||
+          gmlPath.endsWith(".gz")) {
+        val t = GmlText.load(gmlPath)
+        t.substring(0, math.min(200000, t.length))
+      } else {
+        val in = Files.newInputStream(Paths.get(gmlPath))
+        try {
+          val buf = new Array[Byte](200000)
+          var off = 0; var n = 0
+          while (off < buf.length && { n = in.read(buf, off, buf.length - off); n > 0 })
+            off += n
+          new String(buf, 0, off, StandardCharsets.UTF_8)
+        } finally in.close()
+      }
     // srsName spellings: urn:ogc:def:crs:EPSG::32628, EPSG:32628, and the
     // OGC URL form .../def/crs/EPSG/0/32628
     "EPSG(?:::?|/0/)(\\d+)".r.findFirstMatchIn(head).map(_.group(1).toInt) match {
@@ -239,9 +257,10 @@ object Main {
     * technique as Adjacency.unionByComponent — and write the Osmosis
     * boundary.poly with hole rings nested by containment. */
   def processZoning(dir: String, code: String, io: Io): Int = {
-    val f = firstExisting(Seq(
+    val f = firstAvailable(Seq(
       s"$dir/A.ES.SDGC.CP.$code.cadastralzoning.gml",
-      s"$dir/$code.zoning.gml", s"$dir/zoning.gml")).getOrElse {
+      s"$dir/$code.zoning.gml", s"$dir/zoning.gml",
+      s"$dir/A.ES.SDGC.CP.$code.zip!A.ES.SDGC.CP.$code.cadastralzoning.gml")).getOrElse {
       io.err(s"No zoning layer found in $dir"); return 1
     }
     val rustic = scala.util.Try(InspireGml.cadastralZonings(f)).getOrElse {
@@ -541,10 +560,11 @@ object Main {
     // outlines via create_missing_parcels (which also fills any refs the
     // CP layer lacks). Parcels for refs outside the -s/-o cut are deleted
     // by delete_void_parcels inside the DAG, mirroring the parcel query.
-    val parcelsSeq: Seq[graft.ops.ParcelOps.Parcel] = firstExisting(Seq(
+    val parcelsSeq: Seq[graft.ops.ParcelOps.Parcel] = firstAvailable(Seq(
       s"$dir/A.ES.SDGC.CP.$code.cadastralparcel.gml",
       s"$dir/$code.cadastralparcel.gml",
-      s"$dir/cadastralparcel.gml")) match {
+      s"$dir/cadastralparcel.gml",
+      s"$dir/A.ES.SDGC.CP.$code.zip!A.ES.SDGC.CP.$code.cadastralparcel.gml")) match {
       case Some(f) =>
         val ps = InspireGml.cadastralParcels(f)
           .filter(_._2.nonEmpty)

@@ -39,7 +39,7 @@ object CadastreGml {
     * building.gml / buildingpart.gml) and the native INSPIRE bu-ext2d one
     * (namespaced fields, posList rings — othercons.gml). */
   def read(path: String): Seq[CadFeature] = {
-    val xml = Files.readString(Paths.get(path))
+    val xml = GmlText.load(path)
     "(?s)<gml:featureMember>(.*?)</gml:featureMember>".r
       .findAllMatchIn(xml).map(_.group(1)).map { m =>
         val ogrAttrs = FieldTags.flatMap { t =>

@@ -27,7 +27,7 @@ object InspireGml {
     * the reference's resolve mechanism, address.py:42-46). */
   def addresses(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val xml = Files.readString(Paths.get(path))
+    val xml = GmlText.load(path)
     members(xml, "AD:Address").map { m =>
       // point appears as <gml:pos>x y</> or <gml:coordinates>x,y</>
       val raw = field(m, "gml:pos") match {
@@ -50,7 +50,7 @@ object InspireGml {
   /** Named side layers joined onto addresses by the reference. */
   def thoroughfareNames(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val xml = Files.readString(Paths.get(path))
+    val xml = GmlText.load(path)
     members(xml, "AD:ThoroughfareName").map { m =>
       // street text nests under GN:GeographicalName -> GN:text
       (attr(m, "AD:ThoroughfareName", "gml:id"), field(m, "GN:text"))
@@ -59,7 +59,7 @@ object InspireGml {
 
   def postalDescriptors(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val xml = Files.readString(Paths.get(path))
+    val xml = GmlText.load(path)
     members(xml, "AD:PostalDescriptor").map { m =>
       (attr(m, "AD:PostalDescriptor", "gml:id"),
         field(m, "AD:postCode") match { case "" => 0; case v => v.toInt })
@@ -68,7 +68,7 @@ object InspireGml {
 
   def adminUnitNames(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val xml = Files.readString(Paths.get(path))
+    val xml = GmlText.load(path)
     members(xml, "AD:AdminUnitName").map { m =>
       (attr(m, "AD:AdminUnitName", "gml:id"), field(m, "GN:text"))
     }.toDF("gml_id", "text")
@@ -82,7 +82,7 @@ object InspireGml {
     * PolygonPatch (exterior ring + interior holes, posList pairs). */
   def cadastralZonings(
       path: String): Seq[(String, String, String, Array[Array[Array[graft.geom.Pt]]])] = {
-    val xml = Files.readString(Paths.get(path))
+    val xml = GmlText.load(path)
     def ring(posList: String): Array[graft.geom.Pt] = {
       val nums = posList.trim.split("\\s+").filter(_.nonEmpty).map(_.toDouble)
       // collect only complete pairs: a truncated/odd posList must not throw
@@ -118,7 +118,7 @@ object InspireGml {
     * layer. */
   def cadastralParcels(
       path: String): Seq[(String, Array[Array[Array[graft.geom.Pt]]])] = {
-    val xml = Files.readString(Paths.get(path))
+    val xml = GmlText.load(path)
     def ring(posList: String): Array[graft.geom.Pt] = {
       val nums = posList.trim.split("\\s+").filter(_.nonEmpty).map(_.toDouble)
       // collect only complete pairs: a truncated/odd posList must not throw

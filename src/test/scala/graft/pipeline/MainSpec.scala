@@ -58,6 +58,31 @@ class MainSpec extends AnyFunSuite {
       errs.mkString("; "))
   }
 
+  test("process runs straight from the downloaded ZIP (no extracted GML)") {
+    // the reference's read() tries the ZIP first (catatom.py:236-241) —
+    // a dir holding only A.ES.SDGC.BU.<code>.zip must process end to end
+    val dir = Files.createTempDirectory("graft_zip").resolve("38023")
+    Files.createDirectories(dir)
+    val fx = "/root/reference/test/fixtures"
+    val zip = new java.util.zip.ZipOutputStream(
+      Files.newOutputStream(dir.resolve("A.ES.SDGC.BU.38023.zip")))
+    try {
+      for ((src, entry) <- Seq(
+          "38023.building.gml" -> "A.ES.SDGC.BU.38023.building.gml",
+          "38023.buildingpart.gml" -> "A.ES.SDGC.BU.38023.buildingpart.gml")) {
+        zip.putNextEntry(new java.util.zip.ZipEntry(entry))
+        zip.write(Files.readAllBytes(Paths.get(s"$fx/$src")))
+        zip.closeEntry()
+      }
+    } finally zip.close()
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val io = Main.Io(out = out += _, err = out += _)
+    assert(Main.run(Seq(dir.toString, "-b"), io, () => spark) === 0,
+      out.mkString("; "))
+    val tasks = Files.list(dir.resolve("tasks-b")).toArray.map(_.toString)
+    assert(tasks.exists(_.endsWith(".osm.gz")), out.mkString("; "))
+  }
+
   test("process runs the building-only pipeline over a municipality dir") {
     val dir = stage()
     val out = scala.collection.mutable.ArrayBuffer[String]()
