@@ -433,11 +433,15 @@ object Main {
 
     // get_metadata (catatom.py:54-78): ISO-19139 metadata next to each
     // layer group — source date, Cadastre municipality name, EPSG ref
-    val buMeta = firstExisting(Seq(
-      s"$dir/A.ES.SDGC.BU.MD.$code.xml", s"$dir/$code.bu.md.xml"))
+    // metadata also reads from inside the downloaded archive, like the
+    // reference's get_metadata(md_path, zip_path)
+    val buMeta = firstAvailable(Seq(
+      s"$dir/A.ES.SDGC.BU.MD.$code.xml", s"$dir/$code.bu.md.xml",
+      s"$dir/A.ES.SDGC.BU.$code.zip!A.ES.SDGC.BU.MD.$code.xml"))
       .flatMap(f => CadastreGml.getMetadata(f).toOption)
-    val adMeta = firstExisting(Seq(
-      s"$dir/A.ES.SDGC.AD.MD.$code.xml", s"$dir/$code.ad.md.xml"))
+    val adMeta = firstAvailable(Seq(
+      s"$dir/A.ES.SDGC.AD.MD.$code.xml", s"$dir/$code.ad.md.xml",
+      s"$dir/A.ES.SDGC.AD.$code.zip!A.ES.SDGC.AD.MD.$code.xml"))
       .flatMap(f => CadastreGml.getMetadata(f).toOption)
 
     // -i/--info (app.py:127-133): input stats + source metadata only —

@@ -85,7 +85,7 @@ object CadastreGml {
   def getMetadata(path: String): Either[String, (String, String, Int)] = {
     val err = Left(s"Could not read metadata from '$path'")
     val xml = try {
-      val bytes = Files.readAllBytes(Paths.get(path))
+      val bytes = GmlText.loadBytes(path)
       val head = new String(bytes, 0, math.min(100, bytes.length),
         java.nio.charset.StandardCharsets.US_ASCII)
       val cs = if (head.toUpperCase.contains("ISO-8859-1"))

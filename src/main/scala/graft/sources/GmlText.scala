@@ -52,6 +52,24 @@ object GmlText {
     }
   }
 
+  /** Raw bytes of a plain file or a `archive.zip!member` entry — for
+    * callers doing their own charset sniffing (ISO-19139 metadata). */
+  def loadBytes(path: String): Array[Byte] = {
+    val bang = path.indexOf(".zip!")
+    if (bang < 0) Files.readAllBytes(Paths.get(path))
+    else {
+      val zipPath = path.substring(0, bang + 4)
+      val member = path.substring(bang + 5)
+      val zf = new java.util.zip.ZipFile(zipPath)
+      try {
+        val entry = zf.entries.asScala.find(_.getName.endsWith(member))
+          .getOrElse(throw new java.io.IOException(
+            s"There is no item named '$member' in the archive $zipPath"))
+        readAll(zf.getInputStream(entry))
+      } finally zf.close()
+    }
+  }
+
   def load(path: String): String = {
     val bang = path.indexOf(".zip!")
     if (bang >= 0) {

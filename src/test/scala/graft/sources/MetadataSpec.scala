@@ -31,6 +31,20 @@ class MetadataSpec extends AnyFunSuite {
     assert(got === Right(("2017-02-25", "TAZ", 32628)))
   }
 
+  test("metadata reads from inside the downloaded archive (zip! member)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mdzip")
+    val zipPath = dir.resolve("A.ES.SDGC.BU.38001.zip")
+    val zip = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(zipPath))
+    try {
+      zip.putNextEntry(new java.util.zip.ZipEntry("A.ES.SDGC.BU.MD.38001.xml"))
+      zip.write(metadata.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      zip.closeEntry()
+    } finally zip.close()
+    val got = CadastreGml.getMetadata(s"$zipPath!A.ES.SDGC.BU.MD.38001.xml")
+    assert(got === Right(("2017-02-25", "TAZ", 32628)))
+  }
+
   test("a dateStamp without gco:Date is an error, not stolen text") {
     // valid ISO-19139 can carry gco:DateTime here; the reference's
     // find('gmd:dateStamp/gco:Date') returns None and raises — an
