@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions.col
 
 import graft.ops.{MoveAddress, Municipalities, ParcelOps}
 import graft.ops.ParcelOps.ConsF
-import graft.sources.{CadastreGml, GmlText, InspireGml, OsmOut}
+import graft.sources.{CadastreGml, CsvGeoJson, GmlText, InspireGml, OsmOut}
 
 /** Command-line entry point: the reference's `catatom2osm` executable
   * (__main__.py:53-73 process()) over this engine. [[Cli]] owns the
@@ -388,10 +388,27 @@ object Main {
     val buildingGml = layerFile(dir, code, "building").orElse {
       io.err(s"No building layer found in $dir"); None
     }.getOrElse(return 1)
+    // Reader.read's empty-layer contract (catatom.py:243-249): a served
+    // null layer raises for the required layers (allow_empty=False —
+    // building, buildingpart: app.py:277,300) and only logs for
+    // otherconstruction (allow_empty=True: app.py:278)
+    if (CsvGeoJson.isEmptyGml(buildingGml)) {
+      io.err(s"The layer '$buildingGml' is empty"); return 1
+    }
+    val partGml = layerFile(dir, code, "buildingpart")
+    partGml.filter(CsvGeoJson.isEmptyGml).foreach { p =>
+      io.err(s"The layer '$p' is empty"); return 1
+    }
+    val otherGml = layerFile(dir, code, "othercons")
+      .filterNot { p =>
+        val e = CsvGeoJson.isEmptyGml(p)
+        if (e) io.out(s"The layer '$p' is empty")
+        e
+      }
 
     val consAll = consOf(buildingGml) ++
-      layerFile(dir, code, "buildingpart").toSeq.flatMap(consOf) ++
-      layerFile(dir, code, "othercons").toSeq.flatMap(consOf)
+      partGml.toSeq.flatMap(consOf) ++
+      otherGml.toSeq.flatMap(consOf)
 
     // -s SPLIT: keep features with >=50% of their area inside the boundary
     // (app.py:255-258; the reference filters the zoning/parcel query, which

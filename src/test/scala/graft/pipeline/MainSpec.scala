@@ -83,6 +83,17 @@ class MainSpec extends AnyFunSuite {
     assert(tasks.exists(_.endsWith(".osm.gz")), out.mkString("; "))
   }
 
+  test("an empty building layer raises the reference's CatIOError message") {
+    val dir = Files.createTempDirectory("graft_empty").resolve("38023")
+    Files.createDirectories(dir)
+    Files.copy(Paths.get("/root/reference/test/fixtures/empty.gml"),
+      dir.resolve("38023.building.gml"))
+    val errs = scala.collection.mutable.ArrayBuffer[String]()
+    assert(Main.run(Seq(dir.toString, "-b"),
+      Main.Io(out = _ => (), err = errs += _), () => spark) === 1)
+    assert(errs.exists(_.contains("is empty")), errs.mkString("; "))
+  }
+
   test("process runs the building-only pipeline over a municipality dir") {
     val dir = stage()
     val out = scala.collection.mutable.ArrayBuffer[String]()
