@@ -33,24 +33,36 @@ object ScaleDedup {
     * switches the band-row cache to serialized storage — if 8->32
     * efficiency tracks signature bytes, the bound is host memory
     * bandwidth, not the operator. */
-  def timed(cores: Int, sfDir: String, repl: Int): (Double, Long, Long) = {
+  def timed(cores: Int, sfDir: String, repl: Int): (Double, Long, Long, Double) = {
     val nPerm = sys.env.getOrElse("SPARK_GRAFT_NPERM", "64").toInt
     val storage =
       if (sys.env.get("SPARK_GRAFT_SER").contains("1"))
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
       else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val spark = Scale.makeSession(cores)
+    // exchange-volume evidence, same listener as Bench/ScaleSimhash
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          shuffleBytes.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      })
     val d = docs(spark, sfDir, repl, cores)
     val nDocs = d.count()
+    val s0 = shuffleBytes.get()
     val t0 = System.nanoTime()
     val pairs = graft.dedup.Dedup
       .minhashNearDups(d, "doc_id", "text", threshold = 0.6,
         nPerm = nPerm, bands = nPerm / 4, storage = storage)
       .count()
     val sec = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(100) // listener bus drain
+    val shufMb = (shuffleBytes.get() - s0) / 1e6
     graft.CacheBin.drain()
     spark.stop()
-    (sec, nDocs, pairs)
+    (sec, nDocs, pairs, shufMb)
   }
 
   def main(args: Array[String]): Unit = {
@@ -73,16 +85,16 @@ object ScaleDedup {
     val perCore = sys.env.getOrElse("SPARK_GRAFT_REPL_PER_CORE", "4").toInt
     val runs = pair.map { c =>
       val repl = perCore * c // constant per-core corpus
-      val (sec, nDocs, pairs) = Seq.fill(2)(timed(c, sfDir, repl)).minBy(_._1)
+      val (sec, nDocs, pairs, shufMb) = Seq.fill(2)(timed(c, sfDir, repl)).minBy(_._1)
       // cap-induced loss is possible at scale (maxBucket drops hot random
       // band collisions) — report recall against the exact expectation
       val recall = pairs.toDouble / (base * repl)
-      (c, sec, nDocs, pairs, recall, nDocs / sec)
+      (c, sec, nDocs, pairs, recall, nDocs / sec, shufMb)
     }
     val thr = runs.map(r => r._1 -> r._6).toMap
     val eff = (thr(pair.last) / thr(pair.head)) / (pair.last.toDouble / pair.head)
-    val pts = runs.map { case (c, sec, n, p, r, t) =>
-      f""""local$c":{"sec":$sec%.2f,"docs":$n,"pairs":$p,"recall":$r%.4f,"docs_per_sec":${t.round}}"""
+    val pts = runs.map { case (c, sec, n, p, r, t, sm) =>
+      f""""local$c":{"sec":$sec%.2f,"docs":$n,"pairs":$p,"recall":$r%.4f,"docs_per_sec":${t.round},"shuffle_mb":$sm%.1f}"""
     }.mkString("{", ",", "}")
     println(s"""{"job":"minhash_dedup_scale","points":$pts,"eff_${pair.head}_to_${pair.last}":${f"$eff%.3f"},"base_pairs":$base}""")
   }
