@@ -1054,6 +1054,37 @@ object Queries {
               WHERE inter*1.0/(na.sz + nb.sz - inter) >= 0.6
               ORDER BY id_a, id_b""")),
 
+    // corpus dedup SELECTION: one survivor per near-dup cluster (min id)
+    // plus every unpaired doc — components over the exact-Jaccard pairs
+    // (near-duplication is not transitive; the closure decides), replayed
+    // in the oracle as a recursive-CTE transitive closure with min-label
+    // components
+    "q_dedup_keep" -> Q(
+      (s, d) => Dedup.keepRepresentatives(
+          t(s, d, "documents"), "doc_id",
+          Dedup.jaccardPairsExact(
+            t(s, d, "documents"), "doc_id", "text", shingleN = 3, threshold = 0.6))
+        .orderBy("doc_id"),
+      Some("""WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              x AS (SELECT doc_id, w, unnest(range(1, greatest(len(w)-1, 2))) AS i FROM t),
+              g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh FROM x),
+              n AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+              c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                    FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+              p AS (SELECT id_a, id_b
+                    FROM c JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
+                    WHERE inter*1.0/(na.sz + nb.sz - inter) >= 0.6),
+              e AS (SELECT id_a AS s, id_b AS d FROM p
+                    UNION ALL SELECT id_b, id_a FROM p),
+              r(id, m) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.s, r.m FROM e JOIN r ON r.id = e.d)
+              SELECT id AS doc_id
+              FROM (SELECT id, min(m) AS comp FROM r GROUP BY id)
+              WHERE id = comp ORDER BY doc_id""")),
+
     // STREAMING near-dup filter: odd-id documents stream against the
     // even-id static corpus through the stream-static minhash band join
     // (EventStream.nearDupFilter). Gated by the exact-Jaccard oracle: a

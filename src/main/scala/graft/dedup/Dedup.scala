@@ -27,6 +27,23 @@ object Dedup {
     df.groupBy(key.as("k"))
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Corpus dedup SELECTION: given near-dup PAIRS (from any generator —
+    * exact Jaccard, MinHash, SimHash, embedding LSH), keep exactly ONE
+    * representative per duplicate cluster — the minimum id, deterministic
+    * at any parallelism — plus every unpaired document. Near-duplication
+    * is not transitive, so the selection closes the pairs into connected
+    * components first (the same O(log diameter) pointer-jumping
+    * propagation as the geometry adjacency groups; duplicate clusters have
+    * tiny diameters, so this is 2–3 rounds of plain shuffles at any corpus
+    * size). Output: one (idCol) row per survivor. */
+  def keepRepresentatives(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comps = graft.ops.Adjacency.connectedComponents(
+      docs.select(col(idCol).cast("long").as("bid")),
+      pairs.select(col("id_a").cast("long").as("a"),
+        col("id_b").cast("long").as("b")))
+    comps.filter(col("bid") === col("comp")).select(col("bid").as(idCol))
+  }
+
   /** Word shingles (n-grams) as an array column, from a token array. */
   def shingles(toks: Column, n: Int): Column =
     transform(

@@ -89,6 +89,22 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("keepRepresentatives closes non-transitive pairs into one survivor per cluster") {
+    import spark.implicits._
+    // chain 1-2, 2-3 (1 and 3 never paired directly — near-duplication is
+    // not transitive) must collapse to ONE survivor; 4 is untouched
+    val docs = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = graft.dedup.Dedup.keepRepresentatives(docs, "doc_id", pairs)
+      .as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 4L))
+    // no pairs at all: everything survives
+    val none = graft.dedup.Dedup.keepRepresentatives(
+      docs, "doc_id", Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+      .as[Long].collect().sorted
+    assert(none.toSeq === Seq(1L, 2L, 3L, 4L))
+  }
+
   test("LSH minhash recall matches exact jaccard pairs on the corpus") {
     import spark.implicits._
     val exact = graft.Queries.queries("q_jaccard_pairs")(spark, TestSpark.sf001)
