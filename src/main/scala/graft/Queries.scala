@@ -1085,6 +1085,79 @@ object Queries {
               FROM (SELECT id, min(m) AS comp FROM r GROUP BY id)
               WHERE id = comp ORDER BY doc_id""")),
 
+    // the END-TO-END corpus cleaning pipeline, composed from the gated
+    // primitives: length floor -> language id == 'en' -> duplicate-2-gram
+    // repetition cap -> exact-Jaccard near-dup pairs -> one-survivor-per-
+    // cluster selection -> per-survivor token counts. Everything stays one
+    // declarative plan (filters are scan-shaped; the only shuffles are the
+    // pair join and the component closure); the oracle chains the same
+    // proven SQL fragments
+    "q_corpus_clean" -> Q(
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val docs = t(s, d, "documents")
+        val filtered = docs
+          .filter(TextFns.charLen(col("text")) >= 100)
+          .filter(TextFns.langId(col("text")) === "en")
+          .select(col("doc_id"), col("text"), Dedup.shingles(toks, 2).as("gs"))
+          .filter(lit(1.0) - size(array_distinct(col("gs"))) / size(col("gs")) <= 0.2)
+          .select("doc_id", "text")
+        val pairs = Dedup.jaccardPairsExact(
+          filtered, "doc_id", "text", shingleN = 3, threshold = 0.6)
+        Dedup.keepRepresentatives(filtered, "doc_id", pairs)
+          .join(filtered, "doc_id")
+          .select(col("doc_id"), TextFns.tokenCount(col("text")).as("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val langs = TextFns.langLexicon.toSeq.sortBy(_._1)
+        val scoreCols = langs.map { case (lang, words) =>
+          val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+          s"len(list_intersect(toks, $arr)) AS s_$lang"
+        }.mkString(", ")
+        val m = langs.map(l => s"s_${l._1}").mkString("greatest(", ", ", ")")
+        val pick = langs.map { case (lang, _) =>
+          s"WHEN s_$lang = m THEN '$lang'"
+        }.mkString(" ")
+        s"""WITH RECURSIVE
+            base AS (SELECT doc_id, text FROM documents WHERE length(text) >= 100),
+            lt AS (SELECT doc_id, text,
+              list_distinct(regexp_split_to_array(lower(text), '[^\\p{L}]+')) AS toks
+              FROM base),
+            sc AS (SELECT doc_id, text, $scoreCols FROM lt),
+            mm AS (SELECT *, $m AS m FROM sc),
+            en AS (SELECT doc_id, text FROM mm
+                   WHERE (CASE WHEN m = 0 THEN 'und' $pick END) = 'en'),
+            w2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM en),
+            x2 AS (SELECT doc_id, w, unnest(range(1, greatest(len(w), 2))) AS i FROM w2),
+            g2 AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS sh FROM x2),
+            rep AS (SELECT doc_id FROM g2 GROUP BY doc_id
+                    HAVING 1.0 - count(DISTINCT sh)*1.0/count(*) <= 0.2),
+            filt AS (SELECT e.doc_id, e.text FROM en e
+                     JOIN rep ON rep.doc_id = e.doc_id),
+            jt AS (SELECT doc_id, string_split(text, ' ') AS w FROM filt),
+            jx AS (SELECT doc_id, w, unnest(range(1, greatest(len(w)-1, 2))) AS i FROM jt),
+            jg AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh FROM jx),
+            jn AS (SELECT doc_id, count(*) AS sz FROM jg GROUP BY doc_id),
+            jc AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                   FROM jg a JOIN jg b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+            jp AS (SELECT id_a, id_b
+                   FROM jc JOIN jn na ON na.doc_id = id_a JOIN jn nb ON nb.doc_id = id_b
+                   WHERE inter*1.0/(na.sz + nb.sz - inter) >= 0.6),
+            je AS (SELECT id_a AS s, id_b AS d FROM jp
+                   UNION ALL SELECT id_b, id_a FROM jp),
+            r(id, m) AS (
+              SELECT doc_id, doc_id FROM filt
+              UNION
+              SELECT je.s, r.m FROM je JOIN r ON r.id = je.d)
+            SELECT f.doc_id,
+              length(f.text) - length(replace(f.text, ' ', '')) + 1 AS n_tokens
+            FROM (SELECT id, min(m) AS comp FROM r GROUP BY id) k
+            JOIN filt f ON f.doc_id = k.id
+            WHERE k.id = k.comp ORDER BY 1"""
+      }),
+
     // STREAMING near-dup filter: odd-id documents stream against the
     // even-id static corpus through the stream-static minhash band join
     // (EventStream.nearDupFilter). Gated by the exact-Jaccard oracle: a
