@@ -58,16 +58,12 @@ object Bench {
     // shuffle WRITE bytes per query (stage-aggregated): the direct measure
     // of exchange volume — a diet (e.g. dropping signatures from a dedup
     // exchange) shows up here even when wall-clock is contention-noisy
-    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    val shuffleBytes = Scale.shuffleCounter(spark)
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
             js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
           jobCounter.incrementAndGet()
-        override def onStageCompleted(
-            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-          shuffleBytes.addAndGet(
-            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
       })
     val jobCounts = scala.collection.mutable.LinkedHashMap[String, Long]()
     val shuffleMb = scala.collection.mutable.LinkedHashMap[String, Double]()

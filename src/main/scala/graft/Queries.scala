@@ -1096,12 +1096,15 @@ object Queries {
       (s, d) => {
         val toks = split(col("text"), " ")
         val docs = t(s, d, "documents")
-        val filtered = docs
+        // persisted: four consumers read the filter cascade (pair prefix,
+        // pair verify sets, closure vertices, token-count join) — without
+        // the cache each would re-run the langId scoring scan
+        val filtered = graft.CacheBin.persist(docs
           .filter(TextFns.charLen(col("text")) >= 100)
           .filter(TextFns.langId(col("text")) === "en")
           .select(col("doc_id"), col("text"), Dedup.shingles(toks, 2).as("gs"))
           .filter(lit(1.0) - size(array_distinct(col("gs"))) / size(col("gs")) <= 0.2)
-          .select("doc_id", "text")
+          .select("doc_id", "text"))
         val pairs = Dedup.jaccardPairsExact(
           filtered, "doc_id", "text", shingleN = 3, threshold = 0.6)
         Dedup.keepRepresentatives(filtered, "doc_id", pairs)

@@ -20,6 +20,21 @@ import graft.spatial.{CellGrid, SpatialJoin, SynthGeo}
 object Scale {
   val Repl = 1500 // 100k events × 1500 = 150M points
 
+  /** Shared shuffle-WRITE-bytes counter (Bench / ScaleDedup / ScaleSimhash):
+    * registers a stage-completion listener and returns the running total —
+    * exchange volume is the contention-immune measure of a shuffle diet. */
+  def shuffleCounter(spark: SparkSession): java.util.concurrent.atomic.AtomicLong = {
+    val bytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          bytes.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      })
+    bytes
+  }
+
   def makeSession(cores: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")

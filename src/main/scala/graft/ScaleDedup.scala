@@ -40,15 +40,7 @@ object ScaleDedup {
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
       else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val spark = Scale.makeSession(cores)
-    // exchange-volume evidence, same listener as Bench/ScaleSimhash
-    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onStageCompleted(
-            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-          shuffleBytes.addAndGet(
-            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-      })
+    val shuffleBytes = Scale.shuffleCounter(spark)
     val d = docs(spark, sfDir, repl, cores)
     val nDocs = d.count()
     val s0 = shuffleBytes.get()

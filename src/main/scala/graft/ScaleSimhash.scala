@@ -15,16 +15,7 @@ object ScaleSimhash {
     val spark = Scale.makeSession(cores)
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    // shuffle-write volume of the dedup run: the exchange-size evidence
-    // for the candidate-join diet, contention-immune unlike wall time
-    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onStageCompleted(
-            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-          shuffleBytes.addAndGet(
-            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-      })
+    val shuffleBytes = Scale.shuffleCounter(spark)
     val d = ScaleDedup.docs(spark, sfDir, repl, cores)
     val nDocs = d.count()
     val s0 = shuffleBytes.get()

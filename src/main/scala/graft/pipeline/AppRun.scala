@@ -37,13 +37,15 @@ object AppRun {
     * and collects the small outputs into the Seq-shaped Result — so the
     * reference-fixture goldens exercise the same orchestration that runs N
     * municipalities at scale. */
-  private def runViaMulti(
+  /** Shared single-municipality prologue: wrap the Seq inputs as one-mun
+    * Datasets, run the Dataset-native DAG, extract the per-mun report. */
+  private def runSingle(
       spark: SparkSession,
       consRaw: Seq[ConsF], parcelsRaw: Seq[Parcel],
       addrs: Dataset[MoveAddress.Addr], munCode: String,
       maxParts: Int, buffer: Double,
       addrTags: Map[String, Map[String, String]],
-      taskSource: String): Result = {
+      taskSource: String): (MultiResult, Report) = {
     import spark.implicits._
     val consDs = spark.createDataset(consRaw.zipWithIndex.map { case (f, i) =>
       MunSeqCons(munCode, i.toLong, f) })
@@ -56,6 +58,19 @@ object AppRun {
       maxParts, buffer, Some(tagsDs), taskSource = taskSource)
     val report = new Report
     mr.metrics.filter(_._1 == munCode).foreach { case (_, k, v) => report.set(k, v) }
+    (mr, report)
+  }
+
+  private def runViaMulti(
+      spark: SparkSession,
+      consRaw: Seq[ConsF], parcelsRaw: Seq[Parcel],
+      addrs: Dataset[MoveAddress.Addr], munCode: String,
+      maxParts: Int, buffer: Double,
+      addrTags: Map[String, Map[String, String]],
+      taskSource: String): Result = {
+    import spark.implicits._
+    val (mr, report) = runSingle(spark, consRaw, parcelsRaw, addrs, munCode,
+      maxParts, buffer, addrTags, taskSource)
     val prepared = mr.prepared.collect().sortBy(_.fid).map(_.f).toSeq
     val parcels2 = mr.parcels.collect().sortBy(_.seq).map(_.parcel).toSeq
     val tasks = mr.taskMap.as[(String, String)].collect().toMap
@@ -81,18 +96,8 @@ object AppRun {
       maxParts: Int = 20, buffer: Double = 30.0,
       addrTags: Map[String, Map[String, String]] = Map.empty,
       taskSource: String = "building"): (Dataset[TaskDoc], Report) = {
-    import spark.implicits._
-    val consDs = spark.createDataset(consRaw.zipWithIndex.map { case (f, i) =>
-      MunSeqCons(munCode, i.toLong, f) })
-    val parcelsDs = spark.createDataset(parcelsRaw.zipWithIndex.map { case (p, i) =>
-      ParcelOps.MunParcel(munCode, i.toLong, p) })
-    val addrDs = addrs.map(a => MunAddr(munCode, a.localId, a.ref, a.spec, a.x, a.y))
-    val tagsDs = spark.createDataset(addrTags.toSeq)
-    val mc = munCode
-    val mr = runMulti(spark, consDs, parcelsDs, addrDs, (_: String) => mc,
-      maxParts, buffer, Some(tagsDs), taskSource = taskSource)
-    val report = new Report
-    mr.metrics.filter(_._1 == munCode).foreach { case (_, k, v) => report.set(k, v) }
+    val (mr, report) = runSingle(spark, consRaw, parcelsRaw, addrs, munCode,
+      maxParts, buffer, addrTags, taskSource)
     // taskDocs is a checkpoint-materialized stage — safe to read after the
     // operator-internal persists are released
     graft.CacheBin.drain()

@@ -198,12 +198,18 @@ object Main {
     * downloaded ZIP is tried when no bare GML exists — the reference's
     * read() zip path (catatom.py:236-241); bare GML first keeps
     * fix_encoding/fix_amp outputs authoritative. */
-  private def layerFile(dir: String, code: String, layer: String): Option[String] =
-    firstAvailable(Seq(
-      s"$dir/A.ES.SDGC.BU.$code.$layer.gml",
-      s"$dir/$code.$layer.gml",
-      s"$dir/$layer.gml",
-      s"$dir/A.ES.SDGC.BU.$code.zip!A.ES.SDGC.BU.$code.$layer.gml"))
+  private def layerFile(dir: String, code: String, layer: String): Option[String] = {
+    // the Cadastre's served name for the pools/other layer is
+    // 'otherconstruction' (catatom.py get_layer_paths); 'othercons' is the
+    // reference test-fixture shorthand — accept both spellings everywhere
+    val names = if (layer == "othercons") Seq("othercons", "otherconstruction")
+      else Seq(layer)
+    firstAvailable(
+      names.map(l => s"$dir/A.ES.SDGC.BU.$code.$l.gml") ++
+      names.map(l => s"$dir/$code.$l.gml") ++
+      names.map(l => s"$dir/$l.gml") ++
+      names.map(l => s"$dir/A.ES.SDGC.BU.$code.zip!A.ES.SDGC.BU.$code.$l.gml"))
+  }
 
   private def addressFile(dir: String, code: String): Option[String] =
     firstAvailable(Seq(
@@ -216,22 +222,16 @@ object Main {
     * 28; ETRS89 25828-25831 → 28-31). Defaults to 30 (peninsular). */
   private def utmZone(gmlPath: String): Int = {
     // bounded read: only the header region is needed, not the whole file
-    // (container paths fall back to the GmlText loader)
-    val head =
-      if (gmlPath.contains(".zip!") || gmlPath.endsWith(".zip") ||
-          gmlPath.endsWith(".gz")) {
-        val t = GmlText.load(gmlPath)
-        t.substring(0, math.min(200000, t.length))
-      } else {
-        val in = Files.newInputStream(Paths.get(gmlPath))
-        try {
-          val buf = new Array[Byte](200000)
-          var off = 0; var n = 0
-          while (off < buf.length && { n = in.read(buf, off, buf.length - off); n > 0 })
-            off += n
-          new String(buf, 0, off, StandardCharsets.UTF_8)
-        } finally in.close()
-      }
+    // — GmlText.open decompresses container paths streaming, so the head
+    // probe never inflates a whole archive member
+    val in = GmlText.open(gmlPath)
+    val head = try {
+      val buf = new Array[Byte](200000)
+      var off = 0; var n = 0
+      while (off < buf.length && { n = in.read(buf, off, buf.length - off); n > 0 })
+        off += n
+      new String(buf, 0, off, StandardCharsets.UTF_8)
+    } finally in.close()
     // srsName spellings: urn:ogc:def:crs:EPSG::32628, EPSG:32628, and the
     // OGC URL form .../def/crs/EPSG/0/32628
     "EPSG(?:::?|/0/)(\\d+)".r.findFirstMatchIn(head).map(_.group(1).toInt) match {

@@ -203,7 +203,10 @@ object Similarity {
           .filter(j => distToCentroid(u, bC.value(j)) - bR.value(j) <= dk + 1e-9)
           .map(j => (j, id, v)).toSeq
         // optional pruning diagnostic: pass-2 list probes actually emitted
-        // (the spec pins this << n * (nlist - nprobe) on clustered data)
+        // (the spec pins this << n * (nlist - nprobe) on clustered data).
+        // Accumulators in transformations are at-least-once — task retries
+        // can only OVERCOUNT, so the spec's upper bound can false-alarm
+        // but never false-pass (and local-mode test runs don't retry)
         probeAcc.foreach(_.add(out.size.toLong))
         out
       }.toDF("list", "vec_id", "va").withColumn("na", norm(col("va")))

@@ -59,12 +59,11 @@ object CsvGeoJson {
       new String(buf, 0, off, java.nio.charset.StandardCharsets.ISO_8859_1)
     } finally in.close()
     val head =
-      if (path.contains(".zip!")) {
-        // container member (archive.zip!member.gml): sniff its head
-        val bytes = GmlText.loadBytes(path)
-        new String(bytes, 0, math.min(2000, bytes.length),
-          java.nio.charset.StandardCharsets.ISO_8859_1)
-      } else if (path.endsWith(".gz"))
+      if (path.contains(".zip!"))
+        // container member (archive.zip!member.gml): bounded head sniff —
+        // never inflates the whole member
+        readHead(GmlText.open(path))
+      else if (path.endsWith(".gz"))
         readHead(new java.util.zip.GZIPInputStream(
           java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))))
       else if (path.endsWith(".zip")) {

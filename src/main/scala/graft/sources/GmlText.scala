@@ -70,30 +70,40 @@ object GmlText {
     }
   }
 
-  def load(path: String): String = {
+  /** Decompressing stream over any supported container path — for callers
+    * that only need a bounded head (empty-layer sniff, srsName probe)
+    * without inflating a whole archive member. Closing the returned stream
+    * closes the underlying archive too. */
+  def open(path: String): java.io.InputStream = {
     val bang = path.indexOf(".zip!")
-    if (bang >= 0) {
-      val zipPath = path.substring(0, bang + 4)
-      val member = path.substring(bang + 5)
+    if (bang >= 0 || path.endsWith(".zip")) {
+      val zipPath = if (bang >= 0) path.substring(0, bang + 4) else path
       val zf = new java.util.zip.ZipFile(zipPath)
-      try {
-        val entry = zf.entries.asScala.find(_.getName.endsWith(member))
-          .getOrElse(throw new java.io.IOException(
-            s"There is no item named '$member' in the archive $zipPath"))
-        decode(readAll(zf.getInputStream(entry)))
-      } finally zf.close()
-    } else if (path.endsWith(".zip")) {
-      val zf = new java.util.zip.ZipFile(path)
-      try {
-        val entries = zf.entries.asScala.toSeq
-        val entry = entries.find(_.getName.endsWith(".gml"))
-          .getOrElse(entries.headOption.getOrElse(throw new java.io.IOException(
-            s"Empty archive $path")))
-        decode(readAll(zf.getInputStream(entry)))
-      } finally zf.close()
-    } else if (path.endsWith(".gz")) {
-      decode(readAll(new java.util.zip.GZIPInputStream(
-        Files.newInputStream(Paths.get(path)))))
-    } else decode(Files.readAllBytes(Paths.get(path)))
+      val entry =
+        if (bang >= 0) {
+          val member = path.substring(bang + 5)
+          zf.entries.asScala.find(_.getName.endsWith(member))
+            .getOrElse { zf.close(); throw new java.io.IOException(
+              s"There is no item named '$member' in the archive $zipPath") }
+        } else {
+          val entries = zf.entries.asScala.toSeq
+          entries.find(_.getName.endsWith(".gml"))
+            .orElse(entries.headOption)
+            .getOrElse { zf.close(); throw new java.io.IOException(
+              s"Empty archive $path") }
+        }
+      val in = zf.getInputStream(entry)
+      new java.io.FilterInputStream(in) {
+        override def close(): Unit = { super.close(); zf.close() }
+      }
+    } else if (path.endsWith(".gz"))
+      new java.util.zip.GZIPInputStream(Files.newInputStream(Paths.get(path)))
+    else Files.newInputStream(Paths.get(path))
+  }
+
+  def load(path: String): String = {
+    if (path.indexOf(".zip!") >= 0) decode(loadBytes(path))
+    else if (path.endsWith(".zip") || path.endsWith(".gz")) decode(readAll(open(path)))
+    else decode(Files.readAllBytes(Paths.get(path)))
   }
 }
