@@ -1085,6 +1085,30 @@ object Queries {
               FROM (SELECT id, min(m) AS comp FROM r GROUP BY id)
               WHERE id = comp ORDER BY doc_id""")),
 
+    // deterministic train/val corpus split: bucket = 48 bits of
+    // md5(doc_id) mod 100 — a pure function of the document id, so the
+    // split is STABLE across reruns, cluster sizes, and corpus appends
+    // (new docs never reshuffle old assignments). Scan-shaped with
+    // map-side partial aggregation; the md5-prefix arithmetic is
+    // bit-identical in both engines (48 bits fit signed ranges)
+    "q_split_assign" -> Q(
+      (s, d) => {
+        val bucket = TextFns.splitBucket(col("doc_id"))
+        t(s, d, "documents")
+          .select(col("lang"),
+            when(bucket < 90, "train").otherwise("val").as("split"),
+            TextFns.tokenCount(col("text")).as("n_tokens"))
+          .groupBy("split", "lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+          .orderBy("split", "lang")
+      },
+      Some("""SELECT
+                CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100 < 90
+                  THEN 'train' ELSE 'val' END AS split,
+                lang, count(*) AS n_docs,
+                sum(length(text) - length(replace(text, ' ', '')) + 1) AS total_tokens
+              FROM documents GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // the END-TO-END corpus cleaning pipeline, composed from the gated
     // primitives: length floor -> language id == 'en' -> duplicate-2-gram
     // repetition cap -> exact-Jaccard near-dup pairs -> one-survivor-per-

@@ -40,6 +40,16 @@ object TextFns {
       .cast("long")
   }
 
+  /** Deterministic split bucket in [0, 100): the top 48 bits of md5(id),
+    * mod 100. A pure function of the id — the train/val assignment of a
+    * document is stable across reruns, cluster sizes, and corpus appends
+    * (new documents never reshuffle old assignments), which is the property
+    * a training-data split needs at 100 TB. 12 hex chars = 48 bits, so the
+    * value fits a signed long in both Spark (conv→cast) and DuckDB
+    * ('0x'||prefix::BIGINT) with identical arithmetic. */
+  def splitBucket(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 12), 16, 10).cast("long") % 100
+
   /** Quality-score components (length / stopword ratios; reference-style
     * deterministic scoring). Returns struct columns for select(). */
   def charLen(text: Column): Column = length(text).cast("long")

@@ -440,6 +440,7 @@ class StreetNameSpec extends org.scalatest.funsuite.AnyFunSuite {
   * fuzzy match/dsmatch behaviors. */
 class HgwNamesGoldenSpec extends org.scalatest.funsuite.AnyFunSuite {
   import graft.text.TextFns._
+  lazy val spark = graft.TestSpark.spark
 
   test("reference golden: the full parse table") {
     val golden = Map(
@@ -472,5 +473,29 @@ class HgwNamesGoldenSpec extends org.scalatest.funsuite.AnyFunSuite {
     val ds2 = Seq((1, "Móstoles"), (2, "Las Rozas de Madrid"),
       (3, "Rivas-Vaciamadrid"), (4, "Madrid"))
     assert(dsMatch("MADRID", ds2, (t: (Int, String)) => t._2).map(_._1) === Some(4))
+  }
+
+  test("splitBucket: JVM-md5 parity, range, and ~90/10 balance") {
+    import spark.implicits._
+    val got = spark.range(0, 1000)
+      .select(col("id"), TextFns.splitBucket(col("id")).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for ((id, b) <- got) {
+      // independent computation: first 6 md5 bytes as unsigned 48-bit int
+      val h = md.digest(id.toString.getBytes("UTF-8"))
+      val expect = h.take(6).foldLeft(0L)((acc, x) => (acc << 8) | (x & 0xffL)) % 100
+      assert(b === expect, s"id=$id")
+      assert(b >= 0 && b < 100)
+    }
+    // uniform enough that a 90-threshold yields a ~90/10 split
+    val trainFrac = got.values.count(_ < 90).toDouble / got.size
+    assert(trainFrac > 0.85 && trainFrac < 0.95, s"trainFrac=$trainFrac")
+    // append-stability: assignment is a pure function of the id, so a doc's
+    // bucket on a 100-row prefix equals its bucket in the full 1000-row run
+    val prefix = spark.range(0, 100)
+      .select(col("id"), TextFns.splitBucket(col("id")).as("b"))
+      .as[(Long, Long)].collect()
+    for ((id, b) <- prefix) assert(got(id) === b)
   }
 }
