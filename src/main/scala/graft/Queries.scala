@@ -1109,6 +1109,68 @@ object Queries {
                 sum(length(text) - length(replace(text, ' ', '')) + 1) AS total_tokens
               FROM documents GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // benchmark decontamination (GPT-3 appendix C shape): docs with
+    // doc_id%97==0 stand in for the held-out eval set; a training doc is
+    // contaminated when it shares any distinct word 4-gram with it. The
+    // eval n-gram set is tiny -> broadcast; the corpus side is scan-shaped
+    // (shingle + explode + broadcast-hash join), so the plan survives
+    // 10^12 training docs with the eval side as the only driver data
+    "q_decontaminate" -> Q(
+      (s, d) => Dedup.decontaminate(
+          t(s, d, "documents"), "doc_id", "text",
+          col("doc_id") % 97 === 0, n = 4)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              x AS (SELECT doc_id, w, unnest(range(1, greatest(len(w)-2, 2))) AS i FROM t),
+              g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS sh FROM x),
+              e AS (SELECT DISTINCT sh FROM g WHERE doc_id % 97 = 0)
+              SELECT doc_id, count(*) AS n_hits
+              FROM g JOIN e USING (sh)
+              WHERE doc_id % 97 <> 0
+              GROUP BY doc_id ORDER BY doc_id""")),
+
+    // PII redaction before anything ships to training: plant deterministic
+    // email/phone strings on a doc_id residue, then count+scrub them in one
+    // codegen'd scan (regexp_extract_all + regexp_replace). Both regexes
+    // use only Java/RE2-identical syntax so the redacted text itself is
+    // hash-gated, not just the counts
+    "q_pii_scrub" -> Q(
+      (s, d) => {
+        val aug = t(s, d, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 5 === 0,
+              concat(lit(" contact user"), col("doc_id").cast("string"),
+                lit("@example.com"))).otherwise(lit("")),
+            when(col("doc_id") % 7 === 0,
+              concat(lit(" call 555-"),
+                lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+              .otherwise(lit(""))).as("text"))
+        aug.select(col("doc_id"),
+            TextFns.piiCount(col("text"), TextFns.EmailRe).as("n_emails"),
+            TextFns.piiCount(col("text"), TextFns.PhoneRe).as("n_phones"),
+            TextFns.piiScrub(col("text")).as("clean_text"))
+          .filter(col("n_emails") + col("n_phones") > 0)
+          .orderBy("doc_id")
+      },
+      Some("""WITH aug AS (SELECT doc_id, text ||
+                CASE WHEN doc_id % 5 = 0
+                  THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                  ELSE '' END ||
+                CASE WHEN doc_id % 7 = 0
+                  THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE '' END AS text
+              FROM documents)
+              SELECT doc_id,
+                len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9]+\.[a-z]+')) AS n_emails,
+                len(regexp_extract_all(text, '[0-9]{3}-[0-9]{4}')) AS n_phones,
+                regexp_replace(
+                  regexp_replace(text, '[a-z0-9._]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
+                  '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean_text
+              FROM aug
+              WHERE len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9]+\.[a-z]+'))
+                  + len(regexp_extract_all(text, '[0-9]{3}-[0-9]{4}')) > 0
+              ORDER BY doc_id""")),
+
     // the END-TO-END corpus cleaning pipeline, composed from the gated
     // primitives: length floor -> language id == 'en' -> duplicate-2-gram
     // repetition cap -> exact-Jaccard near-dup pairs -> one-survivor-per-

@@ -44,6 +44,28 @@ object Dedup {
     comps.filter(col("bid") === col("comp")).select(col("bid").as(idCol))
   }
 
+  /** Benchmark decontamination — the training-hygiene gate every corpus
+    * runs before a split ships: a training document is CONTAMINATED when it
+    * shares any word n-gram with the held-out evaluation set (the overlap
+    * rule of GPT-3 appendix C / the Pile). The eval side is tiny by
+    * construction (benchmarks are thousands of docs; the corpus is 10^12),
+    * so its distinct n-gram set is broadcast and the corpus side stays
+    * scan-shaped: shingle, explode distinct grams, broadcast-hash join —
+    * the big side never shuffles, and the one exchange left is the
+    * per-doc hit-count aggregation (map-side partial). Returns
+    * (idCol, n_hits) for each contaminated NON-eval document, where
+    * n_hits = number of distinct shared n-grams. */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    isEval: Column, n: Int): DataFrame = {
+    val grams = docs.select(col(idCol), isEval.as("is_eval"),
+      explode(array_distinct(shingles(split(col(textCol), " "), n))).as("sh"))
+    val evalGrams = grams.filter(col("is_eval")).select("sh").distinct()
+    grams.filter(!col("is_eval"))
+      .join(broadcast(evalGrams), "sh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Word shingles (n-grams) as an array column, from a token array. */
   def shingles(toks: Column, n: Int): Column =
     transform(

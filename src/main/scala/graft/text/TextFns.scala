@@ -50,6 +50,22 @@ object TextFns {
   def splitBucket(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 12), 16, 10).cast("long") % 100
 
+  /** PII redaction patterns. Both regexes restrict themselves to syntax
+    * with identical semantics in Java (Spark) and RE2 (DuckDB): character
+    * classes, bounded repeats, literals — no backrefs, no lookaround — so
+    * the scrub is oracle-replayable bit-for-bit. */
+  val EmailRe = "[a-z0-9._]+@[a-z0-9]+\\.[a-z]+"
+  val PhoneRe = "[0-9]{3}-[0-9]{4}"
+
+  /** Count of matches of a redaction pattern — one codegen'd scan pass. */
+  def piiCount(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
+
+  /** Redact emails then phone-shaped numbers. Spark's regexp_replace is
+    * global by default (DuckDB needs the 'g' flag — the oracle carries it). */
+  def piiScrub(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+
   /** Quality-score components (length / stopword ratios; reference-style
     * deterministic scoring). Returns struct columns for select(). */
   def charLen(text: Column): Column = length(text).cast("long")

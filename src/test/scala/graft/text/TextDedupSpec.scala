@@ -37,6 +37,34 @@ class TextFnsSpec extends AnyFunSuite {
     assert(TextFns.tokenSortRatio("abc", "xyz") < 40)
   }
 
+  test("piiScrub/piiCount: java.util.regex parity on planted and edge inputs") {
+    import spark.implicits._
+    val rows = Seq(
+      "plain words only",
+      "reach me at user12@example.com thanks",
+      "call 555-0142 or 042-9999 now",
+      "two mails a@b.com and c.d_e@f0.org plus 123-4567",
+      "dotted tail user@example.co stays partial@x.y",
+      "")
+    val got = rows.toDF("text").select(
+        TextFns.piiCount(col("text"), TextFns.EmailRe).as("ne"),
+        TextFns.piiCount(col("text"), TextFns.PhoneRe).as("np"),
+        TextFns.piiScrub(col("text")).as("clean"))
+      .as[(Long, Long, String)].collect()
+    for ((t, (ne, np, clean)) <- rows.zip(got)) {
+      // independent JVM computation with the same pattern strings
+      val em = TextFns.EmailRe.r.findAllIn(t).size.toLong
+      val ph = TextFns.PhoneRe.r.findAllIn(t).size.toLong
+      val exp = t.replaceAll(TextFns.EmailRe, "<EMAIL>")
+        .replaceAll(TextFns.PhoneRe, "<PHONE>")
+      assert((ne, np, clean) === ((em, ph, exp)), s"input=$t")
+    }
+    // the planted fixture shapes actually redact
+    assert(got(1)._3 === "reach me at <EMAIL> thanks")
+    assert(got(2)._3 === "call <PHONE> or <PHONE> now")
+    assert(got(3)._1 === 2 && got(3)._2 === 1)
+  }
+
   test("fingerprint64 deterministic and spreads") {
     assert(TextFns.fingerprint64("hello") === TextFns.fingerprint64("hello"))
     assert(TextFns.fingerprint64("hello") !== TextFns.fingerprint64("hellp"))
@@ -252,6 +280,40 @@ class DedupSpec extends AnyFunSuite {
     } yield (a, b)).toSet
     assert(fast === brute)
     assert(brute.contains((11L, 12L)))
+  }
+
+  test("decontaminate: shared-4-gram hits vs a scala brute force, eval excluded") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon"),          // eval (id%97==0)
+      (1L, "x alpha beta gamma delta y"),              // shares 1 distinct 4-gram
+      (2L, "alpha beta gamma delta epsilon zeta"),     // shares 2
+      (3L, "nothing in common with the benchmark"),    // clean
+      (4L, "beta gamma delta"),                        // short doc, truncated gram
+      (97L, "unrelated eval document text here")       // second eval doc
+    ).toDF("doc_id", "text")
+    val got = Dedup.decontaminate(docs, "doc_id", "text",
+        col("doc_id") % 97 === 0, n = 4)
+      .as[(Long, Long)].collect().toMap
+    def grams(t: String) = {
+      val w = t.split(" ")
+      (0 to math.max(w.length - 4, 0)).map(i => w.slice(i, i + 4).mkString(" ")).toSet
+    }
+    val evalSet = grams("alpha beta gamma delta epsilon") ++
+      grams("unrelated eval document text here")
+    val expect = Seq(1L, 2L, 3L, 4L).flatMap { id =>
+      val hits = grams(Seq("x alpha beta gamma delta y",
+        "alpha beta gamma delta epsilon zeta",
+        "nothing in common with the benchmark",
+        "beta gamma delta")(id.toInt - 1)).count(evalSet)
+      if (hits > 0) Some(id -> hits.toLong) else None
+    }.toMap
+    assert(got === expect)
+    assert(!got.contains(0L) && !got.contains(97L)) // eval docs never reported
+    // scale shape: the eval n-gram set is the broadcast side
+    val plan = Dedup.decontaminate(docs, "doc_id", "text",
+      col("doc_id") % 97 === 0, n = 4).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 }
 
