@@ -1109,6 +1109,31 @@ object Queries {
                 sum(length(text) - length(replace(text, ' ', '')) + 1) AS total_tokens
               FROM documents GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // token-budget sampling: keep docs in deterministic (md5-bucket, id)
+    // order until 1/3 of the corpus tokens are taken. Two-phase: bounded
+    // 100-row bucket totals pick the full buckets with ZERO sorting; only
+    // the one boundary bucket (~1% of the corpus) runs the cumulative-sum
+    // window. The oracle replays the equivalent single global window
+    "q_token_budget" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val toks = graft.text.TextFns.tokenCount(col("text"))
+        val budget = docs.select(sum(toks)).collect()(0).getLong(0) / 3
+        graft.text.Sampling.tokenBudgetSample(docs, "doc_id", toks, budget)
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100 AS bucket,
+                length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+              FROM documents),
+              b AS (SELECT sum(n_tokens)//3 AS budget FROM t),
+              o AS (SELECT doc_id, n_tokens,
+                      coalesce(sum(n_tokens) OVER (ORDER BY bucket, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+                    FROM t)
+              SELECT doc_id, n_tokens FROM o, b WHERE prior < budget
+              ORDER BY doc_id""")),
+
     // benchmark decontamination (GPT-3 appendix C shape): docs with
     // doc_id%97==0 stand in for the held-out eval set; a training doc is
     // contaminated when it shares any distinct word 4-gram with it. The

@@ -1,0 +1,72 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // independent JVM bucket computation (same as the splitBucket parity test)
+  private def bucketOf(id: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(id.toString.getBytes("UTF-8"))
+    h.take(6).foldLeft(0L)((acc, x) => (acc << 8) | (x & 0xffL)) % 100
+  }
+
+  private def corpus(n: Int) = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, 5L + i % 13)).toDF("doc_id", "n_tokens")
+  }
+
+  private def bruteKeep(n: Int, budget: Long): Set[Long] = {
+    val ordered = (0 until n).map(i => (i.toLong, 5L + i % 13))
+      .sortBy { case (id, _) => (bucketOf(id), id) }
+    var cum = 0L
+    ordered.flatMap { case (id, t) =>
+      val keep = cum < budget; cum += t; if (keep) Some(id) else None
+    }.toSet
+  }
+
+  test("tokenBudgetSample equals the global-window brute force") {
+    import spark.implicits._
+    val n = 500
+    val total = (0 until n).map(i => 5L + i % 13).sum
+    for (budget <- Seq(0L, 1L, total / 3, total / 2, total - 1, total, total + 100)) {
+      val got = Sampling.tokenBudgetSample(corpus(n), "doc_id", col("n_tokens"), budget)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got === bruteKeep(n, budget), s"budget=$budget")
+    }
+  }
+
+  test("kept set is a prefix of the (bucket, id) order and respects the budget") {
+    import spark.implicits._
+    val n = 500
+    val total = (0 until n).map(i => 5L + i % 13).sum
+    val budget = total / 3
+    val kept = Sampling.tokenBudgetSample(corpus(n), "doc_id", col("n_tokens"), budget)
+      .as[(Long, Long)].collect().toMap
+    val ordered = (0 until n).map(_.toLong).sortBy(id => (bucketOf(id), id))
+    // contiguity: once a doc is dropped, everything after it is dropped
+    val flags = ordered.map(kept.contains)
+    assert(flags.indexOf(false) === flags.lastIndexOf(true) + 1)
+    // budget law: total kept < budget + max doc size; prior of last kept < budget
+    val keptTokens = kept.values.sum
+    assert(keptTokens - kept(ordered(flags.lastIndexOf(true))) < budget)
+    assert(keptTokens >= budget || kept.size === n)
+  }
+
+  test("a bucket-aligned budget skips the window phase entirely") {
+    import spark.implicits._
+    val n = 500
+    // cumulative totals in bucket order; pick the boundary after ~1/3
+    val byBucket = (0 until n).map(i => (bucketOf(i.toLong), 5L + i % 13))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    val total = byBucket.map(_._2).sum
+    val budget = byBucket.scanLeft(0L)(_ + _._2).drop(1).find(_ >= total / 3).get
+    val df = Sampling.tokenBudgetSample(corpus(n), "doc_id", col("n_tokens"), budget)
+    // phase structure: no boundary bucket -> the plan contains NO window sort
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"))
+    assert(df.select("doc_id").as[Long].collect().toSet === bruteKeep(n, budget))
+  }
+}
