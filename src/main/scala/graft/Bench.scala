@@ -16,7 +16,8 @@ object Bench {
     "q_ann_topk", "q_word_freq", "q_event_windows", "q_clean_polygons",
     "q_adjacency_components", "q_union_geoms", "q_tile_pack",
     "q_move_address", "q_fuzzy_match", "q_extract_text", "q_media_meta",
-    "q_osm_ids", "q_url_latest", "q_dedup_keep", "q_corpus_clean")
+    "q_osm_ids", "q_url_latest", "q_dedup_keep", "q_corpus_clean",
+    "q_decontaminate", "q_token_budget")
 
   def makeSession(cpus: String): SparkSession = SparkSession.builder()
     .master(s"local[$cpus]")
