@@ -1106,7 +1106,7 @@ object Queries {
                 CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100 < 90
                   THEN 'train' ELSE 'val' END AS split,
                 lang, count(*) AS n_docs,
-                sum(length(text) - length(replace(text, ' ', '')) + 1) AS total_tokens
+                CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS total_tokens
               FROM documents GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // token-budget sampling: keep docs in deterministic (md5-bucket, id)
@@ -1118,8 +1118,9 @@ object Queries {
       (s, d) => {
         val docs = t(s, d, "documents")
         val toks = graft.text.TextFns.tokenCount(col("text"))
-        val budget = docs.select(sum(toks)).collect()(0).getLong(0) / 3
-        graft.text.Sampling.tokenBudgetSample(docs, "doc_id", toks, budget)
+        // budget = 1/3 of total tokens, derived from the phase-1 bucket
+        // totals themselves — no separate full-corpus sum scan
+        graft.text.Sampling.tokenBudgetFraction(docs, "doc_id", toks, 1, 3)
           .orderBy("doc_id")
       },
       Some("""WITH t AS (SELECT doc_id,
@@ -1134,24 +1135,26 @@ object Queries {
               SELECT doc_id, n_tokens FROM o, b WHERE prior < budget
               ORDER BY doc_id""")),
 
-    // benchmark decontamination (GPT-3 appendix C shape): docs with
-    // doc_id%97==0 stand in for the held-out eval set; a training doc is
-    // contaminated when it shares any distinct word 4-gram with it. The
-    // eval n-gram set is tiny -> broadcast; the corpus side is scan-shaped
-    // (shingle + explode + broadcast-hash join), so the plan survives
-    // 10^12 training docs with the eval side as the only driver data
+    // benchmark decontamination (GPT-3 appendix C shape): the first 32
+    // docs stand in for the held-out eval set — an ABSOLUTE size, the way
+    // real benchmark suites are fixed-size no matter how large the
+    // training corpus grows, which is what licenses the broadcast. A
+    // training doc is contaminated when it shares any distinct word
+    // 4-gram with the eval set; the corpus side is scan-shaped (shingle +
+    // explode + broadcast-hash join), so the plan survives 10^12 training
+    // docs with the eval side as the only driver-adjacent data
     "q_decontaminate" -> Q(
       (s, d) => Dedup.decontaminate(
           t(s, d, "documents"), "doc_id", "text",
-          col("doc_id") % 97 === 0, n = 4)
+          col("doc_id") < 32, n = 4)
         .orderBy("doc_id"),
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
               x AS (SELECT doc_id, w, unnest(range(1, greatest(len(w)-2, 2))) AS i FROM t),
               g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS sh FROM x),
-              e AS (SELECT DISTINCT sh FROM g WHERE doc_id % 97 = 0)
+              e AS (SELECT DISTINCT sh FROM g WHERE doc_id < 32)
               SELECT doc_id, count(*) AS n_hits
               FROM g JOIN e USING (sh)
-              WHERE doc_id % 97 <> 0
+              WHERE doc_id >= 32
               GROUP BY doc_id ORDER BY doc_id""")),
 
     // PII redaction before anything ships to training: plant deterministic

@@ -54,7 +54,12 @@ object Dedup {
     * the big side never shuffles, and the one exchange left is the
     * per-doc hit-count aggregation (map-side partial). Returns
     * (idCol, n_hits) for each contaminated NON-eval document, where
-    * n_hits = number of distinct shared n-grams. */
+    * n_hits = number of distinct shared n-grams.
+    *
+    * CONTRACT: `isEval` must select a FIXED-SIZE set (a benchmark suite),
+    * not a corpus fraction — the broadcast is forced on that premise. To
+    * screen against an unbounded set, use jaccardPairsExact or the LSH
+    * generators instead (bucketed joins, no broadcast). */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
                     isEval: Column, n: Int): DataFrame = {
     val grams = docs.select(col(idCol), isEval.as("is_eval"),

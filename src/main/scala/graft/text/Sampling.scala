@@ -23,43 +23,63 @@ import org.apache.spark.sql.functions._
   *      sorting; only the single boundary bucket — ~1% of the corpus —
   *      runs the in-bucket cumulative-sum window to find the exact cut.
   *
-  * The kept set is identical to the global-window formulation (the oracle
-  * replays exactly that), but the sort touches 1/nBuckets of the data at
-  * any corpus size.
+  * The kept set is identical to the global-window formulation at every
+  * input (including zero-token documents: a bucket ending exactly on the
+  * budget is only kept whole when its min token count proves no trailing
+  * doc can sit AT the budget; otherwise it takes the window path), but the
+  * sort touches 1/nBuckets of the data at any corpus size.
   */
 object Sampling {
 
   /** Keep documents in (bucket, id) order while the running token total
-    * stays under `budget`. Returns (idCol, n_tokens) for kept docs.
-    *
-    * `docs` must expose `idCol`; `tokCol` is evaluated against it. */
+    * stays under `budget` (a doc is kept iff the total BEFORE it is
+    * < budget). Returns (idCol, n_tokens) for kept docs. */
   def tokenBudgetSample(docs: DataFrame, idCol: String, tokCol: Column,
-                        budget: Long): DataFrame = {
+                        budget: Long): DataFrame =
+    sample(docs, idCol, tokCol, _ => budget)
+
+  /** Same, with the budget given as a fraction num/den of the corpus total
+    * token count — derived from the phase-1 bucket totals themselves, so
+    * no extra full-corpus scan is spent computing it. */
+  def tokenBudgetFraction(docs: DataFrame, idCol: String, tokCol: Column,
+                          num: Long, den: Long): DataFrame =
+    sample(docs, idCol, tokCol, total => total * num / den)
+
+  private def sample(docs: DataFrame, idCol: String, tokCol: Column,
+                     budgetOf: Long => Long): DataFrame = {
     val base = docs.select(col(idCol), TextFns.splitBucket(col(idCol)).as("bucket"),
       tokCol.as("n_tokens"))
 
     // Phase 1: bounded per-bucket totals (<=100 rows on the driver).
-    val totals = base.groupBy("bucket").agg(sum("n_tokens").as("tot"))
+    val totals = base.groupBy("bucket")
+      .agg(sum("n_tokens").as("tot"), min("n_tokens").as("mn"))
       .orderBy("bucket")
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val grandTotal = totals.iterator.map(_._2).sum
+    val budget = budgetOf(grandTotal)
+
     var cum = 0L
-    val cumBefore = totals.map { case (b, tot) =>
-      val before = cum; cum += tot; (b, before, tot)
+    val cumBefore = totals.map { case (b, tot, mn) =>
+      val before = cum; cum += tot; (b, before, tot, mn)
     }
-    // fully-kept buckets: even their LAST doc has prior < budget, which is
-    // guaranteed when before + tot <= budget (prior <= before + tot - 1).
+    // fully-kept buckets: every doc's prior must be < budget. prior peaks at
+    // before + tot - lastDocTokens, so before + tot <= budget suffices when
+    // token counts are positive; a zero-token doc could sit exactly AT the
+    // budget, so the == case is only sort-free when min tokens > 0.
     val fullBuckets = cumBefore.collect {
-      case (b, before, tot) if before + tot <= budget => b
+      case (b, before, tot, mn)
+        if before + tot < budget || (before + tot == budget && mn > 0) => b
     }
-    // the single boundary bucket, if the budget lands inside one
-    val boundary = cumBefore.find { case (_, before, tot) =>
-      before < budget && before + tot > budget
+    // the boundary bucket, if the budget lands inside one (or on its edge
+    // with zero-token docs in play — then the window decides exactly)
+    val boundary = cumBefore.find { case (b, before, tot, _) =>
+      before < budget && before + tot >= budget && !fullBuckets.contains(b)
     }
 
     val kept = base.filter(col("bucket").isin(fullBuckets: _*))
     val out = boundary match {
       case None => kept
-      case Some((b, before, _)) =>
+      case Some((b, before, _, _)) =>
         // Phase 2: cumulative sum inside the ONE boundary bucket only.
         val w = Window.partitionBy("bucket").orderBy(idCol)
           .rowsBetween(Window.unboundedPreceding, -1)

@@ -56,6 +56,43 @@ class SamplingSpec extends AnyFunSuite {
     assert(keptTokens >= budget || kept.size === n)
   }
 
+  test("tokenBudgetFraction(1,3) equals the fixed-budget form at total/3") {
+    import spark.implicits._
+    val n = 500
+    val total = (0 until n).map(i => 5L + i % 13).sum
+    val viaFraction = Sampling.tokenBudgetFraction(corpus(n), "doc_id",
+      col("n_tokens"), 1, 3).select("doc_id").as[Long].collect().toSet
+    assert(viaFraction === bruteKeep(n, total / 3))
+  }
+
+  test("zero-token docs at an exact bucket-edge budget match the global rule") {
+    import spark.implicits._
+    // doc tokens: 0 for even ids, 3 for odd — zero-token docs can land
+    // exactly AT the budget, where the <= full-bucket shortcut would
+    // wrongly keep them; the min-token guard must route that bucket
+    // through the window instead
+    val n = 200
+    val docs = (0 until n).map(i => (i.toLong, if (i % 2 == 0) 0L else 3L))
+      .toDF("doc_id", "n_tokens")
+    val ordered = (0 until n).map(i => (i.toLong, if (i % 2 == 0) 0L else 3L))
+      .sortBy { case (id, _) => (bucketOf(id), id) }
+    def brute(budget: Long): Set[Long] = {
+      var cum = 0L
+      ordered.flatMap { case (id, t) =>
+        val keep = cum < budget; cum += t; if (keep) Some(id) else None
+      }.toSet
+    }
+    // budgets landing exactly on each bucket's cumulative edge, plus odd cuts
+    val byBucket = ordered.groupBy { case (id, _) => bucketOf(id) }
+      .view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    val edges = byBucket.scanLeft(0L)(_ + _._2).drop(1)
+    for (budget <- edges.take(5) ++ Seq(1L, 4L, 7L)) {
+      val got = Sampling.tokenBudgetSample(docs, "doc_id", col("n_tokens"), budget)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got === brute(budget), s"budget=$budget")
+    }
+  }
+
   test("a bucket-aligned budget skips the window phase entirely") {
     import spark.implicits._
     val n = 500

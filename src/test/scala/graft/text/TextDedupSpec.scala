@@ -502,7 +502,6 @@ class StreetNameSpec extends org.scalatest.funsuite.AnyFunSuite {
   * fuzzy match/dsmatch behaviors. */
 class HgwNamesGoldenSpec extends org.scalatest.funsuite.AnyFunSuite {
   import graft.text.TextFns._
-  lazy val spark = graft.TestSpark.spark
 
   test("reference golden: the full parse table") {
     val golden = Map(
@@ -536,6 +535,10 @@ class HgwNamesGoldenSpec extends org.scalatest.funsuite.AnyFunSuite {
       (3, "Rivas-Vaciamadrid"), (4, "Madrid"))
     assert(dsMatch("MADRID", ds2, (t: (Int, String)) => t._2).map(_._1) === Some(4))
   }
+}
+
+class SplitBucketSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
 
   test("splitBucket: JVM-md5 parity, range, and ~90/10 balance") {
     import spark.implicits._
