@@ -1199,6 +1199,80 @@ object Queries {
                   + len(regexp_extract_all(text, '[0-9]{3}-[0-9]{4}')) > 0
               ORDER BY doc_id""")),
 
+    // sequence packing (concat-and-chunk): chunk the deterministic
+    // (md5-bucket, id)-ordered token stream into 128-token training
+    // sequences; per doc, the first sequence it lands in and how many it
+    // spans. Two-phase prefix sum — bounded bucket totals then 100
+    // independent in-bucket windows — so no task ever owns a global order;
+    // the oracle replays the equivalent single global window
+    "q_seq_pack" -> Q(
+      (s, d) => graft.text.Packing.seqPack(
+          t(s, d, "documents"), "doc_id",
+          graft.text.TextFns.tokenCount(col("text")), seqLen = 128)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+                ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100 AS bucket,
+                length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+              FROM documents),
+              o AS (SELECT doc_id, n_tokens,
+                      coalesce(sum(n_tokens) OVER (ORDER BY bucket, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+                    FROM t)
+              SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                CAST(prior // 128 AS BIGINT) AS first_seq,
+                CAST(CASE WHEN n_tokens > 0
+                  THEN (prior + n_tokens - 1) // 128 - prior // 128 + 1
+                  ELSE 0 END AS BIGINT) AS n_seqs
+              FROM o ORDER BY doc_id""")),
+
+    // domain-mixture reweighting (DoReMi shape): downsample each language
+    // toward a 40/15/15/15/15 token mixture; the binding domain (the one
+    // shortest of its target) is kept whole and pins the output size. All
+    // arithmetic is integer basis points, acceptance is a salted-hash
+    // coordinate — per-domain totals are a bounded aggregate, thresholds
+    // broadcast back, the corpus side stays scan-shaped
+    "q_domain_mix" -> Q(
+      (s, d) => graft.text.Sampling.domainMix(
+          t(s, d, "documents"), "doc_id", "lang",
+          graft.text.TextFns.tokenCount(col("text")),
+          Map("en" -> 4000L, "de" -> 1500L, "es" -> 1500L,
+              "fr" -> 1500L, "zh" -> 1500L))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, lang,
+                length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+                ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 12))::BIGINT % 10000 AS bp
+              FROM documents),
+              d AS (SELECT lang, sum(n_tokens) AS dt,
+                      CASE lang WHEN 'en' THEN 4000 ELSE 1500 END AS tgt
+                    FROM t GROUP BY lang),
+              s AS (SELECT min(dt * 10000 // tgt) AS stot FROM d),
+              r AS (SELECT lang, ((tgt * stot // 10000) * 10000) // dt AS thr FROM d, s)
+              SELECT doc_id, t.lang AS domain, CAST(n_tokens AS BIGINT) AS n_tokens
+              FROM t JOIN r ON t.lang = r.lang
+              WHERE bp < thr ORDER BY doc_id""")),
+
+    // span-level duplicate coverage (Lee et al. substring-dedup shape):
+    // per doc, how many token positions sit under a full-width 5-gram that
+    // occurs more than once ANYWHERE in the corpus (within-doc repeats
+    // count). Positional window hashes from one codegen'd scan, count>1
+    // aggregate on the 8-byte hash, hit join on that constant-width key,
+    // per-doc interval union — the oracle replays it on the gram strings
+    "q_dup_spans" -> Q(
+      (s, d) => Dedup.dupSpans(t(s, d, "documents"), "doc_id", "text", n = 5)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              x AS (SELECT doc_id, unnest(range(1, len(w) - 3)) AS i, w
+                    FROM t WHERE len(w) >= 5),
+              g AS (SELECT doc_id, i, array_to_string(w[i:i+4], ' ') AS sh FROM x),
+              d AS (SELECT sh FROM g GROUP BY sh HAVING count(*) > 1),
+              h AS (SELECT doc_id, i FROM g JOIN d USING (sh)),
+              o AS (SELECT doc_id, i,
+                      lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS p FROM h)
+              SELECT doc_id,
+                CAST(sum(CASE WHEN p IS NULL THEN 5 ELSE least(5, i - p) END) AS BIGINT)
+                  AS n_dup_tokens
+              FROM o GROUP BY doc_id ORDER BY doc_id""")),
+
     // the END-TO-END corpus cleaning pipeline, composed from the gated
     // primitives: length floor -> language id == 'en' -> duplicate-2-gram
     // repetition cap -> exact-Jaccard near-dup pairs -> one-survivor-per-

@@ -45,6 +45,47 @@ object Sampling {
                           num: Long, den: Long): DataFrame =
     sample(docs, idCol, tokCol, total => total * num / den)
 
+  /** Domain-mixture reweighting (the DoReMi/data-mixing shape): downsample
+    * each domain so the kept corpus approaches a TARGET token mixture,
+    * given as basis points per domain (Σ targets = 10000). The achievable
+    * output size is pinned by the binding domain — the one whose natural
+    * share falls shortest of its target:
+    *
+    *   S       = min_d floor(tokens_d * 10000 / target_d)   (output size)
+    *   keep_d  = floor(target_d * S / 10000)                (tokens wanted)
+    *   thr_d   = floor(keep_d * 10000 / tokens_d)           (acceptance bp)
+    *
+    * and a document survives iff its salted hash bp < thr_d. Acceptance is
+    * a pure function of (id, domain totals): stable across reruns and
+    * cluster sizes, and document-level, so kept token counts track the
+    * target to within one document's tokens per domain. All arithmetic is
+    * integer (floor division) so an oracle replays it bit-for-bit; 64-bit
+    * headroom holds through corpus totals of ~10^14 tokens (the ×10⁴
+    * basis-point scaling) — beyond that, lift the totals to DECIMAL.
+    *
+    * Everything is one declarative plan: the per-domain totals are a
+    * bounded aggregate (#domains rows), thresholds broadcast back, and the
+    * corpus side stays scan-shaped — no global sort, no driver collect.
+    * Returns the kept documents as (idCol, domain, n_tokens). */
+  def domainMix(docs: DataFrame, idCol: String, domainCol: String,
+                tokCol: Column, targetsBp: Map[String, Long]): DataFrame = {
+    require(targetsBp.values.sum == 10000L,
+      s"targets must sum to 10000 bp, got ${targetsBp.values.sum}")
+    val tgt = targetsBp.foldLeft(lit(null).cast("long")) {
+      case (acc, (k, v)) => when(col("domain") === lit(k), lit(v)).otherwise(acc)
+    }
+    val base = docs.select(col(idCol), col(domainCol).as("domain"),
+      tokCol.as("n_tokens"), TextFns.sampleBp(col(idCol), "mix").as("bp"))
+    val dom = base.groupBy("domain").agg(sum("n_tokens").as("dt"))
+      .withColumn("tgt", tgt)
+    val sTot = dom.select(min(expr("dt * 10000 div tgt")).as("stot"))
+    val thr = dom.crossJoin(sTot)
+      .select(col("domain"), expr("((tgt * stot div 10000) * 10000) div dt").as("thr"))
+    base.join(broadcast(thr), "domain")
+      .filter(col("bp") < col("thr"))
+      .select(col(idCol), col("domain"), col("n_tokens"))
+  }
+
   private def sample(docs: DataFrame, idCol: String, tokCol: Column,
                      budgetOf: Long => Long): DataFrame = {
     val base = docs.select(col(idCol), TextFns.splitBucket(col(idCol)).as("bucket"),

@@ -50,6 +50,16 @@ object TextFns {
   def splitBucket(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 12), 16, 10).cast("long") % 100
 
+  /** Deterministic sampling coordinate in [0, 10000) basis points, salted
+    * so distinct pipeline stages (split vs mixing vs subsampling) draw
+    * INDEPENDENT hash coordinates from the same id — without a salt every
+    * stage would reuse the same md5 value and couple its decisions to the
+    * train/val split. Same 48-bit-prefix arithmetic as [[splitBucket]],
+    * bit-identical in Spark and DuckDB. */
+  def sampleBp(id: Column, salt: String): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 12), 16, 10)
+      .cast("long") % 10000
+
   /** PII redaction patterns. Both regexes restrict themselves to syntax
     * with identical semantics in Java (Spark) and RE2 (DuckDB): character
     * classes, bounded repeats, literals — no backrefs, no lookaround — so

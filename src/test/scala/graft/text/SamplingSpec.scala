@@ -93,6 +93,46 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("domainMix equals the integer-arithmetic brute force, binding domain kept whole") {
+    import spark.implicits._
+    def bpOf(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest((id.toString + "mix").getBytes("UTF-8"))
+      h.take(6).foldLeft(0L)((acc, x) => (acc << 8) | (x & 0xffL)) % 10000
+    }
+    val domains = Seq("en", "de", "zh")
+    val rows = (0 until 300).map(i => (i.toLong, domains(i % 3), 5L + i % 13))
+    val docs = rows.toDF("doc_id", "lang", "n_tokens")
+    val targets = Map("en" -> 6000L, "de" -> 3000L, "zh" -> 1000L)
+
+    val dt = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val stot = domains.map(d => dt(d) * 10000L / targets(d)).min
+    val thr = domains.map(d =>
+      d -> (targets(d) * stot / 10000L) * 10000L / dt(d)).toMap
+    val expect = rows.filter { case (id, d, _) => bpOf(id) < thr(d) }
+      .map { case (id, d, t) => (id, d, t) }.toSet
+
+    val got = Sampling.domainMix(docs, "doc_id", "lang", col("n_tokens"), targets)
+      .as[(Long, String, Long)].collect().toSet
+    assert(got === expect)
+    // natural shares are ~equal, so the domain scarcest RELATIVE to its
+    // target is en (60% target vs ~33% natural) -> binding: kept ~whole
+    // (threshold within floor-rounding of 10000)
+    val binding = domains.minBy(d => dt(d) * 10000L / targets(d))
+    assert(binding === "en" && thr(binding) >= 9900)
+    val keptTok = got.toSeq.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(keptTok(binding) >= dt(binding) * 99 / 100)
+    // non-binding domains are genuinely downsampled
+    assert(domains.filterNot(_ == binding)
+      .forall(d => keptTok.getOrElse(d, 0L) < dt(d)))
+
+    val bad = intercept[IllegalArgumentException] {
+      Sampling.domainMix(docs, "doc_id", "lang", col("n_tokens"),
+        Map("en" -> 5000L, "de" -> 3000L))
+    }
+    assert(bad.getMessage.contains("10000"))
+  }
+
   test("a bucket-aligned budget skips the window phase entirely") {
     import spark.implicits._
     val n = 500
