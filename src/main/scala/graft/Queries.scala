@@ -1471,6 +1471,55 @@ object Queries {
               WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
               ORDER BY id_a, id_b""")),
 
+    // SemDeDup (cluster-then-compare semantic dedup): deterministic IVF
+    // clusters (iters=0 md5-sampled centroids, the q_ann_ivf replay),
+    // within-cluster cosine pairs, min-id survivor per component; output =
+    // the REMOVED docs with their cluster. Pair work is n²/nlist, the
+    // cluster join is an equi-join, components are pointer-jump rounds
+    "q_semdedup" -> Q(
+      (s, d) => Similarity.semDeDup(t(s, d, "embeddings"), "vec_id", "embedding",
+          threshold = 0.35, nlist = 16, iters = 0,
+          seedHash = Similarity.md5SeedHash)
+        .orderBy("vec_id"),
+      Some("""WITH RECURSIVE e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+              seeds AS (
+                SELECT id, ('0x' || substr(md5(id::VARCHAR), 1, 16))::UBIGINT AS h
+                FROM e
+              ), cent AS (
+                SELECT id AS cid, row_number() OVER (ORDER BY h) - 1 AS cidx
+                FROM seeds QUALIFY row_number() OVER (ORDER BY h) <= 16
+              ), ccomp AS (
+                SELECT c.cidx, generate_subscripts(e.v, 1) AS d,
+                       unnest(e.v)::DOUBLE AS cx
+                FROM cent c JOIN e ON e.id = c.cid
+              ), comp AS (
+                SELECT id, generate_subscripts(v, 1) AS d,
+                       unnest(v)::DOUBLE AS x FROM e
+              ), dist AS (
+                SELECT id, cidx, sum((x - cx) * (x - cx)) AS dd
+                FROM comp JOIN ccomp USING (d) GROUP BY id, cidx
+              ), assign AS (
+                SELECT id, cidx AS list FROM (
+                  SELECT id, cidx,
+                    row_number() OVER (PARTITION BY id ORDER BY dd, cidx) AS rn
+                  FROM dist) WHERE rn = 1
+              ), p AS (
+                SELECT a.id AS id_a, b.id AS id_b
+                FROM assign a JOIN assign b ON a.list = b.list AND a.id < b.id
+                JOIN embeddings ea ON ea.vec_id = a.id
+                JOIN embeddings eb ON eb.vec_id = b.id
+                WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= 0.35
+              ), ed AS (SELECT id_a AS s, id_b AS d FROM p
+                        UNION ALL SELECT id_b, id_a FROM p),
+              r(id, m) AS (
+                SELECT id, id FROM e
+                UNION
+                SELECT ed.s, r.m FROM ed JOIN r ON r.id = ed.d)
+              SELECT c.id AS vec_id, CAST(a.list AS INT) AS list
+              FROM (SELECT id, min(m) AS cm FROM r GROUP BY id) c
+              JOIN assign a USING (id)
+              WHERE c.id != c.cm ORDER BY vec_id""")),
+
     // exact brute-force nearest neighbors over embeddings (cosine)
     "q_nn_exact" -> Q(
       (s, d) => Similarity

@@ -387,6 +387,50 @@ object Similarity {
       .distinct()
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by cluster-then-compare — embeddings partition into
+    * `nlist` clusters (the SAME deterministic IVF centroids as
+    * [[ivfTopK]]), cosine is evaluated ONLY within a cluster, and one
+    * representative (min id) survives per near-dup component. Returns the
+    * REMOVED documents as (idCol, list).
+    *
+    * Scale shape: confining pairs to clusters cuts candidate work from n²
+    * to n²/nlist, and nlist grows with the corpus (the paper used ~110k
+    * clusters for LAION) so per-cluster width stays constant; the pair
+    * step is an equi-join on `list` (AQE skew-split absorbs dense
+    * clusters), verification is one pre-normed [[dot]] per pair — the
+    * identical kernel as [[embedNearDups]], so thresholds behave the
+    * same — and survivor selection is the pointer-jump component
+    * propagation. Driver state is the centroid matrix only. */
+  def semDeDup(emb: DataFrame, idCol: String, vecCol: String,
+               threshold: Double, nlist: Int = 16, iters: Int = 0,
+               seedHash: Long => Long = mixSeedHash): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centroids = kmeansCentroids(emb, idCol, vecCol, nlist, iters, seedHash)
+    val bC = spark.sparkContext.broadcast(centroids)
+    // read 3× (both pair sides + the component seed), so persist once
+    val assigned = graft.CacheBin.persist(
+      emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+        .as[(Long, Array[Float])]
+        .map { case (id, v) => (nearestCentroid(v, bC.value)._1, id, v) }
+        .toDF("list", "id", "v")
+        .withColumn("nv", norm(col("v"))))
+    val pairs = assigned
+      .select(col("list"), col("id").as("id_a"), col("v").as("va"), col("nv").as("na"))
+      .join(assigned.select(col("list"), col("id").as("id_b"),
+        col("v").as("vb"), col("nv").as("nb")), Seq("list"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .select("id_a", "id_b")
+    val comps = graft.ops.Adjacency.connectedComponents(
+      assigned.select(col("id").as("bid")),
+      pairs.select(col("id_a").as("a"), col("id_b").as("b")))
+    comps.filter(col("bid") =!= col("comp"))
+      .join(assigned.select(col("id").as("bid"), col("list")), "bid")
+      .select(col("bid").as(idCol), col("list"))
+  }
+
   /** IVF-style ANN: bucket by LSH signature, brute-force within bucket plus
     * neighbor buckets at Hamming distance 1 (probe lists). Returns candidate
     * top-k per vector; recall < 1 by construction (approximate path).

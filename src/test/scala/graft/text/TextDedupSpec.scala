@@ -509,6 +509,54 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.hyperplanes(4, 8).map(_.toSeq).toSeq ===
       Similarity.hyperplanes(4, 8).map(_.toSeq).toSeq)
   }
+
+  test("semDeDup equals a scala brute force: cluster, pair, min-id survivor") {
+    import spark.implicits._
+    val dim = 8
+    // 7 semantic families; within a family vectors are tiny perturbations
+    // (cos ~ 1), across families directions are effectively random
+    def vecOf(i: Int): Array[Float] = {
+      val base = i % 7
+      Array.tabulate(dim)(j =>
+        math.sin(base * 13 + j * 3 + 1).toFloat +
+          (if (j == i % dim) 1e-3f * (i / 7) else 0f))
+    }
+    val rows = (0 until 120).map(i => (i.toLong, vecOf(i)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = Similarity.semDeDup(emb, "vec_id", "embedding", threshold = 0.9,
+        nlist = 4, iters = 0, seedHash = Similarity.md5SeedHash)
+      .as[(Long, Int)].collect().toMap
+
+    // brute force with the exact engine kernels: left-to-right double dot
+    def dotD(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def cosD(a: Array[Float], b: Array[Float]): Double =
+      dotD(a, b) / (math.sqrt(dotD(a, a)) * math.sqrt(dotD(b, b)))
+    val cents = rows.map { case (id, _) => (Similarity.md5SeedHash(id), id) }
+      .sorted.take(4)
+      .map { case (_, id) => rows.find(_._1 == id).get._2.map(_.toDouble) }
+      .toArray
+    val asg = rows.map { case (id, v) =>
+      id -> Similarity.nearestCentroid(v, cents)._1 }.toMap
+    val parent = scala.collection.mutable.Map(rows.map(r => r._1 -> r._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for {
+      (ia, va) <- rows; (ib, vb) <- rows
+      if ia < ib && asg(ia) == asg(ib) && cosD(va, vb) >= 0.9
+    } { val (ra, rb) = (find(ia), find(ib))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val expect = rows.collect {
+      case (id, _) if find(id) != id => id -> asg(id) }.toMap
+    assert(got === expect)
+    // the families really produce removals, and every component keeps one
+    assert(expect.nonEmpty)
+    val survivors = rows.map(_._1).filterNot(expect.contains).toSet
+    assert(rows.map(r => find(r._1)).distinct.forall(survivors.contains))
+  }
 }
 
 class DotExprSpec extends org.scalatest.funsuite.AnyFunSuite {
