@@ -1230,7 +1230,9 @@ object Queries {
     // shortest of its target) is kept whole and pins the output size. All
     // arithmetic is integer basis points, acceptance is a salted-hash
     // coordinate — per-domain totals are a bounded aggregate, thresholds
-    // broadcast back, the corpus side stays scan-shaped
+    // broadcast back, the corpus side stays scan-shaped. A domain outside
+    // the target map is dropped on BOTH sides (the oracle CASE has no
+    // ELSE, matching domainMix's null-target fold)
     "q_domain_mix" -> Q(
       (s, d) => graft.text.Sampling.domainMix(
           t(s, d, "documents"), "doc_id", "lang",
@@ -1243,7 +1245,9 @@ object Queries {
                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 12))::BIGINT % 10000 AS bp
               FROM documents),
               d AS (SELECT lang, sum(n_tokens) AS dt,
-                      CASE lang WHEN 'en' THEN 4000 ELSE 1500 END AS tgt
+                      CASE lang WHEN 'en' THEN 4000 WHEN 'de' THEN 1500
+                        WHEN 'es' THEN 1500 WHEN 'fr' THEN 1500
+                        WHEN 'zh' THEN 1500 END AS tgt
                     FROM t GROUP BY lang),
               s AS (SELECT min(dt * 10000 // tgt) AS stot FROM d),
               r AS (SELECT lang, ((tgt * stot // 10000) * 10000) // dt AS thr FROM d, s)

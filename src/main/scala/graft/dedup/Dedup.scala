@@ -87,19 +87,21 @@ object Dedup {
     * partial), hits come back via a shuffle join on that constant-width
     * key (AQE skew-split absorbs boilerplate hot grams), and the interval
     * union is a per-document window — bounded by document length, never by
-    * corpus size. No global sort, no broadcast that grows with the corpus. */
-  def dupSpans(docs: DataFrame, idCol: String, textCol: String, n: Int,
-               storage: org.apache.spark.storage.StorageLevel =
-                 org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    * corpus size. No global sort, no broadcast that grows with the corpus.
+    *
+    * The positional-hash table is deliberately NOT persisted: it is
+    * ~24 bytes per corpus TOKEN (larger than the text itself), so
+    * materializing it for the two consumers would spill a corpus-sized
+    * table to executor disk at scale — re-running the codegen'd
+    * column-pruned scan for the aggregate and the hit join is cheaper. */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = split(col(textCol), " ")
-    // (id, pos, h): position is 1-based; persisted because both the
-    // duplicate aggregate and the hit join read it.
-    val g = graft.CacheBin.persist(
+    // (id, pos, h): position is 1-based.
+    val g =
       docs.select(col(idCol),
           posexplode(graft.functions.ShingleHash64Expr.posShingleHash64(toks, n)))
-        .select(col(idCol), (col("pos") + lit(1)).as("pos"), col("col").as("h")),
-      storage)
+        .select(col(idCol), (col("pos") + lit(1)).as("pos"), col("col").as("h"))
     val dup = g.groupBy("h").agg(count(lit(1)).as("c"))
       .filter(col("c") > 1).select("h")
     val hits = g.join(dup, "h").select(col(idCol), col("pos"))

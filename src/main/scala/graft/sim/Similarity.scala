@@ -416,15 +416,21 @@ object Similarity {
         .map { case (id, v) => (nearestCentroid(v, bC.value)._1, id, v) }
         .toDF("list", "id", "v")
         .withColumn("nv", norm(col("v"))))
-    val pairs = assigned
+    // pairs feed both the component vertex set and the edge set; persist so
+    // the n²/nlist cluster join runs once
+    val pairs = graft.CacheBin.persist(assigned
       .select(col("list"), col("id").as("id_a"), col("v").as("va"), col("nv").as("na"))
       .join(assigned.select(col("list"), col("id").as("id_b"),
         col("v").as("vb"), col("nv").as("nb")), Seq("list"))
       .filter(col("id_a") < col("id_b"))
       .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
-      .select("id_a", "id_b")
+      .select("id_a", "id_b"))
+    // vertices = pair endpoints only: docs outside any pair keep comp ==
+    // id and can never be removed, so propagating labels over the full
+    // corpus would make every pointer-jump round corpus-sized for an
+    // identical result — the component graph is the (tiny) near-dup graph
     val comps = graft.ops.Adjacency.connectedComponents(
-      assigned.select(col("id").as("bid")),
+      pairs.select(explode(array(col("id_a"), col("id_b"))).as("bid")).distinct(),
       pairs.select(col("id_a").as("a"), col("id_b").as("b")))
     comps.filter(col("bid") =!= col("comp"))
       .join(assigned.select(col("id").as("bid"), col("list")), "bid")

@@ -42,12 +42,9 @@ object Packing {
       TextFns.splitBucket(col(idCol)).as("bucket"), tokCol.as("n_tokens"))
 
     // Phase 1: bounded per-bucket totals -> exact bucket start offsets
-    // (<=100 rows; the same driver-data class as an IVF centroid matrix).
-    val totals = base.groupBy("bucket").agg(sum("n_tokens").as("tot"))
-      .orderBy("bucket")
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    var cum = 0L
-    val offsets = totals.map { case (b, tot) => val o = cum; cum += tot; (b, o) }
+    // (shared NULL-hardened helper; <=100 rows on the driver).
+    val offsets = Sampling.bucketOffsets(base)
+      .map { case (b, before, _, _) => (b, before) }
 
     // Phase 2: per-bucket exclusive prefix sum + the bucket's start offset.
     val offDf = offsets.toSeq.toDF("bucket", "bucket_off")

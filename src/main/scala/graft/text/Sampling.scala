@@ -38,12 +38,20 @@ object Sampling {
                         budget: Long): DataFrame =
     sample(docs, idCol, tokCol, _ => budget)
 
-  /** Same, with the budget given as a fraction num/den of the corpus total
-    * token count — derived from the phase-1 bucket totals themselves, so
-    * no extra full-corpus scan is spent computing it. */
+  /** Same, with the budget given as a fraction num/den <= 1 of the corpus
+    * total token count — derived from the phase-1 bucket totals themselves,
+    * so no extra full-corpus scan is spent computing it. The budget is
+    * exactly floor(total*num/den), computed as (total/den)*num +
+    * (total%den)*num/den so the intermediate product never overflows Long
+    * at any corpus size (the naive total*num wraps negative near 10^14
+    * tokens × 10^5 numerators and would silently keep nothing). */
   def tokenBudgetFraction(docs: DataFrame, idCol: String, tokCol: Column,
-                          num: Long, den: Long): DataFrame =
-    sample(docs, idCol, tokCol, total => total * num / den)
+                          num: Long, den: Long): DataFrame = {
+    require(den > 0 && num >= 0 && num <= den,
+      s"fraction must satisfy 0 <= num/den <= 1, got $num/$den")
+    sample(docs, idCol, tokCol,
+      total => total / den * num + total % den * num / den)
+  }
 
   /** Domain-mixture reweighting (the DoReMi/data-mixing shape): downsample
     * each domain so the kept corpus approaches a TARGET token mixture,
@@ -57,11 +65,15 @@ object Sampling {
     *
     * and a document survives iff its salted hash bp < thr_d. Acceptance is
     * a pure function of (id, domain totals): stable across reruns and
-    * cluster sizes, and document-level, so kept token counts track the
-    * target to within one document's tokens per domain. All arithmetic is
-    * integer (floor division) so an oracle replays it bit-for-bit; 64-bit
-    * headroom holds through corpus totals of ~10^14 tokens (the ×10⁴
-    * basis-point scaling) — beyond that, lift the totals to DECIMAL.
+    * cluster sizes. It is per-document Bernoulli(thr_d/10000), NOT an
+    * exact cut — kept token mass per domain concentrates on keep_d with
+    * O(sqrt(n_docs)) documents' worth of spread (the cumulative-cut ops
+    * like [[tokenBudgetSample]] are the exact-within-one-doc tools).
+    * Documents whose domain is absent from `targetsBp` are DROPPED
+    * (target 0). All arithmetic is integer (floor division) so an oracle
+    * replays it bit-for-bit; 64-bit headroom holds through corpus totals
+    * of ~10^14 tokens (the ×10⁴ basis-point scaling) — beyond that, lift
+    * the totals to DECIMAL.
     *
     * Everything is one declarative plan: the per-domain totals are a
     * bounded aggregate (#domains rows), thresholds broadcast back, and the
@@ -86,23 +98,38 @@ object Sampling {
       .select(col(idCol), col("domain"), col("n_tokens"))
   }
 
+  /** Phase 1 of the two-phase prefix-sum decomposition, shared with
+    * [[Packing.seqPack]]: per-bucket token totals collected as a bounded
+    * <=100-row driver table (the same driver-data class as an IVF centroid
+    * matrix), folded into (bucket, startOffset, total, minTokens) rows in
+    * bucket order. NULL-hardened: a NULL bucket means a NULL document id —
+    * a contract violation reported loudly instead of as a phase-1 NPE —
+    * and a bucket whose token counts are all NULL sums to 0. `base` must
+    * carry `bucket` and `n_tokens` columns. */
+  private[text] def bucketOffsets(base: DataFrame): Array[(Long, Long, Long, Long)] = {
+    val rows = base.groupBy("bucket")
+      .agg(coalesce(sum("n_tokens"), lit(0L)).as("tot"),
+        coalesce(min("n_tokens"), lit(0L)).as("mn"))
+      .orderBy("bucket")
+      .collect()
+    var cum = 0L
+    rows.map { r =>
+      require(!r.isNullAt(0),
+        "NULL document id (splitBucket is NULL); ids must be non-null")
+      val before = cum; cum += r.getLong(1)
+      (r.getLong(0), before, r.getLong(1), r.getLong(2))
+    }
+  }
+
   private def sample(docs: DataFrame, idCol: String, tokCol: Column,
                      budgetOf: Long => Long): DataFrame = {
     val base = docs.select(col(idCol), TextFns.splitBucket(col(idCol)).as("bucket"),
       tokCol.as("n_tokens"))
 
     // Phase 1: bounded per-bucket totals (<=100 rows on the driver).
-    val totals = base.groupBy("bucket")
-      .agg(sum("n_tokens").as("tot"), min("n_tokens").as("mn"))
-      .orderBy("bucket")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val grandTotal = totals.iterator.map(_._2).sum
+    val cumBefore = bucketOffsets(base)
+    val grandTotal = cumBefore.iterator.map(_._3).sum
     val budget = budgetOf(grandTotal)
-
-    var cum = 0L
-    val cumBefore = totals.map { case (b, tot, mn) =>
-      val before = cum; cum += tot; (b, before, tot, mn)
-    }
     // fully-kept buckets: every doc's prior must be < budget. prior peaks at
     // before + tot - lastDocTokens, so before + tot <= budget suffices when
     // token counts are positive; a zero-token doc could sit exactly AT the

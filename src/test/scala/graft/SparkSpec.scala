@@ -17,4 +17,13 @@ object TestSpark {
     s
   }
   val sf001 = "/root/testdata/sf0.001"
+
+  /** Independent JVM replica of TextFns.splitBucket (first 48 md5 bits of
+    * the decimal id, as unsigned, mod 100) — one shared copy so the
+    * parity/sampling/packing specs can't drift apart. */
+  def md5Bucket(id: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(id.toString.getBytes("UTF-8"))
+    h.take(6).foldLeft(0L)((acc, x) => (acc << 8) | (x & 0xffL)) % 100
+  }
 }

@@ -7,11 +7,7 @@ import graft.TestSpark
 class PackingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  private def bucketOf(id: Long): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val h = md.digest(id.toString.getBytes("UTF-8"))
-    h.take(6).foldLeft(0L)((acc, x) => (acc << 8) | (x & 0xffL)) % 100
-  }
+  private def bucketOf(id: Long): Long = TestSpark.md5Bucket(id)
 
   private def tokensOf(i: Long): Long = 5L + i % 13
 

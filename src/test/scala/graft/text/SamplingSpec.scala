@@ -8,11 +8,7 @@ class SamplingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
   // independent JVM bucket computation (same as the splitBucket parity test)
-  private def bucketOf(id: Long): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val h = md.digest(id.toString.getBytes("UTF-8"))
-    h.take(6).foldLeft(0L)((acc, x) => (acc << 8) | (x & 0xffL)) % 100
-  }
+  private def bucketOf(id: Long): Long = TestSpark.md5Bucket(id)
 
   private def corpus(n: Int) = {
     import spark.implicits._
@@ -63,6 +59,21 @@ class SamplingSpec extends AnyFunSuite {
     val viaFraction = Sampling.tokenBudgetFraction(corpus(n), "doc_id",
       col("n_tokens"), 1, 3).select("doc_id").as[Long].collect().toSet
     assert(viaFraction === bruteKeep(n, total / 3))
+    // guards: fractions above 1 and non-positive denominators are refused
+    for ((num, den) <- Seq((4L, 3L), (1L, 0L), (-1L, 3L)))
+      intercept[IllegalArgumentException] {
+        Sampling.tokenBudgetFraction(corpus(5), "doc_id", col("n_tokens"), num, den)
+      }
+  }
+
+  test("a NULL document id fails loudly in phase 1, not as an NPE") {
+    import spark.implicits._
+    val docs = Seq((Some(1L), 5L), (None, 7L), (Some(3L), 2L))
+      .toDF("doc_id", "n_tokens")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetSample(docs, "doc_id", col("n_tokens"), 10L)
+    }
+    assert(e.getMessage.contains("non-null"))
   }
 
   test("zero-token docs at an exact bucket-edge budget match the global rule") {

@@ -644,12 +644,8 @@ class SplitBucketSpec extends org.scalatest.funsuite.AnyFunSuite {
     val got = spark.range(0, 1000)
       .select(col("id"), TextFns.splitBucket(col("id")).as("b"))
       .as[(Long, Long)].collect().toMap
-    val md = java.security.MessageDigest.getInstance("MD5")
     for ((id, b) <- got) {
-      // independent computation: first 6 md5 bytes as unsigned 48-bit int
-      val h = md.digest(id.toString.getBytes("UTF-8"))
-      val expect = h.take(6).foldLeft(0L)((acc, x) => (acc << 8) | (x & 0xffL)) % 100
-      assert(b === expect, s"id=$id")
+      assert(b === graft.TestSpark.md5Bucket(id), s"id=$id")
       assert(b >= 0 && b < 100)
     }
     // uniform enough that a 90-threshold yields a ~90/10 split
