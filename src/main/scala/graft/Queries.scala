@@ -1001,6 +1001,36 @@ object Queries {
                 round(1.0 - count(DISTINCT sh)*1.0/count(*), 6) AS dup_ratio
               FROM g GROUP BY doc_id ORDER BY doc_id""")),
 
+    // corpus-trained bigram-LM cross-entropy scoring (the CCNet quality
+    // gate): train add-one-smoothed bigram counts on the lang='en' slice,
+    // score EVERY doc by total cost in integer micro-nats (order-
+    // independent BIGINT sums — see LangModel's determinism contract),
+    // bucket head/middle/tail at ~tercile thresholds. LM lookup is a
+    // shuffle equi-join on (w1,w2) — the LM table is never broadcast.
+    "q_lm_ppl" -> Q(
+      (s, d) => graft.text.LangModel.perplexityBuckets(
+          t(s, d, "documents"), "doc_id", "text", col("lang") === "en",
+          headMaxUnats = 3375000L, middleMaxUnats = 3425000L)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, lang, string_split(text,' ') AS w FROM documents),
+              x AS (SELECT doc_id, lang, w[i] AS w1, w[i+1] AS w2
+                    FROM (SELECT doc_id, lang, w, unnest(range(1, greatest(len(w),2))) AS i FROM t)),
+              c1 AS (SELECT w1, count(*) AS c1 FROM x WHERE lang='en' GROUP BY 1),
+              c2 AS (SELECT w1, w2, count(*) AS c2 FROM x WHERE lang='en' GROUP BY 1,2),
+              v AS (SELECT count(DISTINCT w1) AS v FROM x WHERE lang='en'),
+              s AS (SELECT m.doc_id, CAST(sum(m.m) AS BIGINT) AS n_bigrams,
+                      CAST(sum(m.m * CAST(round(-ln((coalesce(c2.c2,0)+1.0)/(coalesce(c1.c1,0)+v.v))*1e6) AS BIGINT)) AS BIGINT) AS cost_unats
+                    FROM (SELECT doc_id, w1, w2, count(*) AS m FROM x GROUP BY 1,2,3) m
+                    CROSS JOIN v
+                    LEFT JOIN c1 ON m.w1 = c1.w1
+                    LEFT JOIN c2 ON m.w1 = c2.w1 AND m.w2 = c2.w2
+                    GROUP BY m.doc_id)
+              SELECT doc_id, n_bigrams, cost_unats,
+                CASE WHEN cost_unats <= n_bigrams * 3375000 THEN 'head'
+                     WHEN cost_unats <= n_bigrams * 3425000 THEN 'middle'
+                     ELSE 'tail' END AS bucket
+              FROM s ORDER BY doc_id""")),
+
     "q_lang_profile" -> Q(
       (s, d) => t(s, d, "documents")
         .groupBy("lang")
@@ -1084,6 +1114,33 @@ object Queries {
               SELECT id AS doc_id
               FROM (SELECT id, min(m) AS comp FROM r GROUP BY id)
               WHERE id = comp ORDER BY doc_id""")),
+
+    // incremental ingestion dedup: sources src16-19 are the INCOMING crawl
+    // batch, everything else the already-ingested corpus whose canonical
+    // keys live in a BUCKETED+SORTED index table (shuffle paid once at
+    // index-write time). The batch anti-joins the index (index side:
+    // zero exchange, zero sort) and collapses in-batch dups to min-id —
+    // ONE exchange total for the whole ingest, regardless of corpus size
+    // (plan asserted in IncrementalDedupSpec). Canonical key here is the
+    // 12-char text prefix (same family as q_dedup_exact's key).
+    "q_dedup_incr" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val batch = Seq("src16", "src17", "src18", "src19")
+        val key = substring(col("text"), 1, 12)
+        Dedup.writeDedupIndex(
+          docs.filter(!col("source").isin(batch: _*)), key, "dedup_idx", 8)
+        Dedup.incrementalNew(
+          docs.filter(col("source").isin(batch: _*)), "doc_id", key, "dedup_idx")
+          .orderBy("k")
+      },
+      Some("""WITH inc AS (SELECT doc_id, substr(text, 1, 12) AS k FROM documents
+                           WHERE source IN ('src16','src17','src18','src19')),
+              idx AS (SELECT DISTINCT substr(text, 1, 12) AS k FROM documents
+                      WHERE source NOT IN ('src16','src17','src18','src19'))
+              SELECT k, min(doc_id) AS keep_id, count(*) AS n_in_batch
+              FROM inc WHERE NOT EXISTS (SELECT 1 FROM idx WHERE idx.k = inc.k)
+              GROUP BY k ORDER BY k""")),
 
     // deterministic train/val corpus split: bucket = 48 bits of
     // md5(doc_id) mod 100 — a pure function of the document id, so the

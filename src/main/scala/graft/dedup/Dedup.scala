@@ -44,6 +44,38 @@ object Dedup {
     comps.filter(col("bid") === col("comp")).select(col("bid").as(idCol))
   }
 
+  /** Write the corpus dedup INDEX: the distinct canonical keys of every
+    * document already ingested, stored BUCKETED AND SORTED by key. This is
+    * the incremental-ingestion primitive: the index's shuffle is paid once
+    * at write time, and every later batch dedup ([[incrementalNew]]) joins
+    * against it exchange-free on the index side — at 100 TB the index is
+    * corpus-sized, so never re-shuffling it per ingest is the whole game. */
+  def writeDedupIndex(corpus: DataFrame, key: Column, table: String,
+                      buckets: Int): Unit =
+    graft.sources.Bucketed.writeBucketed(
+      corpus.select(key.as("k")).distinct(), table, "k", buckets)
+
+  /** Incremental ingestion dedup: of an incoming batch, keep only the
+    * documents whose canonical key is NOT already in the corpus index
+    * (left_anti against the bucketed table), then collapse in-batch
+    * duplicates to one representative per key (min id, deterministic at
+    * any parallelism). Output: (k, keep_id, n_in_batch).
+    *
+    * Plan shape: the bucketed index side of the sort-merge anti join has
+    * ZERO exchange and ZERO sort (bucketBy+sortBy stored it join-ready);
+    * only the incoming batch — the small side, by ingest construction —
+    * shuffles, and the follow-up groupBy(k) reuses that same hash
+    * partitioning, so the whole query is ONE exchange regardless of
+    * corpus size (asserted in IncrementalDedupSpec). */
+  def incrementalNew(incoming: DataFrame, idCol: String, key: Column,
+                     indexTable: String): DataFrame = {
+    val spark = incoming.sparkSession
+    incoming.select(col(idCol), key.as("k"))
+      .join(spark.table(indexTable), Seq("k"), "left_anti")
+      .groupBy("k")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_in_batch"))
+  }
+
   /** Benchmark decontamination — the training-hygiene gate every corpus
     * runs before a split ships: a training document is CONTAMINATED when it
     * shares any word n-gram with the held-out evaluation set (the overlap

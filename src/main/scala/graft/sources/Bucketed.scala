@@ -10,10 +10,23 @@ import org.apache.spark.sql.DataFrame
   * 100 TB pipelines that re-join the same keyed tables per run. */
 object Bucketed {
 
-  /** Persist `df` into the session catalog bucketed+sorted by `key`. */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+  /** Persist `df` into the session catalog bucketed+sorted by `key`.
+    * Drops any prior table AND its warehouse directory first: with the
+    * default in-memory catalog a previous JVM's table survives only as a
+    * stale `spark-warehouse/<table>` directory that this session's catalog
+    * does not know about, and CREATE TABLE AS refuses a pre-existing
+    * location even in overwrite mode. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+  }
 
   /** Join two same-bucketed tables on their bucket key — co-located, so
     * the plan contains no shuffle for either side. */
