@@ -1039,6 +1039,26 @@ object Queries {
       Some("""SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
               FROM documents GROUP BY lang ORDER BY lang""")),
 
+    // exact per-language length percentiles WITHOUT a global sort: value
+    // histogram (one map-side-combined exchange, domain-sized output) +
+    // cumulative window over the histogram only; quantile = smallest v
+    // with 1000*cum >= p*n (discrete type-1, multiply-only integer
+    // predicate — no fp interpolation to diverge on)
+    "q_quantiles" -> Q(
+      (s, d) => graft.ops.Stats.exactQuantiles(
+          t(s, d, "documents"), "lang", "n_chars", Seq(500, 900, 990))
+        .orderBy("lang"),
+      Some("""WITH h AS (SELECT lang, n_chars AS v, count(*) AS c FROM documents GROUP BY 1,2),
+              cum AS (SELECT lang, v, c,
+                        sum(c) OVER (PARTITION BY lang ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+                        sum(c) OVER (PARTITION BY lang) AS n
+                      FROM h)
+              SELECT lang, CAST(max(n) AS BIGINT) AS n,
+                min(CASE WHEN cum*1000 >= 500*n THEN v END) AS q500,
+                min(CASE WHEN cum*1000 >= 900*n THEN v END) AS q900,
+                min(CASE WHEN cum*1000 >= 990*n THEN v END) AS q990
+              FROM cum GROUP BY lang ORDER BY lang""")),
+
     // exact dedup by canonical key (Osm.merge_duplicated, osm.py:87-104)
     "q_dedup_exact" -> Q(
       (s, d) => Dedup.exactDedup(
@@ -1141,6 +1161,41 @@ object Queries {
               SELECT k, min(doc_id) AS keep_id, count(*) AS n_in_batch
               FROM inc WHERE NOT EXISTS (SELECT 1 FROM idx WHERE idx.k = inc.k)
               GROUP BY k ORDER BY k""")),
+
+    // incremental NEAR-dup ingestion: the MinHash analog of q_dedup_incr —
+    // the corpus's LSH band membership and shingle sets are persisted
+    // bucketed+sorted (shuffle paid once at index-write), and the incoming
+    // batch probes them with zero corpus-side exchange. Oracle = exact
+    // shingle Jaccard over every pair touching the batch (LSH at these
+    // parameters has total recall on this corpus, the same contract
+    // q_dedup_minhash proves each round); cross pairs corpus-id-first.
+    "q_minhash_incr" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val batch = Seq("src16", "src17", "src18", "src19")
+        Dedup.writeMinhashIndex(
+          docs.filter(!col("source").isin(batch: _*)), "doc_id", "text",
+          "mh_idx", 8)
+        Dedup.incrementalNearDups(
+          docs.filter(col("source").isin(batch: _*)), "doc_id", "text",
+          "mh_idx")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+              x AS (SELECT doc_id, source, w, unnest(range(1, greatest(len(w)-1, 2))) AS i FROM t),
+              g AS (SELECT DISTINCT doc_id, source, array_to_string(w[i:i+2], ' ') AS sh FROM x),
+              n AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+              b AS (SELECT doc_id, sh FROM g WHERE source IN ('src16','src17','src18','src19')),
+              c AS (SELECT doc_id, sh FROM g WHERE source NOT IN ('src16','src17','src18','src19')),
+              cc AS (SELECT c.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                     FROM c JOIN b ON c.sh = b.sh GROUP BY 1,2),
+              bc AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b, count(*) AS inter
+                     FROM b a JOIN b b2 ON a.sh = b2.sh AND a.doc_id < b2.doc_id GROUP BY 1,2),
+              u AS (SELECT * FROM cc UNION ALL SELECT * FROM bc)
+              SELECT id_a, id_b, round(inter*1.0/(na.sz+nb.sz-inter),6) AS jaccard
+              FROM u JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
+              WHERE inter*1.0/(na.sz+nb.sz-inter) >= 0.6
+              ORDER BY id_a, id_b""")),
 
     // deterministic train/val corpus split: bucket = 48 bits of
     // md5(doc_id) mod 100 — a pure function of the document id, so the
@@ -1683,6 +1738,58 @@ object Queries {
                 FROM dist
               ), assign AS (SELECT id AS nbr_id, cidx AS list FROM rankedc WHERE rn = 1),
               probes AS (SELECT id AS vec_id, cidx AS list FROM rankedc WHERE rn <= 4),
+              cand AS (
+                SELECT DISTINCT p.vec_id, a.nbr_id
+                FROM probes p JOIN assign a USING (list)
+                WHERE p.vec_id != a.nbr_id
+              ), ranked AS (
+                SELECT c.vec_id, c.nbr_id,
+                  row_number() OVER (PARTITION BY c.vec_id
+                    ORDER BY list_cosine_similarity(a2.embedding, b2.embedding) DESC,
+                             c.nbr_id) AS rank
+                FROM cand c
+                JOIN embeddings a2 ON a2.vec_id = c.vec_id
+                JOIN embeddings b2 ON b2.vec_id = c.nbr_id)
+              SELECT vec_id, rank, nbr_id FROM ranked
+              WHERE rank <= 3 ORDER BY vec_id, rank""")),
+
+    // persisted-IVF-index ANN: the corpus inverted lists are written
+    // bucketed ONCE (writeIvfIndex), then a query batch (every 10th
+    // vector) probes them with zero corpus-side exchange. Same IVF replay
+    // oracle as q_ann_ivf, probes restricted to the batch.
+    "q_ann_index" -> Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.writeIvfIndex(emb, "vec_id", "embedding", "ivf_idx", 8,
+          iters = 0, seedHash = Similarity.md5SeedHash)
+        Similarity.ivfProbeIndex(emb.filter(col("vec_id") % 10 === 0),
+          "vec_id", "embedding", "ivf_idx", 3)
+          .orderBy("vec_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+              seeds AS (
+                SELECT id, ('0x' || substr(md5(id::VARCHAR), 1, 16))::UBIGINT AS h
+                FROM e
+              ), cent AS (
+                SELECT id AS cid, row_number() OVER (ORDER BY h) - 1 AS cidx
+                FROM seeds QUALIFY row_number() OVER (ORDER BY h) <= 16
+              ), ccomp AS (
+                SELECT c.cidx, generate_subscripts(e.v, 1) AS d,
+                       unnest(e.v)::DOUBLE AS cx
+                FROM cent c JOIN e ON e.id = c.cid
+              ), comp AS (
+                SELECT id, generate_subscripts(v, 1) AS d,
+                       unnest(v)::DOUBLE AS x FROM e
+              ), dist AS (
+                SELECT id, cidx, sum((x - cx) * (x - cx)) AS dd
+                FROM comp JOIN ccomp USING (d) GROUP BY id, cidx
+              ), rankedc AS (
+                SELECT id, cidx,
+                  row_number() OVER (PARTITION BY id ORDER BY dd, cidx) AS rn
+                FROM dist
+              ), assign AS (SELECT id AS nbr_id, cidx AS list FROM rankedc WHERE rn = 1),
+              probes AS (SELECT id AS vec_id, cidx AS list FROM rankedc
+                         WHERE rn <= 4 AND id % 10 = 0),
               cand AS (
                 SELECT DISTINCT p.vec_id, a.nbr_id
                 FROM probes p JOIN assign a USING (list)

@@ -184,6 +184,120 @@ object Dedup {
         b.as("band_id"),
         xxhash64(concat_ws(",", slice(sig, b * lit(rows) + lit(1), lit(rows)))).as("band_hash")))
 
+  /** Hashed shingle sets + exploded LSH band rows for `docs` — the shared
+    * front half of the one-shot near-dup join ([[minhashNearDups]]) and the
+    * incremental index/batch paths ([[writeMinhashIndex]] /
+    * [[incrementalNearDups]]).
+    *
+    * Shingles are HASHED to 8-byte longs at the scan: the signature
+    * permutes the hashes (native codegen expr) and the verify join shuffles
+    * long arrays instead of 3-gram strings — ~3× fewer bytes through every
+    * exchange. The hashing itself is one codegen'd pass (ShingleHash64Expr:
+    * no string materialization, no interpreted HOF). A 64-bit collision can
+    * only MERGE two distinct shingles (≈n²/2^64 odds), indistinguishable in
+    * practice. Both outputs are persisted (CacheBin-registered; the session
+    * driver drains handles after its terminal action): the shingle sets
+    * feed the verify join, and the band rows feed both the hot-bucket scan
+    * and the candidate join. */
+  private def shingleBandRows(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, nPerm: Int, bands: Int,
+      storage: org.apache.spark.storage.StorageLevel)
+      : (DataFrame, DataFrame) = {
+    val toks = split(col(textCol), " ")
+    val hashed = graft.CacheBin.persist(docs
+      .select(
+        col(idCol).as("id"),
+        graft.functions.ShingleHash64Expr.shingleHash64(toks, shingleN).as("sh")),
+      storage)
+    val bandRows = graft.CacheBin.persist(hashed
+      .withColumn("sig",
+        graft.functions.MinHashSigExpr.minhashSigHashed(col("sh"), nPerm))
+      .select(col("id"), explode(lshBands(col("sig"), bands, nPerm / bands)).as("b"))
+      .select(col("id"), col("b.band_id"), col("b.band_hash")), storage)
+    (hashed, bandRows)
+  }
+
+  /** (band_id, band_hash) folded into ONE 8-byte key so the incremental
+    * index can be bucketed and sort-merge-joined on a single column. The
+    * odd-constant multiply is a bijection of band_hash, so equal bands
+    * always collide onto the same key (no recall loss); a cross-band
+    * collision can only ADD a candidate, which exact verification then
+    * discards — the key never needs oracle parity. */
+  private def bandKey: Column =
+    col("band_hash") * lit(0x9E3779B97F4A7C15L) + col("band_id")
+
+  /** Write the corpus MINHASH index for incremental near-dup ingestion:
+    * `<prefix>_bands` = (bk, id) band-bucket membership, bucketed+sorted by
+    * bk, with over-cap buckets (width > maxBucket — boilerplate band
+    * collisions) dropped at WRITE time; `<prefix>_sets` = (id, sh) hashed
+    * shingle sets, bucketed+sorted by id, for the exact-Jaccard verify.
+    * Both shuffles are paid once here — every later batch probe
+    * ([[incrementalNearDups]]) reads both tables join-ready, so no
+    * corpus-sized exchange ever happens at ingest time. */
+  def writeMinhashIndex(corpus: DataFrame, idCol: String, textCol: String,
+                        prefix: String, buckets: Int,
+                        shingleN: Int = 3, nPerm: Int = 64, bands: Int = 16,
+                        maxBucket: Int = 64): Unit = {
+    val (hashed, bandRows) = shingleBandRows(corpus, idCol, textCol,
+      shingleN, nPerm, bands,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keyed = bandRows.select(bandKey.as("bk"), col("id"))
+    val hot = keyed.groupBy("bk").agg(count(lit(1)).as("w"))
+      .filter(col("w") > maxBucket).select("bk")
+    graft.sources.Bucketed.writeBucketed(
+      keyed.join(hot, Seq("bk"), "left_anti"), s"${prefix}_bands", "bk", buckets)
+    graft.sources.Bucketed.writeBucketed(
+      hashed.select(col("id"), col("sh")), s"${prefix}_sets", "id", buckets)
+  }
+
+  /** Incremental MinHash near-dup: probe an incoming crawl batch against
+    * the persisted corpus index ([[writeMinhashIndex]]) AND against itself,
+    * returning every verified pair (exact shingle Jaccard >= threshold)
+    * that touches the batch. Cross pairs come out (id_a = corpus doc,
+    * id_b = batch doc); in-batch pairs (id_a < id_b, both batch).
+    *
+    * Plan shape at 100 TB: the batch side computes shingles/bands once
+    * (persisted) and shuffles on bk; BOTH corpus-sized tables — band
+    * membership and shingle sets — are read bucketed, join-ready, with
+    * zero exchange and zero sort above their scans (spec-asserted). Every
+    * per-ingest shuffle is sized by the BATCH, so ingest cost is flat in
+    * corpus size. The batch self-probe applies the same maxBucket skew cap
+    * as the one-shot path; the corpus side was capped at index-write time. */
+  def incrementalNearDups(batch: DataFrame, idCol: String, textCol: String,
+                          prefix: String,
+                          shingleN: Int = 3, nPerm: Int = 64, bands: Int = 16,
+                          threshold: Double = 0.6, maxBucket: Int = 64,
+                          storage: org.apache.spark.storage.StorageLevel =
+                            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      : DataFrame = {
+    val spark = batch.sparkSession
+    val (bHashed, bBands) = shingleBandRows(batch, idCol, textCol,
+      shingleN, nPerm, bands, storage)
+    val bKeyed = graft.CacheBin.persist(
+      bBands.select(bandKey.as("bk"), col("id")), storage)
+    val bHot = bKeyed.groupBy("bk").agg(count(lit(1)).as("w"))
+      .filter(col("w") > maxBucket).select("bk")
+    val bOk = bKeyed.join(bHot, Seq("bk"), "left_anti")
+    val crossCand = bOk
+      .join(spark.table(s"${prefix}_bands").withColumnRenamed("id", "id_a"), "bk")
+      .select(col("id_a"), col("id").as("id_b")).distinct()
+    val batchCand = bOk.as("l")
+      .join(bOk.as("r"), col("l.bk") === col("r.bk") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b")).distinct()
+    val bSets = bHashed
+    val cSets = spark.table(s"${prefix}_sets")
+    def verified(cand: DataFrame, aSets: DataFrame): DataFrame = cand
+      .join(aSets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(bSets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", round(col("inter") / col("uni"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+    verified(crossCand, cSets).unionByName(verified(batchCand, bSets))
+  }
+
   /** Full MinHash-LSH near-dup pipeline: doc (id, text) -> candidate pairs
     * with exact Jaccard >= threshold. Candidates from band-bucket self-join;
     * exact verification via distinct-shingle set overlap. */
@@ -193,29 +307,8 @@ object Dedup {
       threshold: Double = 0.6, maxBucket: Int = 64,
       storage: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
-    val toks = split(col(textCol), " ")
-    // shingles are HASHED to 8-byte longs at the scan: the signature
-    // permutes the hashes (native codegen expr) and the verify join
-    // shuffles long arrays instead of 3-gram strings — ~3× fewer bytes
-    // through every exchange. The hashing itself is one codegen'd pass
-    // (ShingleHash64Expr: no string materialization, no interpreted HOF).
-    // A 64-bit collision can only MERGE two distinct shingles (≈n²/2^64
-    // odds), indistinguishable in practice.
-    val hashed = graft.CacheBin.persist(docs
-      .select(
-        col(idCol).as("id"),
-        graft.functions.ShingleHash64Expr.shingleHash64(toks, shingleN).as("sh")),
-      storage)
-    val withSig = hashed
-      .withColumn("sig",
-        graft.functions.MinHashSigExpr.minhashSigHashed(col("sh"), nPerm))
-    // persisted: the hot-bucket scan and the candidate join both read the
-    // banded signatures; without this the signature computation would run
-    // twice. Registered in CacheBin — the session driver drains registered
-    // handles after its terminal action (ADVICE r2).
-    val bandRows = graft.CacheBin.persist(withSig
-      .select(col("id"), explode(lshBands(col("sig"), bands, nPerm / bands)).as("b"))
-      .select(col("id"), col("b.band_id"), col("b.band_hash")), storage)
+    val (hashed, bandRows) =
+      shingleBandRows(docs, idCol, textCol, shingleN, nPerm, bands, storage)
     // skew guard: drop degenerate buckets wider than maxBucket. The hot
     // set is found with a map-side-combined groupBy (small result: only
     // over-cap buckets), but it grows with the number of boilerplate

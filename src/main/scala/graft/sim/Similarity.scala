@@ -349,6 +349,62 @@ object Similarity {
     topKPerVec(pairs.select("vec_id", "nbr_id", "cos").distinct(), k)
   }
 
+  /** Persist the corpus IVF index for incremental similarity queries:
+    * `<prefix>_lists` = (list, nbr_id, vb, nb) inverted-list membership
+    * with the per-vector norm precomputed, bucketed+sorted by list id;
+    * `<prefix>_centroids` = (list, c) the nlist centroid vectors. The
+    * corpus-side k-means assignment and the bucketing shuffle are paid
+    * ONCE here — at 10^12 vectors the lists table is corpus-sized, and
+    * [[ivfProbeIndex]] reads it join-ready forever after, so a query
+    * batch's cost never includes moving the corpus. */
+  def writeIvfIndex(emb: DataFrame, idCol: String, vecCol: String,
+                    prefix: String, buckets: Int,
+                    nlist: Int = 16, iters: Int = 3,
+                    seedHash: Long => Long = mixSeedHash): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centroids = kmeansCentroids(emb, idCol, vecCol, nlist, iters, seedHash)
+    val bC = spark.sparkContext.broadcast(centroids)
+    val lists = emb
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (nearestCentroid(v, bC.value)._1, id, v) }
+      .toDF("list", "nbr_id", "vb")
+      .withColumn("nb", norm(col("vb")))
+    graft.sources.Bucketed.writeBucketed(lists, s"${prefix}_lists", "list", buckets)
+    graft.sources.Bucketed.writeBucketed(
+      centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq.toDF("list", "c"),
+      s"${prefix}_centroids", "list", 1)
+  }
+
+  /** ANN top-k for a QUERY BATCH against the persisted corpus index
+    * ([[writeIvfIndex]]): each query explodes into its nprobe nearest
+    * lists and equi-joins the bucketed lists table — zero exchange and
+    * zero sort above the corpus-side scan (spec-asserted), so every
+    * per-batch shuffle is probe-sized (batch × nprobe rows), flat in
+    * corpus size. Driver state = the centroid matrix only, read back from
+    * `<prefix>_centroids`. Identical ranking semantics to [[ivfTopK]]
+    * restricted to the batch (same dot kernel, same (cos DESC, nbr_id)
+    * total order). */
+  def ivfProbeIndex(queries: DataFrame, idCol: String, vecCol: String,
+                    prefix: String, k: Int, nprobe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centroids = spark.table(s"${prefix}_centroids")
+      .orderBy("list").select("c").as[Array[Double]].collect()
+    val bC = spark.sparkContext.broadcast(centroids)
+    val probes = queries
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) => probeLists(v, bC.value, nprobe).map(c => (c, id, v)) }
+      .toDF("list", "vec_id", "va")
+      .withColumn("na", norm(col("va")))
+    val pairs = probes.join(spark.table(s"${prefix}_lists"), Seq("list"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+    topKPerVec(pairs.select("vec_id", "nbr_id", "cos").distinct(), k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH sign buckets + Hamming-1
     * multiprobe generate candidates, a single pre-normed dot per pair
     * verifies cos >= threshold. Output (id_a < id_b) pairs. The candidate

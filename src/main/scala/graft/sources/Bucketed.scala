@@ -54,4 +54,36 @@ object Bucketed {
     }
     walk(df.queryExecution.executedPlan)
   }
+
+  /** Number of ShuffleExchange nodes sitting BETWEEN a scan of `table` and
+    * that scan's first join — 0 means the bucketed table reaches its join
+    * un-exchanged (shuffles above the join output belong to later stages
+    * and don't violate the index contract). The spec-side assertion for
+    * every incremental-index operator. */
+  def shufflesAboveScan(df: DataFrame, table: String): Int = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case s: QueryStageExec => Seq(s.plan)
+      case other => other.children
+    }
+    // the scan is reachable below `p` without crossing a join boundary
+    def preJoinScan(p: SparkPlan): Boolean = p match {
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.exists(_.toString.contains(table))
+      case _: BaseJoinExec => false
+      case other => kids(other).exists(preJoinScan)
+    }
+    def walk(p: SparkPlan): Int = {
+      val self = p match {
+        case e: ShuffleExchangeLike if kids(e).exists(preJoinScan) => 1
+        case _ => 0
+      }
+      self + kids(p).map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
+  }
 }
