@@ -76,6 +76,39 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_in_batch"))
   }
 
+  /** Refresh the exact-dedup index after an ingest: append the batch's
+    * surviving keys (the `k` column of [[incrementalNew]]'s output, i.e.
+    * keys the corpus had never seen) so the NEXT batch dedups against this
+    * one too. Reuses the table's stored bucket spec — the index stays
+    * join-ready across arbitrarily many ingests; re-run
+    * [[writeDedupIndex]] occasionally to compact the accumulated
+    * per-append files. */
+  def appendDedupIndex(keptKeys: DataFrame, table: String): Unit =
+    graft.sources.Bucketed.appendBucketed(
+      keptKeys.select(col("k")).distinct(), table)
+
+  /** Refresh the minhash index with an ingested batch (typically the docs
+    * that survived [[incrementalNearDups]] selection): append their band
+    * membership and shingle sets under the tables' stored bucket specs.
+    * The write-time hot-bucket cap applies within this batch only; a
+    * periodic [[writeMinhashIndex]] rebuild re-compacts and re-caps
+    * globally. */
+  def appendMinhashIndex(batch: DataFrame, idCol: String, textCol: String,
+                         prefix: String,
+                         shingleN: Int = 3, nPerm: Int = 64, bands: Int = 16,
+                         maxBucket: Int = 64): Unit = {
+    val (hashed, bandRows) = shingleBandRows(batch, idCol, textCol,
+      shingleN, nPerm, bands,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keyed = bandRows.select(bandKey.as("bk"), col("id"))
+    val hot = keyed.groupBy("bk").agg(count(lit(1)).as("w"))
+      .filter(col("w") > maxBucket).select("bk")
+    graft.sources.Bucketed.appendBucketed(
+      keyed.join(hot, Seq("bk"), "left_anti"), s"${prefix}_bands")
+    graft.sources.Bucketed.appendBucketed(
+      hashed.select(col("id"), col("sh")), s"${prefix}_sets")
+  }
+
   /** Benchmark decontamination — the training-hygiene gate every corpus
     * runs before a split ships: a training document is CONTAMINATED when it
     * shares any word n-gram with the held-out evaluation set (the overlap

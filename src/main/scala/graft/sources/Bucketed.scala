@@ -28,6 +28,27 @@ object Bucketed {
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
   }
 
+  /** Append rows to an EXISTING bucketed table, reusing its stored bucket
+    * spec (count + columns) so the layout stays join-ready. Appends add
+    * new files per bucket; Spark then no longer assumes per-bucket
+    * sortedness, so later sort-merge joins re-sort WITHIN partitions — a
+    * cheap, spillable, exchange-free sort. The zero-EXCHANGE contract
+    * (the thing that scales) survives every append. */
+  def appendBucketed(df: DataFrame, table: String): Unit = {
+    val spark = df.sparkSession
+    val spec = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec
+      .getOrElse(throw new IllegalArgumentException(s"$table is not bucketed"))
+    val w = df.write.mode("append").format("parquet")
+      .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
+        spec.bucketColumnNames.tail: _*)
+    (if (spec.sortColumnNames.nonEmpty)
+       w.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+     else w)
+      .saveAsTable(table)
+  }
+
   /** Join two same-bucketed tables on their bucket key — co-located, so
     * the plan contains no shuffle for either side. */
   def coLocatedJoin(

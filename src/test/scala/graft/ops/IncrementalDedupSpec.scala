@@ -25,6 +25,20 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(out.toSeq === Seq(("C", 2L, 2L), ("D", 4L, 1L)))
   }
 
+  test("rolling ingest: appended keys dedup the next batch") {
+    val corpus = Seq((100L, "A")).toDF("doc_id", "k0")
+    Dedup.writeDedupIndex(corpus, col("k0"), "dedup_idx_roll", 4)
+    val batch1 = Seq((1L, "B"), (2L, "B"), (3L, "C")).toDF("doc_id", "k0")
+    val kept1 = Dedup.incrementalNew(batch1, "doc_id", col("k0"), "dedup_idx_roll")
+    assert(kept1.count() === 2) // B, C
+    Dedup.appendDedupIndex(kept1, "dedup_idx_roll")
+    // batch2 re-sends B and C (now indexed) plus a genuinely new D
+    val batch2 = Seq((10L, "B"), (11L, "C"), (12L, "D")).toDF("doc_id", "k0")
+    val kept2 = Dedup.incrementalNew(batch2, "doc_id", col("k0"), "dedup_idx_roll")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(kept2.toSeq.sorted === Seq(("D", 12L)))
+  }
+
   test("one exchange total: the bucketed index never shuffles or sorts") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {

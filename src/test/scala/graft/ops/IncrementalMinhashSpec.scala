@@ -56,6 +56,20 @@ class IncrementalMinhashSpec extends AnyFunSuite {
     assert(cross.forall { case (a, b) => corpusIds.contains(a) && batchIds.contains(b) })
   }
 
+  test("rolling ingest: appended batch is visible to the next probe") {
+    val corpus = mkDocs(0L until 20L, i => 0) // family-0 docs only
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", "mh_roll_idx", 4)
+    val batch1 = mkDocs(Seq(300L), _ => 1) // family 1: no corpus match
+    assert(Dedup.incrementalNearDups(batch1, "doc_id", "text", "mh_roll_idx")
+      .count() === 0)
+    Dedup.appendMinhashIndex(batch1, "doc_id", "text", "mh_roll_idx")
+    // batch2 is family 1 again -> must now near-match the appended 300L
+    val batch2 = mkDocs(Seq(400L), _ => 1)
+    val got = Dedup.incrementalNearDups(batch2, "doc_id", "text", "mh_roll_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((300L, 400L)))
+  }
+
   test("zero shuffle above either corpus index scan") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
