@@ -965,6 +965,32 @@ object Queries {
                 SELECT unnest(string_split(text, ' ')) AS w FROM documents)
               GROUP BY w ORDER BY w""")),
 
+    // token-entropy + type-token-ratio diversity scoring: the engine
+    // computes the histogram INSIDE each row (array_sort + run-length
+    // HOFs — zero shuffle, vs the oracle's corpus-token-sized unnest+
+    // groupBy); identical per-run arithmetic (one division, one ln,
+    // round to micro-nat longs) makes the two formulations hash-equal
+    "q_entropy" -> Q(
+      (s, d) => {
+        val toks = filter(split(col("text"), " "), x => length(x) > lit(0))
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            size(toks).cast("long").as("n_tokens"),
+            graft.text.TextFns.tokenEntropyUnats(toks).as("entropy_unats"),
+            graft.text.TextFns.typeTokenRatio(toks).as("ttr"))
+          .filter(col("n_tokens") > 0)
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+                         FROM documents),
+              c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+              n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens FROM c GROUP BY 1)
+              SELECT c.doc_id, max(n.n_tokens) AS n_tokens,
+                CAST(sum(c.c * CAST(round(-ln(c.c*1.0/n.n_tokens)*1e6) AS BIGINT)) AS BIGINT) AS entropy_unats,
+                round(count(*) * 1.0 / max(n.n_tokens), 6) AS ttr
+              FROM c JOIN n USING (doc_id)
+              GROUP BY c.doc_id ORDER BY doc_id""")),
+
     // quality scoring: length + stopword counts (deterministic ratios)
     "q_quality" -> Q(
       (s, d) => t(s, d, "documents")

@@ -80,6 +80,38 @@ object TextFns {
     * deterministic scoring). Returns struct columns for select(). */
   def charLen(text: Column): Column = length(text).cast("long")
 
+  /** Per-document token Shannon entropy in integer MICRO-NATS — the
+    * diversity signal of the Gopher/C4 repetition family (a low-entropy
+    * doc is keyword-stuffed or template spam). Cost of a token occurring
+    * c times in an n-token doc = round(-ln(c/n)·1e6); the document value
+    * is the BIGINT sum of per-occurrence costs, so it is exact integer
+    * arithmetic after one IEEE division + one ln per DISTINCT token —
+    * the same determinism contract as [[LangModel]].
+    *
+    * SCAN-ONLY plan: the histogram is computed inside the row via
+    * array_sort + run-length detection in higher-order functions — no
+    * explode, no (doc, token) exchange. The naive formulation shuffles
+    * one row per corpus TOKEN (~10^15 at 100 TB); this shuffles nothing. */
+  def tokenEntropyUnats(toks: Column): Column = {
+    val s = array_sort(toks)
+    val n = size(s)
+    // 1-based positions where a run of equal tokens ends
+    val ends = filter(sequence(lit(1), n),
+      i => (i === n) || (element_at(s, i) =!= element_at(s, i + 1)))
+    // run length j = ends[j] - ends[j-1] (0-based lambda index)
+    val costs = transform(ends, (e, j) => {
+      val c = e - when(j === lit(0), lit(0)).otherwise(element_at(ends, j))
+      c.cast("long") *
+        round(-log(c.cast("double") / n.cast("double")) * lit(1e6)).cast("long")
+    })
+    aggregate(costs, lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Distinct-token / total-token ratio, rounded to 6 places — the
+    * classic lexical-diversity companion to [[tokenEntropyUnats]]. */
+  def typeTokenRatio(toks: Column): Column =
+    round(size(array_distinct(toks)).cast("double") / size(toks).cast("double"), 6)
+
   def stopwordCount(text: Column, stops: Seq[String]): Column =
     stops.map { w =>
       val t = s" $w "
