@@ -294,9 +294,12 @@ object Dedup {
     * (persisted) and shuffles on bk; BOTH corpus-sized tables — band
     * membership and shingle sets — are read bucketed, join-ready, with
     * zero exchange and zero sort above their scans (spec-asserted). Every
-    * per-ingest shuffle is sized by the BATCH, so ingest cost is flat in
-    * corpus size. The batch self-probe applies the same maxBucket skew cap
-    * as the one-shot path; the corpus side was capped at index-write time. */
+    * per-ingest SHUFFLE is sized by the BATCH; the corpus side costs one
+    * sequential, exchange-free scan per ingest (the unavoidable floor of
+    * a join-based probe — what the index eliminates is re-shuffling and
+    * re-sorting the corpus every batch, measured in ScaleIncremental).
+    * The batch self-probe applies the same maxBucket skew cap as the
+    * one-shot path; the corpus side was capped at index-write time. */
   def incrementalNearDups(batch: DataFrame, idCol: String, textCol: String,
                           prefix: String,
                           shingleN: Int = 3, nPerm: Int = 64, bands: Int = 16,
