@@ -19,7 +19,8 @@ object Bench {
     "q_osm_ids", "q_url_latest", "q_dedup_keep", "q_corpus_clean",
     "q_decontaminate", "q_token_budget", "q_seq_pack", "q_domain_mix",
     "q_dup_spans", "q_semdedup", "q_lm_ppl", "q_dedup_incr", "q_minhash_incr",
-    "q_quantiles", "q_ann_index", "q_entropy")
+    "q_quantiles", "q_ann_index", "q_entropy",
+    "q_link_graph", "q_pagerank", "q_para_dedup", "q_anchor_text")
 
   def makeSession(cpus: String): SparkSession = SparkSession.builder()
     .master(s"local[$cpus]")

@@ -1085,6 +1085,132 @@ object Queries {
                 min(CASE WHEN cum*1000 >= 990*n THEN v END) AS q990
               FROM cum GROUP BY lang ORDER BY lang""")),
 
+    // hyperlink extraction from raw html bytes + host-graph rollup
+    // (the reference's xlink regex-resolution generalized to the web
+    // corpus, address.py:42-46 / base.py:88-155): Spark recovers the
+    // edges with real regexp_extract_all over the binary column; the
+    // oracle regenerates them from the arithmetic synthesis rule —
+    // agreement proves the extraction path, not just the aggregate
+    "q_link_graph" -> Q(
+      (s, d) => {
+        val n = t(s, d, "documents").count()
+        graft.ops.WebGraph
+          .hostGraph(graft.sources.Pages.fromDocumentsLinked(s, d, n))
+          .orderBy("src_host", "dst_host")
+      },
+      Some("""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+              s AS (SELECT doc_id, unnest(range(doc_id % 4 + 1)) AS j
+                    FROM documents),
+              e AS (SELECT doc_id AS src,
+                      (doc_id*131 + 7*j) % (SELECT n FROM nn) AS dst FROM s)
+              SELECT 'h' || CAST(src % 16 AS VARCHAR) || '.example' AS src_host,
+                     'h' || CAST(dst % 16 AS VARCHAR) || '.example' AS dst_host,
+                     count(*) AS n_links,
+                     count(DISTINCT dst) AS n_dst_docs
+              FROM e GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // fixed-iteration PageRank over the extracted doc-level link graph:
+    // iterative rank⨝edges join + dst aggregate, degrees cached once
+    // (WebGraph.pageRank Scaladoc carries the 100 TB iteration shape).
+    // Ranks are reported ×n (≈1.0 scale) and rounded so both engines'
+    // different summation orders collapse to the same grid
+    "q_pagerank" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val n = docs.count()
+        val pages = graft.sources.Pages.fromDocumentsLinked(s, d, n)
+        val edges = graft.ops.WebGraph.linkEdges(pages)
+          .select(col("src_id").as("src"), col("dst_id").as("dst"))
+        graft.ops.WebGraph.pageRank(edges, n, iters = 3)
+          .select(col("id").as("doc_id"),
+            round(col("rank") * n, 6).as("rank_x_n"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+              s AS (SELECT doc_id, unnest(range(doc_id % 4 + 1)) AS j
+                    FROM documents),
+              e AS (SELECT doc_id AS src,
+                      (doc_id*131 + 7*j) % (SELECT n FROM nn) AS dst FROM s),
+              deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg
+                      FROM e GROUP BY 1),
+              r0 AS (SELECT doc_id AS id,
+                       CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
+                     FROM documents),
+              r1 AS (SELECT d.doc_id AS id,
+                       CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+                         + CAST(0.85 AS DOUBLE) * coalesce(m.mass, 0) AS rank
+                     FROM documents d LEFT JOIN (
+                       SELECT e.dst, sum(r0.rank / deg.deg) AS mass
+                       FROM e JOIN deg ON deg.src = e.src
+                         JOIN r0 ON r0.id = e.src
+                       GROUP BY 1) m ON m.dst = d.doc_id),
+              r2 AS (SELECT d.doc_id AS id,
+                       CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+                         + CAST(0.85 AS DOUBLE) * coalesce(m.mass, 0) AS rank
+                     FROM documents d LEFT JOIN (
+                       SELECT e.dst, sum(r1.rank / deg.deg) AS mass
+                       FROM e JOIN deg ON deg.src = e.src
+                         JOIN r1 ON r1.id = e.src
+                       GROUP BY 1) m ON m.dst = d.doc_id),
+              r3 AS (SELECT d.doc_id AS id,
+                       CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+                         + CAST(0.85 AS DOUBLE) * coalesce(m.mass, 0) AS rank
+                     FROM documents d LEFT JOIN (
+                       SELECT e.dst, sum(r2.rank / deg.deg) AS mass
+                       FROM e JOIN deg ON deg.src = e.src
+                         JOIN r2 ON r2.id = e.src
+                       GROUP BY 1) m ON m.dst = d.doc_id)
+              SELECT id AS doc_id,
+                     round(rank * (SELECT n FROM nn), 6) AS rank_x_n
+              FROM r3 ORDER BY doc_id""")),
+
+    // anchor-text aggregation per link target (what other pages call this
+    // one — the classic web search/quality signal): hrefs and inner texts
+    // zipped out of the same html scan, one shuffle on the target id
+    "q_anchor_text" -> Q(
+      (s, d) => {
+        val n = t(s, d, "documents").count()
+        graft.ops.WebGraph
+          .anchorText(graft.sources.Pages.fromDocumentsLinked(s, d, n))
+          .orderBy("dst_id")
+      },
+      Some("""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+              s AS (SELECT doc_id, unnest(range(doc_id % 4 + 1)) AS j
+                    FROM documents),
+              e AS (SELECT doc_id AS src, j,
+                      (doc_id*131 + 7*j) % (SELECT n FROM nn) AS dst FROM s)
+              SELECT dst AS dst_id, count(*) AS n_anchors,
+                string_agg('a' || CAST(src AS VARCHAR) || 'x'
+                    || CAST(j AS VARCHAR), ' '
+                  ORDER BY 'a' || CAST(src AS VARCHAR) || 'x'
+                    || CAST(j AS VARCHAR)) AS anchors
+              FROM e GROUP BY 1 ORDER BY dst_id""")),
+
+    // CCNet-style corpus-wide paragraph dedup: first occurrence of every
+    // (10-word-chunk) paragraph survives, documents reassembled in order
+    // (ParaDedup Scaladoc carries the three-exchange 100 TB shape)
+    "q_para_dedup" -> Q(
+      (s, d) => graft.dedup.ParaDedup.dedupParagraphs(t(s, d, "documents"))
+        .orderBy("doc_id"),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                         FROM documents),
+              c0 AS (SELECT doc_id, ws,
+                       unnest(range(CAST(ceil(len(ws)/10.0) AS BIGINT))) AS i
+                     FROM w),
+              c AS (SELECT doc_id, i AS chunk_i,
+                      array_to_string(ws[i*10+1 : i*10+10], ' ') AS para
+                    FROM c0),
+              k AS (SELECT doc_id, chunk_i, para,
+                      doc_id*1000000 + chunk_i AS kk FROM c),
+              f AS (SELECT para, min(kk) AS keep FROM k GROUP BY 1)
+              SELECT k.doc_id, count(*) AS n_paras,
+                CAST(sum(CASE WHEN k.kk = f.keep THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_kept,
+                coalesce(string_agg(CASE WHEN k.kk = f.keep THEN k.para END,
+                  ' ' ORDER BY k.chunk_i), '') AS text_kept
+              FROM k JOIN f USING (para)
+              GROUP BY k.doc_id ORDER BY k.doc_id""")),
+
     // exact dedup by canonical key (Osm.merge_duplicated, osm.py:87-104)
     "q_dedup_exact" -> Q(
       (s, d) => Dedup.exactDedup(

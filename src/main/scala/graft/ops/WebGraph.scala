@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hyperlink-graph operators over the pages table (BASELINE.json
+  * input_hint shape): href extraction from the raw `html` bytes, host-level
+  * edge aggregation, and fixed-iteration PageRank.
+  *
+  * The reference pipeline's analog is its xlink-reference resolution —
+  * regex-extracting typed cross-references out of raw markup and joining
+  * on them (catatom2osm/geo/layer/address.py:42-46, base.py:88-155) — here
+  * generalized to the web corpus: anchors out of HTML, then graph
+  * aggregation over the extracted references.
+  *
+  * 100 TB shape:
+  *  - `hostEdges` is scan-shaped: regexp_extract_all + explode inside one
+  *    whole-stage-codegen pass over the html column; no shuffle until the
+  *    downstream aggregate, whose key is a short host string (or an 8-byte
+  *    doc id for the doc-level graph).
+  *  - `pageRank` is the classic iterative join: out-degrees are computed
+  *    once and cached; each iteration is one shuffle of the rank table on
+  *    the edge key plus one aggregate on dst. Edges dominate and are
+  *    persisted pre-partitioned on src so every iteration's join reuses
+  *    the same exchange; ranks (one double per node) are the only data
+  *    that moves per round. Lineage is cut with localCheckpoint every few
+  *    iterations so long runs do not accumulate plan depth.
+  */
+object WebGraph {
+
+  /** All href targets in an html payload, by real regex over the decoded
+    * bytes (Spark must *recover* the links; the oracle regenerates them
+    * arithmetically from the synthesis rule). */
+  def extractLinks(html: Column): Column =
+    regexp_extract_all(decode(html, "utf-8"), lit("href=\"([^\"]+)\""), lit(1))
+
+  private def hostOf(url: Column): Column =
+    regexp_extract(url, "https://([^/]+)/", 1)
+
+  private def docIdOf(url: Column): Column =
+    regexp_extract(url, "/doc/([0-9]+)$", 1).cast("long")
+
+  /** pages -> one row per extracted link: (src_id, src_host, dst_id,
+    * dst_host). Pure scan + explode — the shuffle belongs to whatever
+    * aggregate consumes it. */
+  def linkEdges(pages: DataFrame): DataFrame =
+    pages
+      .select(docIdOf(col("url")).as("src_id"), hostOf(col("url")).as("src_host"),
+        explode(extractLinks(col("html"))).as("link"))
+      .select(col("src_id"), col("src_host"),
+        docIdOf(col("link")).as("dst_id"), hostOf(col("link")).as("dst_host"))
+
+  /** pages -> one row per anchor: (src_id, dst_id, anchor). Hrefs and
+    * their inner texts are extracted as parallel arrays from the same
+    * scan and zipped — still one codegen pass, no shuffle. */
+  def anchorEdges(pages: DataFrame): DataFrame =
+    pages
+      .select(docIdOf(col("url")).as("src_id"),
+        explode(arrays_zip(
+          extractLinks(col("html")),
+          regexp_extract_all(decode(col("html"), "utf-8"),
+            lit(">([^<>]+)</a>"), lit(1)))).as("z"))
+      .select(col("src_id"), docIdOf(col("z.0")).as("dst_id"),
+        col("z.1").as("anchor"))
+
+  /** Per-target anchor-text rollup — the web-corpus signal search/quality
+    * pipelines mine (what OTHER pages call this one): (dst_id, n_anchors,
+    * anchors) with the texts in lexicographic order so the aggregate is
+    * partitioning-invariant. One shuffle on the 8-byte target id. */
+  def anchorText(pages: DataFrame): DataFrame =
+    anchorEdges(pages)
+      .groupBy("dst_id")
+      .agg(count(lit(1)).as("n_anchors"),
+        array_join(array_sort(collect_list(col("anchor"))), " ").as("anchors"))
+
+  /** Host-to-host edge rollup: (src_host, dst_host, n_links, n_dst_docs).
+    * One hash aggregate on a pair of short host keys. */
+  def hostGraph(pages: DataFrame): DataFrame =
+    linkEdges(pages)
+      .groupBy("src_host", "dst_host")
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col("dst_id")).as("n_dst_docs"))
+
+  /** Fixed-iteration PageRank over (src, dst) long edges covering nodes
+    * 0..n-1 with no dangling nodes (every synthetic page links out).
+    * Returns (id, rank). Damping 0.85, uniform start 1/n.
+    *
+    * Per iteration: join ranks into the cached degree-annotated edge set
+    * (shuffle = one double per node), aggregate contributions on dst
+    * (partial map-side sums first), left-join back onto the node range so
+    * in-degree-0 nodes keep the teleport mass. localCheckpoint every 5
+    * rounds cuts lineage the same way Adjacency.connectedComponents does.
+    */
+  def pageRank(edges: DataFrame, n: Long, iters: Int,
+      damping: Double = 0.85, teleport: Double = 0.15): DataFrame = {
+    val spark = edges.sparkSession
+    val deg = edges.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
+    val withDeg = graft.CacheBin.persist(
+      edges.join(deg, "src").repartition(col("src")))
+    val nodes = spark.range(n).select(col("id"))
+    var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
+    for (it <- 1 to iters) {
+      val contrib = withDeg
+        .join(ranks, withDeg("src") === ranks("id"))
+        .select(col("dst"), (col("rank") / col("deg")).as("c"))
+        .groupBy("dst").agg(sum("c").as("mass"))
+      ranks = nodes
+        .join(contrib, nodes("id") === contrib("dst"), "left")
+        .select(col("id"),
+          // teleport is a caller literal (not 1-damping): 1.0-0.85 is
+          // 0.15000000000000002 in IEEE doubles, one ulp off the 0.15 the
+          // SQL oracle parses — bit-parity needs the same literal on both
+          // sides before the shared /n and FMA-free + are applied
+          (lit(teleport / n) +
+            lit(damping) * coalesce(col("mass"), lit(0.0))).as("rank"))
+      if (it % 5 == 0) ranks = ranks.localCheckpoint()
+    }
+    ranks
+  }
+}

@@ -31,7 +31,37 @@ object Pages {
 
   /** Deterministic pure extraction: bytes -> text (the invariant function). */
   def extractText(html: Column): Column =
-    regexp_extract(decode(html, "utf-8"), "(?s)<body><p>(.*)</p></body>", 1)
+    regexp_extract(decode(html, "utf-8"), "(?s)<body><p>(.*?)</p>", 1)
+
+  /** documents -> pages whose html additionally carries a deterministic
+    * anchor footer, giving the corpus a real hyperlink structure to mine:
+    * page `doc_id` links to targets `(doc_id*131 + 7*j) % n` for
+    * `j = 0 .. doc_id%4` (so out-degree 1..4, never dangling), and every
+    * page lives on host `h{id%16}.example`. `n` is the table's row count,
+    * passed in so the synthesis stays a pure column map (one scan, no
+    * inner count job). The link targets are arithmetic in doc_id, which is
+    * what lets DuckDB regenerate the exact edge set without parsing HTML —
+    * the Spark side must recover it from the bytes with real regex
+    * extraction (WebGraph.hostEdges). */
+  def fromDocumentsLinked(spark: SparkSession, sfDir: String, n: Long): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def pageUrl(id: Column): Column =
+      concat(lit("https://h"), id % 16, lit(".example/doc/"), id)
+    val anchors = array_join(
+      transform(sequence(lit(0L), col("doc_id") % 4), j => {
+        val tgt = (col("doc_id") * 131L + lit(7L) * j) % lit(n)
+        concat(lit("<a href=\""), pageUrl(tgt), lit("\">a"),
+          col("doc_id"), lit("x"), j, lit("</a>"))
+      }), "")
+    docs.select(
+      pageUrl(col("doc_id")).as("url"),
+      to_timestamp(lit("2024-01-01 00:00:00")).as("warc_ts"),
+      encode(concat(
+        lit("<html><head><title>"), col("lang"),
+        lit("</title></head><body><p>"), col("text"),
+        lit("</p>"), anchors, lit("</body></html>")), "utf-8").as("html"),
+      col("text"), col("lang"))
+  }
 
   /** Invariant scan: rows where extract(html) == text, as one summary row. */
   def invariantCheck(pages: DataFrame): DataFrame =

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class WebGraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def synthEdges(n: Long): Seq[(Long, Long)] =
+    (0L until n).flatMap(id =>
+      (0L to id % 4).map(j => id -> (id * 131 + 7 * j) % n))
+
+  test("linkEdges recovers the exact synthesized edge set from html bytes") {
+    val n = spark.read.parquet(s"${TestSpark.sf001}/documents.parquet").count()
+    val pages = graft.sources.Pages.fromDocumentsLinked(spark, TestSpark.sf001, n)
+    val got = WebGraph.linkEdges(pages)
+      .select($"src_id", $"dst_id").as[(Long, Long)].collect().sorted
+    assert(got.toSeq === synthEdges(n).sorted)
+    // host columns are pure functions of the ids
+    val badHost = WebGraph.linkEdges(pages)
+      .filter($"src_host" =!= concat(lit("h"), $"src_id" % 16, lit(".example")) ||
+        $"dst_host" =!= concat(lit("h"), $"dst_id" % 16, lit(".example")))
+      .count()
+    assert(badHost === 0)
+  }
+
+  test("hostGraph conserves total link count = sum of out-degrees") {
+    val n = spark.read.parquet(s"${TestSpark.sf001}/documents.parquet").count()
+    val pages = graft.sources.Pages.fromDocumentsLinked(spark, TestSpark.sf001, n)
+    val total = WebGraph.hostGraph(pages).agg(sum("n_links")).as[Long].head()
+    assert(total === (0L until n).map(_ % 4 + 1).sum)
+  }
+
+  test("anchorText zips hrefs with their inner texts and rolls up per target") {
+    val n = spark.read.parquet(s"${TestSpark.sf001}/documents.parquet").count()
+    val pages = graft.sources.Pages.fromDocumentsLinked(spark, TestSpark.sf001, n)
+    val got = WebGraph.anchorText(pages)
+      .select($"dst_id", $"n_anchors", $"anchors")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val exp = (0L until n)
+      .flatMap(id => (0L to id % 4).map(j => ((id * 131 + 7 * j) % n, s"a${id}x$j")))
+      .groupBy(_._1)
+      .map { case (d, as) =>
+        d -> (as.size.toLong, as.map(_._2).sorted.mkString(" ")) }
+    assert(got === exp)
+  }
+
+  test("pageRank matches an in-JVM reference on the synthetic graph") {
+    val n = 20L
+    val edges = synthEdges(n)
+    // independent dense reference (same iteration order of operations not
+    // required — compare at 1e-9 which fp sum reordering cannot breach)
+    var ref = Array.fill(n.toInt)(1.0 / n)
+    val outDeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size }
+    for (_ <- 1 to 3) {
+      val mass = Array.fill(n.toInt)(0.0)
+      for ((s, d) <- edges) mass(d.toInt) += ref(s.toInt) / outDeg(s)
+      ref = mass.map(m => 0.15 / n + 0.85 * m)
+    }
+    val got = WebGraph.pageRank(edges.toDF("src", "dst"), n, iters = 3)
+      .orderBy("id").select("rank").as[Double].collect()
+    graft.CacheBin.drain()
+    assert(got.length === n.toInt)
+    for (i <- got.indices)
+      assert(math.abs(got(i) - ref(i)) < 1e-9, s"node $i: ${got(i)} vs ${ref(i)}")
+    // total rank mass is conserved (no dangling nodes by construction)
+    assert(math.abs(got.sum - 1.0) < 1e-9)
+  }
+
+  test("pageRank on a directed ring stays uniform; a hub node dominates") {
+    val n = 12L
+    val ring = (0L until n).map(i => i -> (i + 1) % n)
+    val r = WebGraph.pageRank(ring.toDF("src", "dst"), n, iters = 3)
+      .select("rank").as[Double].collect()
+    graft.CacheBin.drain()
+    assert(r.forall(x => math.abs(x - 1.0 / n) < 1e-12))
+    // every node also links to node 0 -> node 0 must outrank all others
+    val star = ring ++ (1L until n).map(i => i -> 0L)
+    val s = WebGraph.pageRank(star.toDF("src", "dst"), n, iters = 3)
+      .orderBy("id").select("rank").as[Double].collect()
+    graft.CacheBin.drain()
+    assert(s(0) > s.tail.max)
+  }
+}
