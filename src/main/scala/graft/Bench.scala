@@ -20,7 +20,8 @@ object Bench {
     "q_decontaminate", "q_token_budget", "q_seq_pack", "q_domain_mix",
     "q_dup_spans", "q_semdedup", "q_lm_ppl", "q_dedup_incr", "q_minhash_incr",
     "q_quantiles", "q_ann_index", "q_entropy",
-    "q_link_graph", "q_pagerank", "q_para_dedup", "q_anchor_text")
+    "q_link_graph", "q_pagerank", "q_para_dedup", "q_anchor_text",
+    "q_hits", "q_tfidf", "q_importance", "q_bpe_merges")
 
   def makeSession(cpus: String): SparkSession = SparkSession.builder()
     .master(s"local[$cpus]")

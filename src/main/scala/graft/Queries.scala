@@ -1186,6 +1186,124 @@ object Queries {
                     || CAST(j AS VARCHAR)) AS anchors
               FROM e GROUP BY 1 ORDER BY dst_id""")),
 
+    // fixed-iteration HITS hubs & authorities over the same extracted
+    // link graph: unnormalized with an all-ones start, so every score is
+    // an exact integer — bit-identical across engines with NO rounding
+    // (WebGraph.hits Scaladoc carries the two-layout 100 TB shape)
+    "q_hits" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val n = docs.count()
+        val pages = graft.sources.Pages.fromDocumentsLinked(s, d, n)
+        val edges = graft.ops.WebGraph.linkEdges(pages)
+          .select(col("src_id").as("src"), col("dst_id").as("dst"))
+        graft.ops.WebGraph.hits(edges, n, iters = 2)
+          .select(col("id").as("doc_id"),
+            col("auth").cast("long").as("auth"),
+            col("hub").cast("long").as("hub"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+              s AS (SELECT doc_id, unnest(range(doc_id % 4 + 1)) AS j
+                    FROM documents),
+              e AS (SELECT doc_id AS src,
+                      (doc_id*131 + 7*j) % (SELECT n FROM nn) AS dst FROM s),
+              a1 AS (SELECT d.doc_id AS id,
+                       coalesce(m.m, 0)::DOUBLE AS auth
+                     FROM documents d LEFT JOIN (
+                       SELECT dst, CAST(count(*) AS DOUBLE) AS m
+                       FROM e GROUP BY 1) m ON m.dst = d.doc_id),
+              h1 AS (SELECT d.doc_id AS id,
+                       coalesce(m.m, 0)::DOUBLE AS hub
+                     FROM documents d LEFT JOIN (
+                       SELECT e.src, sum(a1.auth) AS m
+                       FROM e JOIN a1 ON a1.id = e.dst GROUP BY 1) m
+                       ON m.src = d.doc_id),
+              a2 AS (SELECT d.doc_id AS id,
+                       coalesce(m.m, 0)::DOUBLE AS auth
+                     FROM documents d LEFT JOIN (
+                       SELECT e.dst, sum(h1.hub) AS m
+                       FROM e JOIN h1 ON h1.id = e.src GROUP BY 1) m
+                       ON m.dst = d.doc_id),
+              h2 AS (SELECT d.doc_id AS id,
+                       coalesce(m.m, 0)::DOUBLE AS hub
+                     FROM documents d LEFT JOIN (
+                       SELECT e.src, sum(a2.auth) AS m
+                       FROM e JOIN a2 ON a2.id = e.dst GROUP BY 1) m
+                       ON m.src = d.doc_id)
+              SELECT a2.id AS doc_id, CAST(a2.auth AS BIGINT) AS auth,
+                     CAST(h2.hub AS BIGINT) AS hub
+              FROM a2 JOIN h2 ON h2.id = a2.id ORDER BY doc_id""")),
+
+    // per-document TF-IDF keyword extraction: top-3 terms by tf·ln(n/df)
+    // (Relevance.tfIdfTopK Scaladoc carries the skew-aware 100 TB shape)
+    "q_tfidf" -> Q(
+      (s, d) => graft.text.Relevance
+        .tfIdfTopK(t(s, d, "documents"), "doc_id", col("text"), 3)
+        .orderBy("doc_id", "rank"),
+      Some("""WITH nn AS (SELECT count(*) AS n FROM documents),
+              w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                    FROM documents),
+              tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+              df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+              sc AS (SELECT doc_id, term,
+                       tf * ln((SELECT n FROM nn) * 1.0 / df) AS score
+                     FROM tf JOIN df USING (term)),
+              r AS (SELECT doc_id, term, score,
+                      row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, term) AS rank
+                    FROM sc)
+              SELECT doc_id, rank, term, round(score, 6) AS score
+              FROM r WHERE rank <= 3 ORDER BY doc_id, rank""")),
+
+    // DSIR-style hashed-feature importance weights for data selection
+    // (Xie et al. 2023): target = English docs, features = 64 md5-hashed
+    // token buckets, weight = Σ ln p_target(f) − ln p_raw(f). The bucket
+    // tables are BOUNDED (64 rows) and broadcast; scoring is scan-shaped
+    // (Relevance.importanceWeights Scaladoc carries the full shape)
+    "q_importance" -> Q(
+      (s, d) => graft.text.Relevance
+        .importanceWeights(t(s, d, "documents"), "doc_id", col("text"),
+          col("lang") === "en", buckets = 64)
+        .orderBy("doc_id"),
+      Some("""WITH w AS (SELECT doc_id, lang = 'en' AS is_t,
+                       unnest(string_split(text, ' ')) AS term
+                     FROM documents),
+              f AS (SELECT doc_id, is_t,
+                      ('0x' || substr(md5(term), 1, 12))::BIGINT % 64 AS f
+                    FROM w),
+              c AS (SELECT f, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+                      count(*) AS cr FROM f GROUP BY 1),
+              t AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM c),
+              lr AS (SELECT f, ln((ct + 1) * 1.0 / (tt + 64))
+                          - ln((cr + 1) * 1.0 / (tr + 64)) AS lr
+                     FROM c, t)
+              SELECT f.doc_id, count(*) AS n_tokens,
+                     round(sum(lr.lr), 6) AS weight
+              FROM f JOIN lr USING (f) GROUP BY 1 ORDER BY doc_id""")),
+
+    // BPE merge-pair statistics (tokenizer training, Sennrich et al.
+    // 2016): the corpus is counted ONCE into a weighted vocabulary; the
+    // pair ranking — BPE's merge-argmax — runs over distinct words only.
+    // Integer counts, so cross-engine parity is exact
+    "q_bpe_merges" -> Q(
+      (s, d) => graft.text.BpeStats
+        .topPairs(t(s, d, "documents"), col("text"), 20)
+        .orderBy("rank"),
+      Some("""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+                     FROM documents),
+              wf AS (SELECT word, count(*) AS f FROM w
+                     WHERE length(word) >= 2 GROUP BY 1),
+              p AS (SELECT substr(word, CAST(i AS INT), 2) AS pair, f
+                    FROM (SELECT word, f, unnest(range(1, length(word))) AS i
+                          FROM wf)),
+              a AS (SELECT pair, CAST(sum(f) AS BIGINT) AS n
+                    FROM p GROUP BY 1),
+              r AS (SELECT pair, n,
+                      row_number() OVER (ORDER BY n DESC, pair) AS rank
+                    FROM a)
+              SELECT rank, pair, n FROM r WHERE rank <= 20 ORDER BY rank""")),
+
     // CCNet-style corpus-wide paragraph dedup: first occurrence of every
     // (10-word-chunk) paragraph survives, documents reassembled in order
     // (ParaDedup Scaladoc carries the three-exchange 100 TB shape)

@@ -143,4 +143,52 @@ object WebGraph {
     }
     ranks
   }
+
+  /** Fixed-iteration HITS (Kleinberg hubs & authorities) over (src, dst)
+    * long edges covering nodes 0..n-1. Returns (id, auth, hub) after
+    * `iters` full (auth-then-hub) updates, UNNORMALIZED: with the all-ones
+    * start every score stays an exactly-representable integer (sums of
+    * integers < 2^53), so the result is bit-identical across engines and
+    * summation orders — no per-round normalization constant whose
+    * floating-point value would depend on reduction order.
+    *
+    * 100 TB shape: TWO static edge layouts — hash(src)-partitioned+sorted
+    * and hash(dst)-partitioned+sorted — are built once (the auth update
+    * joins edges on src, the hub update on dst; one layout would force a
+    * full-edge exchange every half-round). Per half-round the only moving
+    * data is one double per node: a node-sized SMJ against the matching
+    * edge layout, a partially-aggregated mass exchange, and a left join
+    * back onto the cached node range. Same steady state as [[pageRank]].
+    */
+  def hits(edges: DataFrame, n: Long, iters: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val bySrc = graft.CacheBin.persist(
+      edges.repartition(col("src")).sortWithinPartitions("src"))
+    val byDst = graft.CacheBin.persist(
+      edges.repartition(col("dst")).sortWithinPartitions("dst"))
+    val nodes = graft.CacheBin.persist(
+      spark.range(n).select(col("id")).repartition(col("id"))
+        .sortWithinPartitions("id"))
+    var hub = nodes.select(col("id"), lit(1.0).as("hub"))
+    var auth = nodes.select(col("id"), lit(1.0).as("auth"))
+    for (it <- 1 to iters) {
+      val aMass = bySrc.join(hub, bySrc("src") === hub("id"))
+        .groupBy("dst").agg(sum("hub").as("m"))
+      auth = nodes.join(aMass, nodes("id") === aMass("dst"), "left")
+        .select(col("id"), coalesce(col("m"), lit(0.0)).as("auth"))
+      // the LAST auth has two consumers — the final hub update and the
+      // output join — and the output join's other side CONTAINS the hub
+      // update, so without materializing here Spark recomputes the whole
+      // auth chain (every prior round's exchanges run twice; the plan
+      // spec caught it). localCheckpoint shares one materialized copy and
+      // preserves the hash(id) layout for both downstream SMJs.
+      if (it == iters || it % 5 == 0) auth = auth.localCheckpoint()
+      val hMass = byDst.join(auth, byDst("dst") === auth("id"))
+        .groupBy("src").agg(sum("auth").as("m"))
+      hub = nodes.join(hMass, nodes("id") === hMass("src"), "left")
+        .select(col("id"), coalesce(col("m"), lit(0.0)).as("hub"))
+      if (it % 5 == 0 && it != iters) hub = hub.localCheckpoint()
+    }
+    auth.join(hub, "id").select(col("id"), col("auth"), col("hub"))
+  }
 }

@@ -83,4 +83,35 @@ class WebGraphSpec extends AnyFunSuite {
     graft.CacheBin.drain()
     assert(s(0) > s.tail.max)
   }
+
+  test("hits matches an in-JVM reference exactly (integer scores)") {
+    val n = 20L
+    val edges = synthEdges(n)
+    var auth = Array.fill(n.toInt)(1.0)
+    var hub = Array.fill(n.toInt)(1.0)
+    for (_ <- 1 to 2) {
+      val a = Array.fill(n.toInt)(0.0)
+      for ((s, d) <- edges) a(d.toInt) += hub(s.toInt)
+      auth = a
+      val h = Array.fill(n.toInt)(0.0)
+      for ((s, d) <- edges) h(s.toInt) += auth(d.toInt)
+      hub = h
+    }
+    val got = WebGraph.hits(edges.toDF("src", "dst"), n, iters = 2)
+      .orderBy("id").select("auth", "hub").as[(Double, Double)].collect()
+    graft.CacheBin.drain()
+    // unnormalized integer-valued scores: equality must be EXACT
+    assert(got.map(_._1).toSeq === auth.toSeq)
+    assert(got.map(_._2).toSeq === hub.toSeq)
+  }
+
+  test("hits on a star: the center is the sole authority, leaves are hubs") {
+    val n = 6L
+    val star = (1L until n).map(i => i -> 0L)
+    val r = WebGraph.hits(star.toDF("src", "dst"), n, iters = 2)
+      .orderBy("id").select("auth", "hub").as[(Double, Double)].collect()
+    graft.CacheBin.drain()
+    assert(r(0)._1 > 0 && r.tail.forall(_._1 == 0.0)) // only 0 has in-links
+    assert(r(0)._2 == 0.0 && r.tail.forall(_._2 > 0)) // 0 has no out-links
+  }
 }

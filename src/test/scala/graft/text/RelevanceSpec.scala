@@ -1,0 +1,83 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class RelevanceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the cat sat on the mat", "en"),
+    (1L, "the dog sat on the log", "en"),
+    (2L, "le chat noir", "fr"),
+    (3L, "cat cat cat dog", "en")
+  ).toDF("doc_id", "text", "lang")
+
+  test("tfIdfTopK scores against a hand model") {
+    val got = Relevance.tfIdfTopK(docs, "doc_id", col("text"), 2)
+      .as[(Long, Int, String, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // hand model: n=4 docs; df: the=2, cat=2, sat=2, on=2, mat=1, dog=2,
+    // log=1, le=1, chat=1, noir=1
+    def s(tf: Int, df: Int): Double =
+      BigDecimal(tf * math.log(4.0 / df))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 0: "the"(tf2,df2)=2ln2≈1.386294 beats "mat"(1,1)=ln4≈1.386294...
+    // 2*ln(2) == ln(4) exactly in the reals but NOT in doubles:
+    // 2*Math.log(2.0)=1.3862943611198906, Math.log(4.0)=1.3862943611198906
+    // (they happen to be equal bit patterns) -> tie broken by term: "mat"
+    assert(got((0L, 1)) === ("mat", s(1, 1)))
+    assert(got((0L, 2)) === ("the", s(2, 2)))
+    // doc 3: cat tf=3 df=2 -> 3ln2 ≈ 2.079 beats dog ln2 ≈ 0.693
+    assert(got((3L, 1)) === ("cat", s(3, 2)))
+    assert(got((3L, 2)) === ("dog", s(1, 2)))
+    // doc 2's unique terms all score ln4, ties broken lexicographically
+    assert(got((2L, 1))._1 === "chat")
+    assert(got((2L, 2))._1 === "le")
+  }
+
+  test("tfIdfTopK is partitioning-invariant") {
+    val a = Relevance.tfIdfTopK(docs.repartition(1), "doc_id", col("text"), 3)
+      .as[(Long, Int, String, Double)].collect().sortBy(r => (r._1, r._2))
+    val b = Relevance.tfIdfTopK(docs.repartition(7), "doc_id", col("text"), 3)
+      .as[(Long, Int, String, Double)].collect().sortBy(r => (r._1, r._2))
+    graft.CacheBin.drain()
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("importanceWeights: target-like docs score higher than off-target") {
+    val w = Relevance.importanceWeights(
+      docs, "doc_id", col("text"), col("lang") === "en", buckets = 16)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    graft.CacheBin.drain()
+    // the French doc's tokens live in buckets the EN target never hit:
+    // every one carries ln(1/(tt+16)) − ln(2/(tr+16)) with tr > tt, still
+    // the smallest ratios in the corpus — it must rank strictly last
+    assert(w(2L) === w.values.min)
+    // weights are per-token sums: docs 0/1 share 4 of 6 tokens, close
+    assert(math.abs(w(0L) - w(1L)) < math.abs(w(0L) - w(2L)))
+  }
+
+  test("importanceWeights matches a hand computation on one bucket layout") {
+    // single doc per class, 1 bucket: every token maps to bucket 0, so the
+    // weight collapses to n_tokens * (ln((tt+1)/(tt+1)) - ln((tr+1)/(tr+1)))
+    // = 0 exactly — the smoothed distributions coincide
+    val w = Relevance.importanceWeights(
+      docs, "doc_id", col("text"), col("lang") === "en", buckets = 1)
+      .as[(Long, Long, Double)].collect()
+    graft.CacheBin.drain()
+    val tt = 6 + 6 + 4 // en tokens
+    val tr = tt + 3
+    val perTok = math.log((tt + 1).toDouble / (tt + 1)) -
+      math.log((tr + 1).toDouble / (tr + 1))
+    assert(perTok === 0.0)
+    w.foreach { case (_, nTok, wt) =>
+      val exp = BigDecimal(nTok * (math.log((tt + 1).toDouble / (tt + 1)) -
+        math.log((tr + 1).toDouble / (tr + 1))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(wt === exp)
+    }
+  }
+}
