@@ -34,14 +34,27 @@ object Dedup {
     * is not transitive, so the selection closes the pairs into connected
     * components first (the same O(log diameter) pointer-jumping
     * propagation as the geometry adjacency groups; duplicate clusters have
-    * tiny diameters, so this is 2–3 rounds of plain shuffles at any corpus
-    * size). Output: one (idCol) row per survivor. */
+    * tiny diameters, so this is 2–3 rounds of plain shuffles).
+    *
+    * The component vertex set is the PAIR ENDPOINTS only, never the
+    * corpus: a doc outside every pair keeps comp == id and can never
+    * lose, so propagating labels over all docs would make every
+    * pointer-jump round corpus-sized for an identical answer (the
+    * near-dup graph is typically orders of magnitude smaller than the
+    * corpus). The corpus pays exactly ONE join — a left_anti against the
+    * (tiny) non-representative endpoint set. Output: one (idCol) row per
+    * survivor. */
   def keepRepresentatives(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val comps = graft.ops.Adjacency.connectedComponents(
-      docs.select(col(idCol).cast("long").as("bid")),
+    val p = graft.CacheBin.persist(
       pairs.select(col("id_a").cast("long").as("a"),
         col("id_b").cast("long").as("b")))
-    comps.filter(col("bid") === col("comp")).select(col("bid").as(idCol))
+    val endpoints = p.select(col("a").as("bid"))
+      .union(p.select(col("b").as("bid"))).distinct()
+    val comps = graft.ops.Adjacency.connectedComponents(endpoints, p)
+    val losers = comps.filter(col("bid") =!= col("comp")).select("bid")
+    docs.select(col(idCol).cast("long").as("bid"))
+      .join(losers, Seq("bid"), "left_anti")
+      .select(col("bid").as(idCol))
   }
 
   /** Write the corpus dedup INDEX: the distinct canonical keys of every

@@ -133,6 +133,28 @@ class DedupSpec extends AnyFunSuite {
     assert(none.toSeq === Seq(1L, 2L, 3L, 4L))
   }
 
+  test("keepRepresentatives == in-JVM union-find on a mixed corpus") {
+    import spark.implicits._
+    // 200 docs, a deterministic tangle of chains/cliques/self-contained
+    // clusters plus a large untouched majority — the endpoint-only
+    // component optimization must not change the survivor set
+    val n = 200L
+    val docs = (0L until n).toDF("doc_id")
+    val pairEdges = (0L until 40L).map(i => (i * 3, i * 3 + 1)) ++
+      (0L until 20L).map(i => (i * 3 + 1, i * 3 + 2)) ++
+      Seq((0L, 90L), (90L, 120L), (7L, 7L + 3L))
+    val kept = graft.dedup.Dedup
+      .keepRepresentatives(docs, "doc_id", pairEdges.toDF("id_a", "id_b"))
+      .as[Long].collect().toSet
+    // union-find reference
+    val parent = scala.collection.mutable.Map((0L until n).map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for ((a, b) <- pairEdges) parent(find(a)) = find(b)
+    val expectMin = (0L until n).groupBy(find).values.map(_.min).toSet
+    assert(kept === expectMin)
+  }
+
   test("LSH minhash recall matches exact jaccard pairs on the corpus") {
     import spark.implicits._
     val exact = graft.Queries.queries("q_jaccard_pairs")(spark, TestSpark.sf001)
