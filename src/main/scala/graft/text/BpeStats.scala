@@ -21,7 +21,8 @@ import org.apache.spark.sql.functions._
   */
 object BpeStats {
 
-  /** (word, f) — the only corpus-sized pass. */
+  /** (word, f) — the only corpus-sized pass (map-side partial counts
+    * bound the exchange at partition-distinct words). */
   def wordFreqs(docs: DataFrame, textCol: Column): DataFrame =
     docs.select(explode(split(textCol, " ")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("f"))

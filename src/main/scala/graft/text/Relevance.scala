@@ -17,15 +17,19 @@ object Relevance {
 
   /** Top-k terms per document by tf·ln(nDocs/df).
     *
-    * 100 TB shape: term frequencies are ONE word-keyed shuffle of (doc,
-    * word) with map-side partial counts; document frequencies fall out of
-    * the tf table with a second aggregate on the word alone. The tf⨝df
-    * join is word-keyed — stopword keys are heavy, which is exactly the
-    * skew AQE's skew-join split handles (the key space needs no salt
-    * because the join is 1-row-per-key on the df side, so a split bucket
-    * replicates one 16-byte row). The final top-k window partitions by
-    * doc_id — partition-local, never a global sort. ln(n/df) is evaluated
-    * once per distinct word, not once per (doc, word) pair.
+    * 100 TB shape: term frequencies are one groupBy(doc, word) whose
+    * map-side partial aggregation bounds the EXCHANGE at distinct
+    * (doc, word) pairs, not corpus tokens (same-doc tokens share a
+    * partition, so they combine before the wire; an in-row HOF histogram
+    * was tried and reverted — lambda functions run interpreted, outside
+    * whole-stage codegen, and measured ~3× slower for the same exchange
+    * volume). Document frequencies fall out of the tf table with a second
+    * aggregate on the word alone. The tf⨝df join is word-keyed — stopword
+    * keys are heavy, which is exactly the skew AQE's skew-join split
+    * handles (the df side is 1 row per key, so a split bucket replicates
+    * one 16-byte row). The final top-k window partitions by doc_id —
+    * partition-local, never a global sort. ln(n/df) is evaluated once per
+    * distinct word, not once per (doc, word) pair.
     */
   def tfIdfTopK(docs: DataFrame, idCol: String, textCol: Column,
                 k: Int): DataFrame = {
