@@ -32,6 +32,7 @@ object ScaleText {
     val spark = Scale.makeSession(cores)
     val shuffleBytes = Scale.shuffleCounter(spark)
     val docs = synthDocs(spark, n, cores * 2)
+    val s0 = shuffleBytes.get()
     val t0 = System.nanoTime()
     // integer checksums pin cross-level exactness: the (doc, rank, term)
     // assignment and the pair counts are integer-determined, so every
@@ -48,7 +49,7 @@ object ScaleText {
       .agg(sum("n")).head().getLong(0)
     val sec = (System.nanoTime() - t0) / 1e9
     Thread.sleep(100)
-    val shufMb = (shuffleBytes.get() - 0L) / 1e6
+    val shufMb = (shuffleBytes.get() - s0) / 1e6
     CacheBin.drain()
     spark.stop()
     val checksum = tfidf + bpe + imp

@@ -43,17 +43,34 @@ object Dedup {
     * near-dup graph is typically orders of magnitude smaller than the
     * corpus). The corpus pays exactly ONE join — a left_anti against the
     * (tiny) non-representative endpoint set. Output: one (idCol) row per
-    * survivor. */
-  def keepRepresentatives(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    * survivor.
+    *
+    * PRECONDITION: every pair endpoint must be an id present in `docs` —
+    * true by construction for every pair generator in this engine (they
+    * all derive pairs from the same frame). An endpoint OUTSIDE `docs`
+    * would join clusters through a phantom bridge or steal a cluster's
+    * min-id so that the cluster loses every present member. Callers
+    * holding pairs that may have outlived an upstream filter (a stale
+    * pair table) must pass validatePairs = true, which drops any pair
+    * with a missing endpoint first — two extra id-keyed joins of the
+    * (small) pair table against the corpus ids, so it is opt-in rather
+    * than a tax on the callers that meet the contract. */
+  def keepRepresentatives(docs: DataFrame, idCol: String, pairs: DataFrame,
+                          validatePairs: Boolean = false): DataFrame = {
+    val ids = docs.select(col(idCol).cast("long").as("bid"))
+    val rawP = pairs.select(col("id_a").cast("long").as("a"),
+      col("id_b").cast("long").as("b"))
     val p = graft.CacheBin.persist(
-      pairs.select(col("id_a").cast("long").as("a"),
-        col("id_b").cast("long").as("b")))
+      if (!validatePairs) rawP
+      else rawP
+        .join(ids.select(col("bid").as("a")), Seq("a"), "left_semi")
+        .join(ids.select(col("bid").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b")))
     val endpoints = p.select(col("a").as("bid"))
       .union(p.select(col("b").as("bid"))).distinct()
     val comps = graft.ops.Adjacency.connectedComponents(endpoints, p)
     val losers = comps.filter(col("bid") =!= col("comp")).select("bid")
-    docs.select(col(idCol).cast("long").as("bid"))
-      .join(losers, Seq("bid"), "left_anti")
+    ids.join(losers, Seq("bid"), "left_anti")
       .select(col("bid").as(idCol))
   }
 

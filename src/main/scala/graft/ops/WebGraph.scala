@@ -161,6 +161,17 @@ object WebGraph {
     * back onto the cached node range. Same steady state as [[pageRank]].
     */
   def hits(edges: DataFrame, n: Long, iters: Int): DataFrame = {
+    // Exactness bound: unnormalized scores grow ~ (avg degree)^2 per full
+    // round, and the integer-exactness contract (and q_hits's long cast)
+    // holds only while every score stays below 2^53 — past it, double
+    // sums become reduction-order-dependent and the two engines can
+    // round the cast differently. 2^53 ≈ 9e15 gives deg²·iters headroom
+    // like 10^3-degree graphs for ~5 rounds; the guard keeps callers from
+    // silently leaving the exact regime (normalize externally if more
+    // rounds are needed — HITS converges in a handful anyway).
+    require(iters >= 1 && iters <= 8,
+      s"hits: iters=$iters outside the integer-exact regime (1..8); " +
+        "normalize between rounds if you need more")
     val spark = edges.sparkSession
     val bySrc = graft.CacheBin.persist(
       edges.repartition(col("src")).sortWithinPartitions("src"))

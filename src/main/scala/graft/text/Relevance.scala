@@ -54,10 +54,10 @@ object Relevance {
   }
 
   /** 48-bit md5 prefix of a term, mod `buckets` — the hashed feature
-    * space. Bit-identical in DuckDB as
-    * ('0x' || substr(md5(term), 1, 12))::BIGINT % buckets. */
+    * space (the engine-wide TextFns.hashBucket idiom; DuckDB parity
+    * documented there). */
   def featureBucket(term: Column, buckets: Int): Column =
-    conv(substring(md5(term), 1, 12), 16, 10).cast("long") % buckets
+    TextFns.hashBucket(term, buckets)
 
   /** DSIR-style importance weight per document (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling"): hash every
@@ -82,15 +82,23 @@ object Relevance {
     */
   def importanceWeights(docs: DataFrame, idCol: String, textCol: Column,
                         targetPred: Column, buckets: Int = 64): DataFrame = {
-    val toks = graft.CacheBin.persist(docs
+    // the token stream is NOT persisted: caching it would materialize one
+    // row per CORPUS TOKEN (~10^15 at the target scale) to save re-running
+    // a split+explode — the cache write costs far more than the second
+    // scan. What IS persisted is `counts`, the `buckets`-row aggregate all
+    // three downstream reads (totals, ratios, broadcast build) share, so
+    // the corpus is scanned exactly twice: once here, once for scoring
+    def toks = docs
       .select(col(idCol), targetPred.as("is_t"),
         explode(split(textCol, " ")).as("term"))
-      .withColumn("f", featureBucket(col("term"), buckets)))
-    val counts = toks.groupBy("f").agg(
+      .withColumn("f", featureBucket(col("term"), buckets))
+    val counts = graft.CacheBin.persist(toks.groupBy("f").agg(
       sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
-      count(lit(1)).as("cr"))
+      count(lit(1)).as("cr")))
     val totals = counts.agg(
-      sum("ct").as("tt"), sum("cr").as("tr")).head()
+      // coalesce: a fully-empty corpus yields a null-sum row, not 0
+      coalesce(sum("ct"), lit(0L)).as("tt"),
+      coalesce(sum("cr"), lit(0L)).as("tr")).head()
     val (tt, tr) = (totals.getLong(0), totals.getLong(1))
     // add-one smoothing keeps empty target buckets finite; the log ratio
     // is formed from exact integers, so parity only depends on the final

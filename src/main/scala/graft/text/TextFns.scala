@@ -47,8 +47,16 @@ object TextFns {
     * a training-data split needs at 100 TB. 12 hex chars = 48 bits, so the
     * value fits a signed long in both Spark (conv→cast) and DuckDB
     * ('0x'||prefix::BIGINT) with identical arithmetic. */
-  def splitBucket(id: Column): Column =
-    conv(substring(md5(id.cast("string")), 1, 12), 16, 10).cast("long") % 100
+  def splitBucket(id: Column): Column = hashBucket(id.cast("string"), 100)
+
+  /** The shared md5-48-bit-prefix bucket: mod of the first 12 hex chars of
+    * md5(expr). DuckDB parity: ('0x' || substr(md5(expr), 1, 12))::BIGINT
+    * % m — identical arithmetic (48 bits fit signed longs in both
+    * engines). Every deterministic hash decision in the engine
+    * ([[splitBucket]], [[sampleBp]], Relevance.featureBucket) routes
+    * through here so a parity fix lands once. */
+  def hashBucket(expr: Column, mod: Int): Column =
+    conv(substring(md5(expr), 1, 12), 16, 10).cast("long") % mod
 
   /** Deterministic sampling coordinate in [0, 10000) basis points, salted
     * so distinct pipeline stages (split vs mixing vs subsampling) draw
@@ -57,8 +65,7 @@ object TextFns {
     * train/val split. Same 48-bit-prefix arithmetic as [[splitBucket]],
     * bit-identical in Spark and DuckDB. */
   def sampleBp(id: Column, salt: String): Column =
-    conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 12), 16, 10)
-      .cast("long") % 10000
+    hashBucket(concat(id.cast("string"), lit(salt)), 10000)
 
   /** PII redaction patterns. Both regexes restrict themselves to syntax
     * with identical semantics in Java (Spark) and RE2 (DuckDB): character

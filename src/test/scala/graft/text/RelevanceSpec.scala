@@ -60,6 +60,14 @@ class RelevanceSpec extends AnyFunSuite {
     assert(math.abs(w(0L) - w(1L)) < math.abs(w(0L) - w(2L)))
   }
 
+  test("importanceWeights on an empty corpus returns empty, not NPE") {
+    val empty = docs.filter(col("doc_id") < 0)
+    val out = Relevance.importanceWeights(
+      empty, "doc_id", col("text"), col("lang") === "en", buckets = 8)
+    assert(out.count() === 0)
+    graft.CacheBin.drain()
+  }
+
   test("importanceWeights matches a hand computation on one bucket layout") {
     // single doc per class, 1 bucket: every token maps to bucket 0, so the
     // weight collapses to n_tokens * (ln((tt+1)/(tt+1)) - ln((tr+1)/(tr+1)))

@@ -155,6 +155,24 @@ class DedupSpec extends AnyFunSuite {
     assert(kept === expectMin)
   }
 
+  test("keepRepresentatives(validatePairs): stale endpoints cannot bridge or steal") {
+    import spark.implicits._
+    // 5 was filtered out upstream; its pairs must not delete 80's cluster
+    // (min-id theft) nor merge 10 and 20 through the phantom bridge 99
+    val docs = Seq(10L, 20L, 80L).toDF("doc_id")
+    val stale = Seq((5L, 80L), (10L, 99L), (99L, 20L)).toDF("id_a", "id_b")
+    val kept = graft.dedup.Dedup
+      .keepRepresentatives(docs, "doc_id", stale, validatePairs = true)
+      .as[Long].collect().sorted
+    assert(kept.toSeq === Seq(10L, 20L, 80L))
+    // and a valid pair among stale ones still collapses its cluster
+    val mixed = Seq((5L, 80L), (10L, 20L)).toDF("id_a", "id_b")
+    val kept2 = graft.dedup.Dedup
+      .keepRepresentatives(docs, "doc_id", mixed, validatePairs = true)
+      .as[Long].collect().sorted
+    assert(kept2.toSeq === Seq(10L, 80L))
+  }
+
   test("LSH minhash recall matches exact jaccard pairs on the corpus") {
     import spark.implicits._
     val exact = graft.Queries.queries("q_jaccard_pairs")(spark, TestSpark.sf001)
