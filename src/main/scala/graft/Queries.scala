@@ -1186,6 +1186,29 @@ object Queries {
                     || CAST(j AS VARCHAR)) AS anchors
               FROM e GROUP BY 1 ORDER BY dst_id""")),
 
+    // STREAMING link-graph windows: readStream over the documents parquet,
+    // the same pure-column page synthesis, real href extraction, tumbling
+    // 5-minute event-time windows (event time recovered from the url).
+    // The oracle replays the window arithmetic closed-form — stream ==
+    // batch == SQL, the engine's backfill/live equivalence claim applied
+    // to the web-graph family
+    "q_link_windows_stream" -> Q(
+      (s, d) => {
+        val n = t(s, d, "documents").count()
+        graft.streaming.EventStream.runHostWindowsOnce(s, d, n)
+          .orderBy("bucket", "src_host", "dst_host")
+      },
+      Some("""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+              s AS (SELECT doc_id, unnest(range(doc_id % 4 + 1)) AS j
+                    FROM documents),
+              e AS (SELECT doc_id AS src,
+                      (doc_id*131 + 7*j) % (SELECT n FROM nn) AS dst FROM s)
+              SELECT (src % 1800) // 300 AS bucket,
+                     'h' || CAST(src % 16 AS VARCHAR) || '.example' AS src_host,
+                     'h' || CAST(dst % 16 AS VARCHAR) || '.example' AS dst_host,
+                     count(*) AS n_links
+              FROM e GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
     // fixed-iteration HITS hubs & authorities over the same extracted
     // link graph: unnormalized with an all-ones start, so every score is
     // an exact integer — bit-identical across engines with NO rounding

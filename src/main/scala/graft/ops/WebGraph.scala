@@ -73,6 +73,28 @@ object WebGraph {
       .agg(count(lit(1)).as("n_anchors"),
         array_join(array_sort(collect_list(col("anchor"))), " ").as("anchors"))
 
+  /** Streaming-compatible host-graph rollup over tumbling event-time
+    * windows: (bucket, src_host, dst_host, n_links), where the event time
+    * is recovered FROM the url (doc_id % 1800 seconds — deterministic, so
+    * the DuckDB oracle replays the window arithmetically) and bucket is
+    * the 5-minute window start in 300-second units. Link extraction is
+    * the same stateless codegen scan as the batch path; only the window
+    * aggregate is stateful. Run in complete mode for bounded backfills
+    * (the established zoneWindowCounts shape); an unbounded live stream
+    * would add a watermark and append mode, trading the final open
+    * windows for state eviction. */
+  def hostWindowCounts(pages: DataFrame): DataFrame =
+    pages
+      .select(timestamp_seconds(docIdOf(col("url")) % 1800L).as("ets"),
+        hostOf(col("url")).as("src_host"),
+        explode(extractLinks(col("html"))).as("link"))
+      .select(col("ets"), col("src_host"), hostOf(col("link")).as("dst_host"))
+      .groupBy(window(col("ets"), "5 minutes"), col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("n_links"))
+      .select((unix_micros(col("window.start")) / lit(300000000L))
+        .cast("long").as("bucket"),
+        col("src_host"), col("dst_host"), col("n_links"))
+
   /** Host-to-host edge rollup: (src_host, dst_host, n_links, n_dst_docs).
     * One hash aggregate on a pair of short host keys. */
   def hostGraph(pages: DataFrame): DataFrame =

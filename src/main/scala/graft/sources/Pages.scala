@@ -43,8 +43,13 @@ object Pages {
     * what lets DuckDB regenerate the exact edge set without parsing HTML —
     * the Spark side must recover it from the bytes with real regex
     * extraction (WebGraph.hostEdges). */
-  def fromDocumentsLinked(spark: SparkSession, sfDir: String, n: Long): DataFrame = {
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  def fromDocumentsLinked(spark: SparkSession, sfDir: String, n: Long): DataFrame =
+    linkedPagesFrom(spark.read.parquet(s"$sfDir/documents.parquet"), n)
+
+  /** The same linked-page synthesis as a pure column map over any
+    * documents-shaped frame — batch OR streaming (the streaming link
+    * windows reuse it over a readStream of the same parquet). */
+  def linkedPagesFrom(docs: DataFrame, n: Long): DataFrame = {
     def pageUrl(id: Column): Column =
       concat(lit("https://h"), id % 16, lit(".example/doc/"), id)
     val anchors = array_join(

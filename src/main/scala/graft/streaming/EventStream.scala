@@ -242,6 +242,31 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Run the streaming link-window rollup synchronously: readStream over
+    * the documents parquet, the SAME pure-column page synthesis as the
+    * batch path (Pages.linkedPagesFrom), href extraction + tumbling
+    * event-time windows (WebGraph.hostWindowCounts), memory sink. `n` is
+    * the corpus row count (one cheap batch count, passed in so the stream
+    * stays a pure column map). */
+  def runHostWindowsOnce(spark: SparkSession, sfDir: String, n: Long): DataFrame = {
+    val schema: StructType = spark.read
+      .parquet(s"$sfDir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    val name = s"host_windows_${runSeq.incrementAndGet()}"
+    val q = graft.ops.WebGraph
+      .hostWindowCounts(graft.sources.Pages.linkedPagesFrom(stream, n))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   /** Run the streaming agg over the parquet events of `sfDir` synchronously
     * (memory sink, complete mode) and return the result as a DataFrame. */
   def runOnce(spark: SparkSession, sfDir: String, queryName: String): DataFrame = {

@@ -84,6 +84,17 @@ class WebGraphSpec extends AnyFunSuite {
     assert(s(0) > s.tail.max)
   }
 
+  test("streaming host windows == the identical batch aggregation") {
+    val n = spark.read.parquet(s"${TestSpark.sf001}/documents.parquet").count()
+    val streamed = graft.streaming.EventStream
+      .runHostWindowsOnce(spark, TestSpark.sf001, n)
+      .as[(Long, String, String, Long)].collect().sorted
+    val batch = WebGraph
+      .hostWindowCounts(graft.sources.Pages.fromDocumentsLinked(spark, TestSpark.sf001, n))
+      .as[(Long, String, String, Long)].collect().sorted
+    assert(streamed.nonEmpty && streamed.toSeq === batch.toSeq)
+  }
+
   test("hits matches an in-JVM reference exactly (integer scores)") {
     val n = 20L
     val edges = synthEdges(n)
