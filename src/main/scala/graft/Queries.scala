@@ -826,6 +826,91 @@ object Queries {
                      count(*) AS n_snapshots
               FROM s GROUP BY 1 ORDER BY url""")),
 
+    // URL canonicalization (the RefinedWeb/C4 stage-1 analog of the
+    // reference's id-normalization discipline: catatom.py cod_mun
+    // zero-padding, address.py:42-46 xlink '#' stripping). Messy
+    // deterministic URLs -> canonical form via pure regex/HOF column
+    // math — scan-shaped at 10^12 pages, zero shuffle before the oracle
+    // gate's sort. Regexes restricted to Java/RE2-identical syntax.
+    "q_url_normalize" -> Q(
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.ops.UrlOps.messyUrl(col("doc_id"), col("doc_id")).as("u"))
+        .select(col("doc_id"),
+          graft.ops.UrlOps.normalize(col("u")).as("url_norm"))
+        .orderBy("doc_id"),
+      Some(s"""WITH u AS (SELECT doc_id,
+                ${graft.ops.UrlOps.messyUrlSql("doc_id", "doc_id")} AS u FROM documents),
+              ${graft.ops.UrlOps.normalizeSql("u")}
+              SELECT doc_id, url_norm FROM f ORDER BY doc_id""")),
+
+    // host blocklist + canonical-URL collapse: each canonical page
+    // appears under 4 noisy spellings (page identity = doc_id/4, noise =
+    // doc_id); normalize (scan-shaped), drop blocked hosts (broadcast
+    // anti — blocklists are never corpus-sized), keep one survivor per
+    // canonical url with map-side-combinable min/count. The ONE corpus
+    // exchange is the groupBy on the canonical key — the q_url_latest
+    // revision-collapse shape.
+    "q_url_filter" -> Q(
+      (s, d) => {
+        val pages = t(s, d, "documents")
+          .select(col("doc_id"),
+            graft.ops.UrlOps.messyUrl(
+              floor(col("doc_id") / 4).cast("long"), col("doc_id")).as("u"))
+          .select(col("doc_id"),
+            graft.ops.UrlOps.normalize(col("u")).as("url_norm"))
+        graft.ops.UrlOps.filterAndCollapse(pages, "doc_id", "url_norm")
+          .orderBy("url_norm")
+      },
+      Some(s"""WITH u AS (SELECT doc_id,
+                ${graft.ops.UrlOps.messyUrlSql("doc_id // 4", "doc_id")} AS u FROM documents),
+              ${graft.ops.UrlOps.normalizeSql("u")},
+              h AS (SELECT doc_id, url_norm,
+                      regexp_extract(url_norm, '^[a-z]+://([^/:?#]*)', 1) AS host FROM f)
+              SELECT url_norm, min(doc_id) AS canonical_id, count(*) AS n_dups
+              FROM h WHERE host NOT IN ('h3.example', 'h7.example', 'h11.example')
+              GROUP BY 1 ORDER BY url_norm""")),
+
+    // C4/CCNet line-level cleanup: chunk the corpus's whitespace text
+    // into deterministic 5-token lines (the newline structure the
+    // synthetic corpus lacks), drop boilerplate-marked lines, rejoin.
+    // Array HOFs inside one projection — no explode, no shuffle: the
+    // per-page line filter stays scan-shaped at any corpus size.
+    "q_line_clean" -> Q(
+      (s, d) => {
+        val ls = TextFns.fixedLines(col("text"), 5)
+        val kept = filter(ls,
+          l => !concat(lit(" "), l, lit(" ")).contains(" dup "))
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            size(ls).cast("long").as("n_lines"),
+            size(kept).cast("long").as("n_kept"),
+            array_join(kept, "\n").as("text_clean"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+              l AS (SELECT doc_id, list_transform(range(0, len(w)//5),
+                      i -> array_to_string(list_slice(w, i*5+1, i*5+5), ' ')) AS ls FROM t),
+              k AS (SELECT doc_id, ls,
+                      list_filter(ls, x -> NOT contains(' ' || x || ' ', ' dup ')) AS kept FROM l)
+              SELECT doc_id, len(ls) AS n_lines, len(kept) AS n_kept,
+                array_to_string(kept, chr(10)) AS text_clean
+              FROM k ORDER BY doc_id""")),
+
+    // deterministic global training-data shuffle (the data-ordering op a
+    // training pipeline runs LAST): salted-hash shard + within-shard
+    // hash-order position. Hash-partition + per-shard local sort — the
+    // shard-file write path, never a global sort (Sampling.shardShuffle).
+    "q_shard_shuffle" -> Q(
+      (s, d) => graft.text.Sampling.shardShuffle(t(s, d, "documents"), "doc_id", 8)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+                ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 12))::BIGINT AS h
+              FROM documents)
+              SELECT doc_id, h % 8 AS shard,
+                CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos
+              FROM t ORDER BY doc_id""")),
+
     // fuzzy street-name matching: token-sorted levenshtein argmin
     // (hgwnames.match/dsmatch, hgwnames.py:49-96)
     "q_fuzzy_match" -> Q(

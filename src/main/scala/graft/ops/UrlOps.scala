@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization + blocklist filtering — the first stage of every
+  * web-corpus pipeline (RefinedWeb/C4 shape), and the web-table analog of
+  * the reference's id-normalization discipline (catatom2osm/catatom.py
+  * cod_mun zero-padding, address.py:42-46 xlink '#' stripping: identify a
+  * record by a canonical form of its messy external key before any join).
+  *
+  * Everything here is a pure column map — regex + array HOFs, no UDFs, no
+  * shuffle — so canonicalization runs scan-shaped over 10^12 pages; only
+  * the revision collapse (one groupBy on the canonical url) exchanges
+  * data, and the blocklist join broadcasts (host blocklists are ~10^5
+  * rows, never corpus-sized).
+  *
+  * Regex discipline (same contract as TextFns.EmailRe): only syntax with
+  * identical semantics in Java (Spark) and RE2 (DuckDB) — character
+  * classes, anchors, alternation; no backrefs, no lookaround — so every
+  * transform is oracle-replayable bit-for-bit.
+  */
+object UrlOps {
+
+  /** Deterministic messy-URL synthesis (the sandbox has no crawl data):
+    * canonical identity comes from `page` (host + path + the one kept
+    * query param), presentation noise from `noise` (scheme case, host
+    * case, explicit default port, tracking params, fragment). With
+    * page = noise = doc_id every URL is unique; with page = doc_id/4 each
+    * canonical page appears under 4 noisy spellings — the crawl-dup shape
+    * the collapse query needs. */
+  def messyUrl(page: Column, noise: Column): Column = {
+    val scheme = when(noise % 2 === 0, lit("https")).otherwise(lit("HTTPS"))
+    val host = concat(
+      when(noise % 3 === 0, lit("H")).otherwise(lit("h")),
+      page % 16, lit(".Example"))
+    val port = when(noise % 4 === 0, lit(":443")).otherwise(lit(""))
+    val path = concat(lit("/Doc/"), page)
+    val query = concat(
+      lit("?utm_source=s"), noise % 3,
+      lit("&id="), page % 7,
+      lit("&ref=r"), noise % 2)
+    val frag = when(noise % 5 =!= 0, concat(lit("#sec"), noise % 5))
+      .otherwise(lit(""))
+    concat(scheme, lit("://"), host, port, path, query, frag)
+  }
+
+  /** DuckDB fragment of the same synthesis ([[messyUrl]] parity). */
+  def messyUrlSql(page: String, noise: String): String =
+    s"""(CASE WHEN ($noise) % 2 = 0 THEN 'https' ELSE 'HTTPS' END || '://' ||
+        CASE WHEN ($noise) % 3 = 0 THEN 'H' ELSE 'h' END ||
+        CAST(($page) % 16 AS VARCHAR) || '.Example' ||
+        CASE WHEN ($noise) % 4 = 0 THEN ':443' ELSE '' END ||
+        '/Doc/' || CAST(($page) AS VARCHAR) ||
+        '?utm_source=s' || CAST(($noise) % 3 AS VARCHAR) ||
+        '&id=' || CAST(($page) % 7 AS VARCHAR) ||
+        '&ref=r' || CAST(($noise) % 2 AS VARCHAR) ||
+        CASE WHEN ($noise) % 5 <> 0 THEN '#sec' || CAST(($noise) % 5 AS VARCHAR) ELSE '' END)"""
+      .linesIterator.map(_.trim).mkString(" ")
+
+  /** Tracking params dropped by canonicalization (utm_* and bare ref). */
+  val TrackingParamRe = "^(utm_[^=]*|ref)="
+
+  /** Canonicalize a URL: strip the fragment, lowercase scheme+host (NOT
+    * the path — paths are case-sensitive), drop an explicit :443 default
+    * port, and remove tracking query params while preserving the relative
+    * order of the survivors. Pure narrow expressions end-to-end. */
+  def normalize(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    // authority prefix = scheme://host[:port] ; everything after is
+    // case-preserved path+query
+    val prefix = regexp_extract(noFrag, "^[A-Za-z]+://[^/?#]*", 0)
+    val rest = noFrag.substr(length(prefix) + 1, length(noFrag))
+    val canonPrefix = regexp_replace(lower(prefix), ":443$", "")
+    val path = regexp_extract(rest, "^[^?]*", 0)
+    val q = regexp_extract(rest, "\\?(.*)$", 1)
+    val kept = filter(split(q, "&"), p => !p.rlike(TrackingParamRe))
+    val qn = array_join(kept, "&")
+    concat(canonPrefix, path,
+      when(length(qn) > 0, concat(lit("?"), qn)).otherwise(lit("")))
+  }
+
+  /** DuckDB CTE chain replaying [[normalize]] over column `u` of relation
+    * `rel` (which must also expose doc_id); yields (doc_id, url_norm). */
+  def normalizeSql(rel: String): String =
+    s"""n1 AS (SELECT doc_id, regexp_replace(u, '#.*$$', '') AS u FROM $rel),
+        p AS (SELECT doc_id, u, regexp_extract(u, '^[A-Za-z]+://[^/?#]*') AS pre FROM n1),
+        s AS (SELECT doc_id, regexp_replace(lower(pre), ':443$$', '') AS pre2,
+                substr(u, length(pre) + 1) AS rest FROM p),
+        r AS (SELECT doc_id, pre2, regexp_extract(rest, '^[^?]*') AS path,
+                regexp_extract(rest, '\\?(.*)$$', 1) AS q FROM s),
+        f AS (SELECT doc_id, pre2 || path ||
+                CASE WHEN length(qn) > 0 THEN '?' || qn ELSE '' END AS url_norm
+              FROM (SELECT doc_id, pre2, path,
+                      array_to_string(list_filter(string_split(q, '&'),
+                        x -> NOT regexp_matches(x, '$TrackingParamRe')), '&') AS qn
+                    FROM r))"""
+      .linesIterator.map(_.trim).mkString(" ")
+
+  /** Hosts filtered out before any further processing (the RefinedWeb
+    * blocklist stage). Kept tiny here; at corpus scale the list is ~10^5
+    * rows — still broadcast territory. */
+  val BlockedHosts: Seq[String] = Seq("h3.example", "h7.example", "h11.example")
+
+  /** Host of an already-normalized URL. */
+  def hostOf(urlNorm: Column): Column =
+    regexp_extract(urlNorm, "^[a-z]+://([^/:?#]*)", 1)
+
+  /** Blocklist filter + canonical-URL collapse: drop pages on blocked
+    * hosts (broadcast anti join — the blocklist is the small side by
+    * construction), then keep one survivor per canonical URL (groupBy on
+    * url_norm with map-side-combinable min/count — the q_url_latest
+    * revision-collapse shape, no window sort). The ONE corpus exchange is
+    * the groupBy on the canonical key. */
+  def filterAndCollapse(pages: DataFrame, idCol: String, urlNormCol: String): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val blocked = BlockedHosts.toDF("blocked_host")
+    pages
+      .withColumn("host", hostOf(col(urlNormCol)))
+      .join(broadcast(blocked), col("host") === col("blocked_host"), "left_anti")
+      .groupBy(col(urlNormCol))
+      .agg(min(col(idCol)).as("canonical_id"),
+        count(lit(1)).as("n_dups"))
+  }
+}

@@ -159,4 +159,26 @@ object Sampling {
     }
     out.select(col(idCol), col("n_tokens"))
   }
+
+  /** Deterministic global training-data shuffle: assign every document a
+    * (shard, pos) coordinate — shard by a salted 48-bit hash, pos by the
+    * hash order WITHIN the shard. This is exactly the write path of
+    * training shards at 100 TB: hash-partition on shard, sort within each
+    * partition, stream each shard to its file — a per-shard local sort,
+    * never a global one (nShards grows with the corpus, so per-shard work
+    * is constant; 8 here only to keep the oracle output readable). The
+    * salt keeps the permutation independent of the train/val split and
+    * sampling coordinates drawn from the same id ([[TextFns.sampleBp]]'s
+    * independence argument). Appends are stable: new docs land at the tail
+    * of their shard's hash range without reshuffling old positions across
+    * shards (pos within a shard does shift — the coordinate to persist at
+    * ingest time is the hash, which never changes). */
+  def shardShuffle(docs: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    val h = TextFns.hash48(concat(col(idCol).cast("string"), lit(":shard")))
+    val w = Window.partitionBy("shard").orderBy(col("h"), col(idCol))
+    docs.select(col(idCol), h.as("h"))
+      .withColumn("shard", col("h") % nShards)
+      .select(col(idCol), col("shard"),
+        row_number().over(w).cast("long").as("pos"))
+  }
 }

@@ -55,8 +55,27 @@ object TextFns {
     * engines). Every deterministic hash decision in the engine
     * ([[splitBucket]], [[sampleBp]], Relevance.featureBucket) routes
     * through here so a parity fix lands once. */
-  def hashBucket(expr: Column, mod: Int): Column =
-    conv(substring(md5(expr), 1, 12), 16, 10).cast("long") % mod
+  def hashBucket(expr: Column, mod: Int): Column = hash48(expr) % mod
+
+  /** The full 48-bit md5-prefix value (the bucket idiom without the mod),
+    * for decisions that need a total order rather than a bucket — e.g.
+    * the within-shard position of [[Sampling.shardShuffle]]. Same DuckDB
+    * parity contract as [[hashBucket]]. */
+  def hash48(expr: Column): Column =
+    conv(substring(md5(expr), 1, 12), 16, 10).cast("long")
+
+  /** `text` chunked into fixed `w`-token lines (ragged tail dropped) —
+    * the deterministic stand-in for newline structure the synthetic corpus
+    * lacks, feeding the C4-style line-level cleanup. Array HOFs only:
+    * stays inside one projection, no explode. */
+  def fixedLines(text: Column, w: Int): Column = {
+    val toks = filter(split(text, " "), t => length(t) > lit(0))
+    val nLines = (size(toks) / lit(w)).cast("int")
+    when(nLines > 0,
+      transform(sequence(lit(0), nLines - 1),
+        i => array_join(slice(toks, i * w + 1, lit(w)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
 
   /** Deterministic sampling coordinate in [0, 10000) basis points, salted
     * so distinct pipeline stages (split vs mixing vs subsampling) draw

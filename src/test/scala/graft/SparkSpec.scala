@@ -26,4 +26,11 @@ object TestSpark {
     val h = md.digest(id.toString.getBytes("UTF-8"))
     h.take(6).foldLeft(0L)((acc, x) => (acc << 8) | (x & 0xffL)) % 100
   }
+
+  /** Hex md5 of an arbitrary string (independent replica of the salted
+    * hash48 idiom for specs that need the full 48-bit value). */
+  def md5Hex(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+  }
 }
