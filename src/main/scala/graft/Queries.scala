@@ -911,6 +911,20 @@ object Queries {
                 CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos
               FROM t ORDER BY doc_id""")),
 
+    // contiguous global example ids in deterministic (bucket, id) order
+    // WITHOUT a global sort: bounded 100-row bucket offsets + independent
+    // per-bucket ranking windows (Sampling.globalIndex). The oracle is
+    // the single global window this op exists to avoid.
+    "q_global_index" -> Q(
+      (s, d) => graft.text.Sampling.globalIndex(t(s, d, "documents"), "doc_id")
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+                ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100 AS bucket
+              FROM documents)
+              SELECT doc_id,
+                CAST(row_number() OVER (ORDER BY bucket, doc_id) - 1 AS BIGINT) AS idx
+              FROM t ORDER BY doc_id""")),
+
     // fuzzy street-name matching: token-sorted levenshtein argmin
     // (hgwnames.match/dsmatch, hgwnames.py:49-96)
     "q_fuzzy_match" -> Q(

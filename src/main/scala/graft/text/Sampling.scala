@@ -173,6 +173,29 @@ object Sampling {
     * of their shard's hash range without reshuffling old positions across
     * shards (pos within a shard does shift — the coordinate to persist at
     * ingest time is the hash, which never changes). */
+  /** Contiguous global example ids 0..n-1 in deterministic (bucket, id)
+    * order WITHOUT a global sort — the example-indexing pass a training
+    * pipeline needs before sharding. Same two-phase prefix-sum
+    * decomposition as [[tokenBudgetSample]]: per-bucket counts are a
+    * bounded 100-row aggregate, the cumulative offset runs over THAT
+    * table only (the one intentional single-partition window — 100 rows
+    * at any corpus size), and each bucket then ranks independently
+    * (partitionBy(bucket) windows, each ~1% of the corpus). No task ever
+    * owns a global order. */
+  def globalIndex(docs: DataFrame, idCol: String): DataFrame = {
+    val base = docs.select(col(idCol),
+      TextFns.splitBucket(col(idCol)).as("bucket"))
+    val wo = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(sum("cnt").over(wo), lit(0L)))
+      .select("bucket", "offset")
+    val wb = Window.partitionBy("bucket").orderBy(idCol)
+    base.join(broadcast(offsets), "bucket")
+      .select(col(idCol),
+        (col("offset") + row_number().over(wb) - 1).as("idx"))
+  }
+
   def shardShuffle(docs: DataFrame, idCol: String, nShards: Int): DataFrame = {
     val h = TextFns.hash48(concat(col(idCol).cast("string"), lit(":shard")))
     val w = Window.partitionBy("shard").orderBy(col("h"), col(idCol))

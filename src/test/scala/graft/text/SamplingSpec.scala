@@ -157,4 +157,26 @@ class SamplingSpec extends AnyFunSuite {
     assert(!df.queryExecution.executedPlan.toString.contains("Window"))
     assert(df.select("doc_id").as[Long].collect().toSet === bruteKeep(n, budget))
   }
+
+  test("globalIndex is the contiguous (bucket, id) rank; corpus window is bucket-partitioned") {
+    import spark.implicits._
+    val n = 700
+    val docs = (0 until n).map(_.toLong).toDF("doc_id")
+    val df = Sampling.globalIndex(docs, "doc_id")
+    val got = df.as[(Long, Long)].collect().toMap
+    val expected = (0 until n).map(_.toLong).sortBy(id => (bucketOf(id), id))
+      .zipWithIndex.map { case (id, i) => id -> i.toLong }.toMap
+    assert(got === expected)
+    // plan shape: the ranking window over the corpus is PARTITIONED by
+    // bucket (windowspecdefinition(bucket, doc_id ASC ...)); no window
+    // orders the raw corpus globally (windowspecdefinition(doc_id ASC ...)
+    // must not appear — that's the single-partition anti-pattern this op
+    // exists to avoid; the one unpartitioned window runs over the bounded
+    // 100-row bucket-count aggregate only)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("windowspecdefinition\\(bucket#\\d+L?, doc_id#\\d+L? ASC".r
+      .findFirstIn(plan).isDefined, plan.take(2000))
+    assert("windowspecdefinition\\(doc_id#\\d+L? ASC".r
+      .findFirstIn(plan).isEmpty, plan.take(2000))
+  }
 }
