@@ -17,7 +17,7 @@ object Bench {
     "q_adjacency_components", "q_union_geoms", "q_tile_pack",
     "q_move_address", "q_fuzzy_match", "q_extract_text", "q_media_meta",
     "q_osm_ids", "q_url_latest", "q_url_normalize", "q_url_filter",
-    "q_line_clean", "q_shard_shuffle", "q_global_index",
+    "q_line_clean", "q_shard_shuffle", "q_global_index", "q_stratified_sample",
     "q_dedup_keep", "q_corpus_clean",
     "q_decontaminate", "q_token_budget", "q_seq_pack", "q_domain_mix",
     "q_dup_spans", "q_semdedup", "q_lm_ppl", "q_dedup_incr", "q_minhash_incr",

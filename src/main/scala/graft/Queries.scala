@@ -925,6 +925,25 @@ object Queries {
                 CAST(row_number() OVER (ORDER BY bucket, doc_id) - 1 AS BIGINT) AS idx
               FROM t ORDER BY doc_id""")),
 
+    // deterministic stratified sampling: the k=20 smallest-salted-hash
+    // docs per language — a reproducible fixed-size eval subset. Two-
+    // phase (bounded per-stratum counts -> conservative hash threshold
+    // scan filter -> exact rank over the ~4k-row sliver, loud-failure
+    // validated) so no window ever ranks a whole stratum; the oracle is
+    // the whole-stratum window the op avoids.
+    "q_stratified_sample" -> Q(
+      (s, d) => graft.text.Sampling.stratifiedSample(
+          t(s, d, "documents"), "doc_id", "lang", 20)
+        .orderBy("lang", "pos"),
+      Some("""WITH t AS (SELECT doc_id, lang,
+                ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 12))::BIGINT AS h
+              FROM documents),
+              r AS (SELECT doc_id, lang,
+                      CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS pos
+                    FROM t)
+              SELECT doc_id, lang, pos FROM r WHERE pos <= 20
+              ORDER BY lang, pos""")),
+
     // fuzzy street-name matching: token-sorted levenshtein argmin
     // (hgwnames.match/dsmatch, hgwnames.py:49-96)
     "q_fuzzy_match" -> Q(

@@ -196,6 +196,42 @@ object Sampling {
         (col("offset") + row_number().over(wb) - 1).as("idx"))
   }
 
+  /** Deterministic stratified sampling: the k docs with the SMALLEST
+    * salted hash per stratum — a reproducible fixed-size eval subset per
+    * language/domain. Two-phase so no window ever ranks a whole stratum:
+    * bounded per-stratum counts (one map-side-combined aggregate, #strata
+    * rows) set a conservative hash-acceptance threshold (~4k/stratum of
+    * the corpus passes the scan filter), and the exact (hash, id) rank
+    * runs over that candidate sliver only. The sliver is validated, not
+    * trusted: a stratum that returned fewer than min(k, |stratum|) rows
+    * fails loudly (hash uniformity would have to break by 4x for the
+    * sliver to go thin — the guard turns 'improbable' into 'cannot return
+    * silently wrong'). */
+  def stratifiedSample(docs: DataFrame, idCol: String, stratumCol: String,
+                       k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val h = TextFns.hash48(concat(col(idCol).cast("string"), lit(":strat")))
+    val base = docs.select(col(idCol), col(stratumCol).as("stratum"), h.as("h"))
+    val counts = base.groupBy("stratum").agg(count(lit(1)).as("n_stratum"))
+    val full = 1L << 48
+    val thr = least(lit(full),
+      ceil(lit(full.toDouble) * lit(4.0 * k) / col("n_stratum")).cast("long"))
+    val w = Window.partitionBy("stratum").orderBy(col("h"), col(idCol))
+    val kept = base.join(broadcast(counts), "stratum")
+      .filter(col("h") < thr)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .filter(col("pos") <= k)
+      .persist()
+    // loud-failure guard (bounded: one row per stratum)
+    val thin = kept.groupBy("stratum").agg(count(lit(1)).as("got"))
+      .join(counts, "stratum")
+      .filter(col("got") < least(lit(k.toLong), col("n_stratum")))
+      .collect()
+    require(thin.isEmpty,
+      s"stratifiedSample sliver too thin for strata ${thin.mkString(",")} — raise the 4x margin")
+    kept.select(col(idCol), col("stratum").as(stratumCol), col("pos"))
+  }
+
   def shardShuffle(docs: DataFrame, idCol: String, nShards: Int): DataFrame = {
     val h = TextFns.hash48(concat(col(idCol).cast("string"), lit(":shard")))
     val w = Window.partitionBy("shard").orderBy(col("h"), col(idCol))

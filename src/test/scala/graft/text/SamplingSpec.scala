@@ -179,4 +179,26 @@ class SamplingSpec extends AnyFunSuite {
     assert("windowspecdefinition\\(doc_id#\\d+L? ASC".r
       .findFirstIn(plan).isEmpty, plan.take(2000))
   }
+
+  test("stratifiedSample = k smallest salted hashes per stratum; small strata kept whole") {
+    import spark.implicits._
+    def saltedH(id: Long): Long =
+      java.lang.Long.parseLong(graft.TestSpark.md5Hex(s"$id:strat").take(12), 16)
+    // 3 strata: two big (300/195 docs), one SMALLER than k (5 docs)
+    val docs = (0L until 500L).map { i =>
+      val s = if (i < 300) "en" else if (i < 495) "de" else "tiny"
+      (i, s)
+    }.toDF("doc_id", "lang")
+    val k = 20
+    val got = Sampling.stratifiedSample(docs, "doc_id", "lang", k)
+      .as[(Long, String, Long)].collect()
+    val byStratum = (0L until 500L).groupBy(i =>
+      if (i < 300) "en" else if (i < 495) "de" else "tiny")
+    byStratum.foreach { case (s, ids) =>
+      val exp = ids.sortBy(id => (saltedH(id), id)).take(k)
+        .zipWithIndex.map { case (id, i) => (id, s, i + 1L) }
+      assert(got.filter(_._2 == s).sortBy(_._3).toSeq === exp, s"stratum=$s")
+    }
+    assert(got.count(_._2 == "tiny") === 5)
+  }
 }
