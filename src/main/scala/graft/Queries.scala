@@ -854,9 +854,11 @@ object Queries {
     "q_url_filter" -> Q(
       (s, d) => {
         val pages = t(s, d, "documents")
+          // integer `div`, not fp floor(x/4): doubles lose exactness past
+          // 2^53 and the oracle's `doc_id // 4` is exact at any width
           .select(col("doc_id"),
             graft.ops.UrlOps.messyUrl(
-              floor(col("doc_id") / 4).cast("long"), col("doc_id")).as("u"))
+              expr("doc_id div 4"), col("doc_id")).as("u"))
           .select(col("doc_id"),
             graft.ops.UrlOps.normalize(col("u")).as("url_norm"))
         graft.ops.UrlOps.filterAndCollapse(pages, "doc_id", "url_norm")

@@ -160,19 +160,6 @@ object Sampling {
     out.select(col(idCol), col("n_tokens"))
   }
 
-  /** Deterministic global training-data shuffle: assign every document a
-    * (shard, pos) coordinate — shard by a salted 48-bit hash, pos by the
-    * hash order WITHIN the shard. This is exactly the write path of
-    * training shards at 100 TB: hash-partition on shard, sort within each
-    * partition, stream each shard to its file — a per-shard local sort,
-    * never a global one (nShards grows with the corpus, so per-shard work
-    * is constant; 8 here only to keep the oracle output readable). The
-    * salt keeps the permutation independent of the train/val split and
-    * sampling coordinates drawn from the same id ([[TextFns.sampleBp]]'s
-    * independence argument). Appends are stable: new docs land at the tail
-    * of their shard's hash range without reshuffling old positions across
-    * shards (pos within a shard does shift — the coordinate to persist at
-    * ingest time is the hash, which never changes). */
   /** Contiguous global example ids 0..n-1 in deterministic (bucket, id)
     * order WITHOUT a global sort — the example-indexing pass a training
     * pipeline needs before sharding. Same two-phase prefix-sum
@@ -217,22 +204,38 @@ object Sampling {
     val thr = least(lit(full),
       ceil(lit(full.toDouble) * lit(4.0 * k) / col("n_stratum")).cast("long"))
     val w = Window.partitionBy("stratum").orderBy(col("h"), col(idCol))
-    val kept = base.join(broadcast(counts), "stratum")
+    val kept = graft.CacheBin.persist(base.join(broadcast(counts), "stratum")
       .filter(col("h") < thr)
       .withColumn("pos", row_number().over(w).cast("long"))
-      .filter(col("pos") <= k)
-      .persist()
-    // loud-failure guard (bounded: one row per stratum)
-    val thin = kept.groupBy("stratum").agg(count(lit(1)).as("got"))
-      .join(counts, "stratum")
-      .filter(col("got") < least(lit(k.toLong), col("n_stratum")))
+      .filter(col("pos") <= k))
+    // loud-failure guard (bounded: one row per stratum). Driven from
+    // `counts`, not `kept`: a stratum whose sliver came back EMPTY must
+    // surface here too, so the kept-side count joins in as coalesce(_, 0).
+    val thin = counts
+      .join(kept.groupBy("stratum").agg(count(lit(1)).as("got")),
+        Seq("stratum"), "left")
+      .filter(coalesce(col("got"), lit(0L)) < least(lit(k.toLong), col("n_stratum")))
       .collect()
     require(thin.isEmpty,
       s"stratifiedSample sliver too thin for strata ${thin.mkString(",")} — raise the 4x margin")
     kept.select(col(idCol), col("stratum").as(stratumCol), col("pos"))
   }
 
+  /** Deterministic global training-data shuffle: assign every document a
+    * (shard, pos) coordinate — shard by a salted 48-bit hash, pos by the
+    * hash order WITHIN the shard. This is exactly the write path of
+    * training shards at 100 TB: hash-partition on shard, sort within each
+    * partition, stream each shard to its file — a per-shard local sort,
+    * never a global one (nShards grows with the corpus, so per-shard work
+    * is constant; 8 here only to keep the oracle output readable). The
+    * salt keeps the permutation independent of the train/val split and
+    * sampling coordinates drawn from the same id ([[TextFns.sampleBp]]'s
+    * independence argument). Appends are stable: new docs land at the tail
+    * of their shard's hash range without reshuffling old positions across
+    * shards (pos within a shard does shift — the coordinate to persist at
+    * ingest time is the hash, which never changes). */
   def shardShuffle(docs: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
     val h = TextFns.hash48(concat(col(idCol).cast("string"), lit(":shard")))
     val w = Window.partitionBy("shard").orderBy(col("h"), col(idCol))
     docs.select(col(idCol), h.as("h"))

@@ -59,7 +59,7 @@ class WebCleanSpec extends AnyFunSuite {
     val n = 480L
     val pages = (0L until n).toDF("doc_id")
       .select(col("doc_id"), UrlOps.normalize(UrlOps.messyUrl(
-        floor(col("doc_id") / 4).cast("long"), col("doc_id"))).as("url_norm"))
+        expr("doc_id div 4"), col("doc_id"))).as("url_norm"))
     val out = UrlOps.filterAndCollapse(pages, "doc_id", "url_norm")
       .as[(String, Long, Long)].collect()
     // expected: page identities 0..119, host = page%16, blocked 3/7/11
