@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.geom.{Geom, Pt}
 import graft.sim.Similarity
-import graft.spatial.{CellGrid, IdPoint, SpatialJoin, SynthGeo}
+import graft.spatial.{CellGrid, IdPoint, S2Grid, SpatialJoin, SynthGeo}
 import graft.text.TextFns
 import graft.clean.PolygonClean
 
@@ -27,6 +27,14 @@ object Queries {
       p.zipWithIndex.map { case (w, d) => s"($b,${d + 1},${w.toFloat.toDouble})" }
     }.mkString(",")
   final case class Q(fn: (SparkSession, String) => DataFrame, oracle: Option[String])
+
+  /** Admin regions exploded per covering spherical cell (the broadcast dim
+    * side of the geo joins): driver-computed over the 10-row region table. */
+  private def geoRegionSide(s: SparkSession, level: Int): DataFrame =
+    s.createDataFrame(
+      SynthGeo.geoRegionParams.flatMap { case (k, clat, clon, r) =>
+        S2Grid.coverDiamond(clat, clon, r, level).map(c => (c, k, clat, clon, r))
+      }).toDF("cell", "region_id", "clat", "clon", "rr")
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
@@ -219,6 +227,81 @@ object Queries {
             SELECT level, m >> (level*2) AS cell, count(*) AS n
             FROM l GROUP BY 1, 2 ORDER BY level, cell"""
       }),
+
+    // TRUE spherical S2-style encode (cube-face gnomonic + quad Morton) of
+    // page geotags at level 13, rolled up to level-6 parents — the literal
+    // "per-page geotags are H3/S2-encoded" operator from the north star.
+    // Pure column math (trig + CASE + shifts), no UDF; parent = one shift.
+    // Oracle replays the identical arithmetic (S2Grid parity contract;
+    // S2GridSpec guards the fp boundary margin on this corpus).
+    "q_s2_cell" -> Q(
+      (s, d) => SynthGeo.geoTags(s, d)
+        .select(S2Grid.cellCol(col("lat"), col("lon"), 13).as("cell13"))
+        .select(col("cell13"), S2Grid.parentCol(col("cell13"), 13, 6).as("cell6"))
+        .groupBy("cell6")
+        .agg(count(lit(1)).as("n"), min("cell13").as("first_cell"))
+        .orderBy("cell6"),
+      Some(s"""WITH src AS (${SynthGeo.geoTagsSql}),
+              ${S2Grid.cellSqlCtes(13)}
+              SELECT cell >> 14 AS cell6, count(*) AS n, min(cell) AS first_cell
+              FROM s2cell GROUP BY 1 ORDER BY cell6""")),
+
+    // spherical admin-boundary join: broadcast spatial hash join keyed on
+    // level-6 covering cells (conservative lattice cover of each lat/lon
+    // diamond, incl. one region straddling a cube-face edge) + EXACT
+    // |dlat|+|dlon| refinement in the join condition. The oracle is
+    // trig-free algebra, so its parity never depends on libm — the cover
+    // only shapes the candidate set. The 10^12-row page side computes one
+    // cell id and probes a broadcast; it never shuffles.
+    "q_geo_join" -> Q(
+      (s, d) => SynthGeo.geoTags(s, d)
+        .withColumn("cell", S2Grid.cellCol(col("lat"), col("lon"), 6))
+        .join(broadcast(geoRegionSide(s, 6)), "cell")
+        .where(abs(col("lat") - col("clat")) + abs(col("lon") - col("clon")) < col("rr"))
+        .select(col("id"), col("region_id"))
+        .orderBy("id", "region_id"),
+      Some(s"""WITH geo AS (${SynthGeo.geoTagsSql})
+              SELECT g.id, r.region_id FROM geo g JOIN ${SynthGeo.geoRegionsSql}
+              ON abs(g.lat - r.clat) + abs(g.lon - r.clon) < r.rr
+              ORDER BY g.id, r.region_id""")),
+
+    // the graft's core motif fused end-to-end: web pages -> URL
+    // canonicalization + host blocklist -> spherical cell encode ->
+    // admin-boundary join -> per-(region, lang) rollup. One codegen'd
+    // scan feeds the broadcast cell join; the ONLY corpus exchange is the
+    // final partial-agg pair on (region_id, lang). The oracle composes
+    // the url CTE chain with the trig-free region algebra.
+    "q_geo_pipeline" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents").select(
+          col("doc_id"), col("lang"), col("n_chars"),
+          graft.ops.UrlOps.normalize(graft.ops.UrlOps.messyUrl(
+            expr("doc_id div 4"), col("doc_id"))).as("url_norm"),
+          SynthGeo.latColOf(col("doc_id")).as("lat"),
+          SynthGeo.lonColOf(col("doc_id")).as("lon"))
+        docs
+          .filter(!graft.ops.UrlOps.hostOf(col("url_norm"))
+            .isin(graft.ops.UrlOps.BlockedHosts: _*))
+          .withColumn("cell", S2Grid.cellCol(col("lat"), col("lon"), 6))
+          .join(broadcast(geoRegionSide(s, 6)), "cell")
+          .where(abs(col("lat") - col("clat")) + abs(col("lon") - col("clon")) < col("rr"))
+          .groupBy("region_id", "lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("tot_chars"))
+          .orderBy("region_id", "lang")
+      },
+      Some(s"""WITH u AS (SELECT doc_id,
+                ${graft.ops.UrlOps.messyUrlSql("doc_id // 4", "doc_id")} AS u FROM documents),
+              ${graft.ops.UrlOps.normalizeSql("u")},
+              g AS (SELECT d.doc_id, d.lang, d.n_chars,
+                      ${SynthGeo.latSqlOf("d.doc_id")} AS lat,
+                      ${SynthGeo.lonSqlOf("d.doc_id")} AS lon
+                    FROM documents d JOIN f ON d.doc_id = f.doc_id
+                    WHERE regexp_extract(f.url_norm, '^[a-z]+://([^/:?#]*)', 1)
+                      NOT IN ('h3.example', 'h7.example', 'h11.example'))
+              SELECT r.region_id, g.lang, count(*) AS n_docs, sum(g.n_chars) AS tot_chars
+              FROM g JOIN ${SynthGeo.geoRegionsSql}
+              ON abs(g.lat - r.clat) + abs(g.lon - r.clon) < r.rr
+              GROUP BY 1, 2 ORDER BY region_id, lang""")),
 
     // flagship: cell-join + exact ray-casting PIP (set_zones, parcel.py:91-114)
     // — the codegen path: broadcast hash join on cell id + native

@@ -1,6 +1,6 @@
 package graft.spatial
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.geom.Pt
 
@@ -103,6 +103,66 @@ object SynthGeo {
   val parcelSql: String =
     "SELECT event_id AS id, ((event_id*7919)%9000)/100.0 AS px0, " +
       "(event_id%3)*33.0 + 5.0 + ((event_id*104729)%2000)/100.0 AS py0 FROM events"
+
+  // ---- spherical geotags + admin regions (the S2Grid surface) -----------
+  //
+  // Same derivation discipline as the planar points: pure integer
+  // arithmetic on event_id then one exact division, so both engines hold
+  // bit-identical lat/lon. lat spans ~[-88, 88) so all 6 cube faces get
+  // points (polar faces need |lat| > ~45). The 0.005 lattice offset keeps
+  // every geotag OFF the exact multiples of 45/90/180 degrees — the face
+  // diagonals and trig zeros where |cos|==|sin| ties would let a last-ulp
+  // libm difference flip the cube-face choice between engines (S2Grid
+  // parity contract; the S2GridSpec drift-ratio guard enforces it). lon
+  // spans [-179.995, 180.005): the tiny spill past +180 is fine — trig is
+  // periodic and the region predicate is coordinate-space algebra. Point
+  // coords and region params both have the third decimal 5, so |dlat|+
+  // |dlon| lands on the 0.01 grid while r ends in .005 — the geo-join
+  // refinement always has a 0.005 fp margin and its oracle is trig-free
+  // algebra, parity-exact by construction.
+
+  /** The geotag lattice as column math over any id column (and its SQL
+    * mirror), so any table — events, documents — gets the same contract. */
+  def latColOf(id: Column): Column =
+    id * lit(7919L) % lit(17600L) / lit(100.0) - lit(88.005)
+  def lonColOf(id: Column): Column =
+    id * lit(104729L) % lit(36000L) / lit(100.0) - lit(179.995)
+  def latSqlOf(e: String): String = s"((($e)*7919)%17600)/100.0 - 88.005"
+  def lonSqlOf(e: String): String = s"((($e)*104729)%36000)/100.0 - 179.995"
+
+  /** Geotags from events: lat = ((event_id*7919)%17600)/100 - 88.005. */
+  def geoTags(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .select(
+        col("event_id").as("id"),
+        latColOf(col("event_id")).as("lat"),
+        lonColOf(col("event_id")).as("lon"))
+
+  /** SQL fragment computing the same geotags in DuckDB. */
+  val geoTagsSql: String =
+    s"SELECT event_id AS id, ${latSqlOf("event_id")} AS lat, " +
+      s"${lonSqlOf("event_id")} AS lon FROM events"
+
+  /** Admin-region diamonds on the sphere: (region_id, clat, clon, r) in
+    * degrees, placed to exercise every cube face plus one region that
+    * straddles the face-0/face-1 edge (lon 45) — the cover enumerates
+    * cells on both faces, the point probes stay single-cell. */
+  val geoRegionParams: Seq[(Long, Double, Double, Double)] = Seq(
+    (0L, 10.005, 20.005, 6.005),   // face 0 (+x)
+    (1L, -25.005, -10.005, 8.005), // face 0, southern
+    (2L, 5.005, 85.005, 7.005),    // face 1 (+y)
+    (3L, 75.005, 30.005, 6.005),   // face 2 (+z, polar north)
+    (4L, 15.005, 160.005, 9.005),  // face 3 (-x)
+    (5L, -10.005, -95.005, 7.005), // face 4 (-y)
+    (6L, -72.005, -120.005, 8.005),// face 5 (-z, polar south)
+    (7L, 0.005, 45.005, 5.005),    // straddles the face-0/1 edge
+    (8L, 40.005, 0.005, 10.005),   // face 0 northern, larger
+    (9L, -5.005, 175.005, 4.005))  // face 3 near the antimeridian (no wrap)
+
+  /** DuckDB VALUES table for the regions. */
+  val geoRegionsSql: String = geoRegionParams
+    .map { case (k, clat, clon, r) => s"($k, $clat, $clon, $r)" }
+    .mkString("(VALUES ", ", ", ") AS r(region_id, clat, clon, rr)")
 
   /** kNN sites. */
   val siteParams: Seq[(Long, Double, Double)] =
