@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.geom.{Geom, Pt}
 import graft.sim.Similarity
-import graft.spatial.{CellGrid, IdPoint, S2Grid, SpatialJoin, SynthGeo}
+import graft.spatial.{CellGrid, HexGrid, IdPoint, S2Grid, SpatialJoin, SynthGeo}
 import graft.text.TextFns
 import graft.clean.PolygonClean
 
@@ -302,6 +302,100 @@ object Queries {
               FROM g JOIN ${SynthGeo.geoRegionsSql}
               ON abs(g.lat - r.clat) + abs(g.lon - r.clon) < r.rr
               GROUP BY 1, 2 ORDER BY region_id, lang""")),
+
+    // hexagonal cell encode (the H3-res-9 analog; HexGrid) at two sizes:
+    // fine occupancy histogram. Pure +,-,*,/,floor,abs,CASE column math —
+    // no trig, so the oracle replay is BIT-exact with no margin argument
+    // (HexGridSpec pins the SQL text against the Column tree too).
+    "q_hex_cell" -> Q(
+      (s, d) => SynthGeo.points(s, d).toDF()
+        .select(col("id"), HexGrid.cellCol(col("x"), col("y"), 2.5).as("cell"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"), min("id").as("first_id"))
+        .orderBy("cell"),
+      Some(s"""WITH src AS (${SynthGeo.pointsSql}),
+              ${HexGrid.cellSqlCtes(2.5)}
+              SELECT cell, count(*) AS n, min(id) AS first_id
+              FROM hexcell GROUP BY 1 ORDER BY cell""")),
+
+    // hex rollup fine -> coarse: hex lattices don't nest, so the parent is
+    // the cell CONTAINING THE FINE CENTER at the coarse size (H3's own
+    // parent relation is the same approximate center-containment). Engine:
+    // one partial-agg pair to fine cells, then pure column math to the
+    // parent — the corpus never shuffles twice on raw rows. Oracle chains
+    // the encode CTEs twice via the prefix parameter.
+    "q_hex_rollup" -> Q(
+      (s, d) => SynthGeo.points(s, d).toDF()
+        .select(HexGrid.cellCol(col("x"), col("y"), 2.5).as("cell"))
+        .groupBy("cell").agg(count(lit(1)).as("n"))
+        .withColumn("parent", HexGrid.parentCol(col("cell"), 2.5, 7.5))
+        .groupBy("parent")
+        .agg(sum("n").as("n_pts"), count(lit(1)).as("n_cells"))
+        .orderBy("parent"),
+      Some(s"""WITH src AS (${SynthGeo.pointsSql}),
+              ${HexGrid.cellSqlCtes(2.5)},
+              fine AS (SELECT cell, count(*) AS n FROM hexcell GROUP BY 1),
+              ctr AS (SELECT cell AS id,
+                        ${HexGrid.centerXSql("cell", 2.5)} AS x,
+                        ${HexGrid.centerYSql("cell", 2.5)} AS y
+                      FROM fine),
+              ${HexGrid.cellSqlCtes(7.5, "phex", "ctr")}
+              SELECT p.cell AS parent, CAST(sum(f.n) AS BIGINT) AS n_pts, count(*) AS n_cells
+              FROM fine f JOIN phexcell p ON f.cell = p.id
+              GROUP BY 1 ORDER BY parent""")),
+
+    // hex 6-neighbor ring smoothing: ring_n(cell) = points in the cell and
+    // its 6 neighbors. Neighbor ids are PURE ID ARITHMETIC (cell + dq*2^21
+    // + dr — HexGrid packs axial coords multiplicatively), so the ring
+    // expansion is a 7-row generator over per-cell COUNTS (not raw rows):
+    // corpus pays one partial-agg shuffle, the ring pays a counts-sized one.
+    "q_hex_ring" -> Q(
+      (s, d) => {
+        val cnts = SynthGeo.points(s, d).toDF()
+          .select(HexGrid.cellCol(col("x"), col("y"), 2.5).as("cell"))
+          .groupBy("cell").agg(count(lit(1)).as("n"))
+        val offs = typedLit(0L +: HexGrid.neighborOffsets)
+        val ring = cnts
+          .select(col("cell"), col("n"), explode(offs).as("off"))
+          .select((col("cell") + col("off")).as("tgt"), col("n"))
+          .groupBy("tgt").agg(sum("n").as("ring_n"))
+        cnts.join(ring, cnts("cell") === ring("tgt"))
+          .select(col("cell"), col("n"), col("ring_n"))
+          .orderBy("cell")
+      },
+      Some(s"""WITH src AS (${SynthGeo.pointsSql}),
+              ${HexGrid.cellSqlCtes(2.5)},
+              cnts AS (SELECT cell, count(*) AS n FROM hexcell GROUP BY 1),
+              offs(off) AS (VALUES ${(0L +: HexGrid.neighborOffsets).map(o => s"($o)").mkString(", ")}),
+              ring AS (SELECT c.cell + o.off AS tgt, CAST(sum(c.n) AS BIGINT) AS ring_n
+                       FROM cnts c CROSS JOIN offs o GROUP BY 1)
+              SELECT c.cell, c.n, r.ring_n FROM cnts c JOIN ring r ON c.cell = r.tgt
+              ORDER BY c.cell""")),
+
+    // hex-keyed spatial hash join — the north star's headline operator with
+    // the H3-style key: zones exploded per covering hex cell (driver-side
+    // over the 12-row dim only, HexGrid.coverDiamond), broadcast; the
+    // corpus side computes ONE cell id and probes, then the EXACT
+    // |dx|+|dy| < r predicate refines. The oracle is the trig-free exact
+    // join — the cover only shapes the candidate set, so parity never
+    // depends on the cover at all.
+    "q_hex_join" -> Q(
+      (s, d) => {
+        val zoneSide = s.createDataFrame(
+          SynthGeo.zoneParams.flatMap { case (k, cx, cy, r) =>
+            HexGrid.coverDiamond(cx, cy, r, 7.5).map(c => (c, k, cx, cy, r))
+          }).toDF("cell", "zone_id", "zcx", "zcy", "zr")
+        SynthGeo.points(s, d).toDF()
+          .withColumn("cell", HexGrid.cellCol(col("x"), col("y"), 7.5))
+          .join(broadcast(zoneSide), "cell")
+          .where(abs(col("x") - col("zcx")) + abs(col("y") - col("zcy")) < col("zr"))
+          .select(col("id"), col("zone_id"))
+          .orderBy("id", "zone_id")
+      },
+      Some(s"""WITH pts AS (${SynthGeo.pointsSql})
+              SELECT p.id, z.zone_id FROM pts p JOIN ${SynthGeo.zonesSql}
+              ON abs(p.x - z.cx) + abs(p.y - z.cy) < z.r
+              ORDER BY p.id, z.zone_id""")),
 
     // flagship: cell-join + exact ray-casting PIP (set_zones, parcel.py:91-114)
     // — the codegen path: broadcast hash join on cell id + native
