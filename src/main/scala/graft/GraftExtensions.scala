@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotF32Expr, MinHashSigExpr, PointInPolygonExpr}
+import graft.functions.{DotF32Expr, HexCellExpr, MinHashSigExpr, PointInPolygonExpr}
 
 /** SparkSessionExtensions registering the engine's native expressions as
   * SQL functions, so `spark.sql("... point_in_polygon(x, y, edges) ...")`
@@ -36,6 +36,20 @@ object GraftExtensions {
           case other => other.eval().asInstanceOf[Int]
         }
         MinHashSigExpr(args(0), n)
+      }),
+    (FunctionIdentifier("hex_cell"),
+      info("hex_cell", "hex_cell(x, y, size) - hexagonal cell id at circumradius size"),
+      (args: Seq[Expression]) => {
+        val size = args(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, _) => v
+          case other => other.eval() match {
+            case d: Double => d
+            case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+            case i: Int => i.toDouble
+            case l: Long => l.toDouble
+          }
+        }
+        HexCellExpr(args(0), args(1), size)
       }))
 
   /** Install into an already-built session (the extensions class covers

@@ -351,9 +351,11 @@ object Queries {
     // corpus pays one partial-agg shuffle, the ring pays a counts-sized one.
     "q_hex_ring" -> Q(
       (s, d) => {
-        val cnts = SynthGeo.points(s, d).toDF()
+        // persist the counts-sized aggregate: it feeds BOTH the ring
+        // explode and the final join — without it the corpus scans twice
+        val cnts = graft.CacheBin.persist(SynthGeo.points(s, d).toDF()
           .select(HexGrid.cellCol(col("x"), col("y"), 2.5).as("cell"))
-          .groupBy("cell").agg(count(lit(1)).as("n"))
+          .groupBy("cell").agg(count(lit(1)).as("n")))
         val offs = typedLit(0L +: HexGrid.neighborOffsets)
         val ring = cnts
           .select(col("cell"), col("n"), explode(offs).as("off"))
@@ -395,6 +397,21 @@ object Queries {
       Some(s"""WITH pts AS (${SynthGeo.pointsSql})
               SELECT p.id, z.zone_id FROM pts p JOIN ${SynthGeo.zonesSql}
               ON abs(p.x - z.cx) + abs(p.y - z.cy) < z.r
+              ORDER BY p.id, z.zone_id""")),
+
+    // the flagship join with the HEX key — the north star's literal
+    // "spatial hash join keyed on H3 res-9 covering cells with an exact
+    // ray-casting PIP refinement": HexGrid.coverPolygon (pruned) explodes
+    // the zone side, the corpus computes one native hex_cell id, and
+    // PointInPolygonExpr refines in the join condition. Same closed-form
+    // diamond oracle as q_pip_join — the cover never affects the answer.
+    "q_hex_pip" -> Q(
+      (s, d) => SpatialJoin
+        .pipJoinHex(SynthGeo.points(s, d).toDF(), "id", "x", "y", SynthGeo.zones, 2.5)
+        .orderBy("id", "zone_id"),
+      Some(s"""$ptsCte
+              SELECT p.id, z.zone_id FROM pts p
+              JOIN $zonesValues ON abs(p.x - z.cx) + abs(p.y - z.cy) < z.r
               ORDER BY p.id, z.zone_id""")),
 
     // flagship: cell-join + exact ray-casting PIP (set_zones, parcel.py:91-114)

@@ -37,10 +37,12 @@ object ScaleHex {
       }).toDF("cell", "zone_id", "zcx", "zcy", "zr")
     val s0 = shuffleBytes.get()
     val t0 = System.nanoTime()
-    // 1. encode + occupancy + 6-neighbor ring (counts-sized second exchange)
-    val cnts = pts
+    // 1. encode + occupancy + 6-neighbor ring (counts-sized second
+    // exchange; the counts aggregate is persisted — it feeds both the
+    // ring explode and the final join, one corpus scan not two)
+    val cnts = CacheBin.persist(pts
       .select(HexGrid.cellCol(col("x"), col("y"), 2.5).as("cell"))
-      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .groupBy("cell").agg(count(lit(1)).as("n")))
     val offs = typedLit(0L +: HexGrid.neighborOffsets)
     val ring = cnts
       .select(col("cell"), col("n"), explode(offs).as("off"))

@@ -66,24 +66,17 @@ object HexGrid {
 
   // ---- Column mirror ------------------------------------------------------
 
-  /** round-half-up that is bit-identical in Spark and DuckDB: floor(v+0.5).
-    * (Spark's bround/round go through BigDecimal; DuckDB's round is its own
-    * C++ — floor is the one rounding both engines define identically.) */
-  private def rnd(v: Column): Column = floor(v + lit(0.5))
-
-  /** Hex cell id of projected (x, y) columns at circumradius `size`. */
-  def cellCol(x: Column, y: Column, size: Double): Column = {
-    val c = Consts(size)
-    val qf = x * lit(c.qx) + y * lit(c.qy)
-    val rf = y * lit(c.ry)
-    val sf = -qf - rf // cube y-axis; qf + sf + rf == 0
-    val rq = rnd(qf); val rs = rnd(sf); val rr = rnd(rf)
-    val dq = abs(rq - qf); val ds = abs(rs - sf); val dr = abs(rr - rf)
-    val q = when(dq > ds && dq > dr, -rs - rr).otherwise(rq)
-    val r = when(!(dq > ds && dq > dr) && !(ds > dr), -rq - rs).otherwise(rr)
-    ((q + lit(Bias.toDouble)) * lit(Stride.toDouble) + (r + lit(Bias.toDouble)))
-      .cast("long")
-  }
+  /** Hex cell id of projected (x, y) columns at circumradius `size`.
+    * Backed by the native [[graft.functions.HexCellExpr]]: the pure-Column
+    * formulation of the cube-rounding CASE duplicates the qf/rf/sf
+    * subtrees ~20x (Catalyst does not CSE inside conditional branches) and
+    * in join/aggregate plans the expanded tree pushed the generated method
+    * past the JIT's huge-method limit — measured 100x slower. The native
+    * expression computes each intermediate once; rounding is
+    * floor(v + 0.5), the one rounding Spark, Java, and DuckDB define
+    * identically. */
+  def cellCol(x: Column, y: Column, size: Double): Column =
+    graft.functions.HexCellExpr.hexCell(x, y, size)
 
   /** Hex center (x, y) of a packed cell id — for parent re-encode and
     * center-distance pruning. */
@@ -189,6 +182,68 @@ object HexGrid {
     * cell contains a sample of the inflated diamond). False positives are
     * fine — the join refines exactly; HexGridSpec cross-checks against a
     * brute-force join. Driver-side over the small dim table only. */
+  /** All hex cells a multipolygon can intersect — the hex analog of
+    * CellGrid.coverPolygon (pruned, not a bbox blanket). Two passes:
+    *  1. boundary — walk every ring edge at step = inradius/2, marking the
+    *     sample's hex AND its 6 neighbors: an edge point inside any
+    *     intersected hex is within inradius/2 of some sample, and a disk
+    *     of radius inradius/2 around a point of a hex is contained in the
+    *     hex ∪ its 6 neighbors, so every boundary-crossed hex gets marked;
+    *  2. interior — every unmarked lattice center in the bbox is PIP-
+    *     classified: a hex the boundary does not cross is entirely inside
+    *     or outside, so its center decides it exactly.
+    * False positives survive to the exact refinement; false negatives are
+    * impossible by the two cases above (HexGridSpec cross-checks against
+    * a brute-force join). Driver-side over the small dim table only. */
+  def coverPolygon(mp: graft.geom.Geom.MultiPolygon, size: Double): Seq[Long] = {
+    val c = Consts(size)
+    val step = size * math.sqrt(3.0) / 2.0 / 2.0
+    val marked = scala.collection.mutable.HashSet[Long]()
+    for (poly <- mp; ring <- poly) {
+      val n = ring.length
+      var i = 0
+      while (i < n) {
+        val a = ring(i); val b = ring((i + 1) % n)
+        val len = math.hypot(b.x - a.x, b.y - a.y)
+        val steps = math.max(1, math.ceil(len / step).toInt)
+        var k = 0
+        while (k <= steps) {
+          val t = k.toDouble / steps
+          val cell = cellOf(a.x + t * (b.x - a.x), a.y + t * (b.y - a.y), size)
+          marked += cell
+          neighborOffsets.foreach(off => marked += cell + off)
+          k += 1
+        }
+        i += 1
+      }
+    }
+    val bb = graft.geom.Geom.bbox(mp)
+    val out = Seq.newBuilder[Long]
+    out ++= marked
+    // lattice centers: y = r*cyr, x = q*cxq + r*cxr — enumerate the r rows
+    // overlapping the bbox (inflated by one circumradius) and the q range
+    // per row, skipping marked hexes
+    val rLo = math.floor((bb.ymin - size) / c.cyr).toLong
+    val rHi = math.ceil((bb.ymax + size) / c.cyr).toLong
+    var r = rLo
+    while (r <= rHi) {
+      val xOff = r * c.cxr
+      val qLo = math.floor((bb.xmin - size - xOff) / c.cxq).toLong
+      val qHi = math.ceil((bb.xmax + size - xOff) / c.cxq).toLong
+      var q = qLo
+      while (q <= qHi) {
+        val cell = (q + Bias) * Stride + (r + Bias)
+        if (!marked.contains(cell) &&
+            graft.geom.Geom.pointInMultiPolygon(
+              graft.geom.Pt(q * c.cxq + r * c.cxr, r * c.cyr), mp))
+          out += cell
+        q += 1
+      }
+      r += 1
+    }
+    out.result().distinct.sorted
+  }
+
   def coverDiamond(cx: Double, cy: Double, r: Double, size: Double): Seq[Long] = {
     val step = size * math.sqrt(3.0) / 2.0 / 2.0
     val rInf = r + 2.0 * size

@@ -150,6 +150,31 @@ object SpatialJoin {
       .select(col(idCol).as("id"), col("zone_id"))
   }
 
+  /** The flagship join keyed on HEX covering cells — the north star's
+    * literal "broadcast-or-partitioned spatial hash join keyed on H3
+    * res-9 … covering cells with an exact ray-casting point-in-polygon
+    * refinement": zones exploded per HexGrid.coverPolygon cell
+    * (driver-side, pruned — not a bbox blanket), broadcast; the corpus
+    * side computes one native hex_cell id and probes; PointInPolygonExpr
+    * refines inside the join condition, all in one codegen stage. Same
+    * plan contract as [[pipJoinCodegen]], hex key instead of Morton. */
+  def pipJoinHex(
+      points: DataFrame, idCol: String, xCol: String, yCol: String,
+      zones: Seq[Zone], size: Double): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val zoneSide = spark.createDataset(
+      zones.flatMap(z => HexGrid.coverPolygon(z.geometry, size)
+        .map(c => ZoneCellEdges(c, z.zone_id, zoneEdges(z)))))
+      .toDF("cell", "zone_id", "edges")
+    points
+      .withColumn("cell", HexGrid.cellCol(col(xCol), col(yCol), size))
+      .join(broadcast(zoneSide), "cell")
+      .where(graft.functions.PointInPolygonExpr.pointInPolygon(
+        col(xCol), col(yCol), col("edges")))
+      .select(col(idCol).as("id"), col("zone_id"))
+  }
+
   /** Polygon→zone assignment by the ≥50%-area rule (ParcelLayer.set_zones +
     * is_inside_area, parcel.py:91-114 / geo/tools.py:11-19): a feature
     * belongs to a zone if fully contained or if ≥ half its area overlaps.

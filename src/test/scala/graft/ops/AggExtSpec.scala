@@ -55,6 +55,9 @@ class ExtensionsSpec extends AnyFunSuite {
       val sig = s.sql("SELECT minhash_sig(array('a b c', 'b c d'), 8) AS s")
         .collect().head.getSeq[Long](0)
       assert(sig.length === 8)
+      val hex = s.sql("SELECT hex_cell(50.0D, 50.0D, 2.5D) AS c")
+        .collect().head.getLong(0)
+      assert(hex === graft.spatial.HexGrid.cellOf(50.0, 50.0, 2.5))
     }
   }
 }

@@ -101,6 +101,29 @@ class HexGridSpec extends AnyFunSuite {
     assert(cells.size < 4.0 * ideal + 16, s"cover=${cells.size} ideal=$ideal (k=$k)")
   }
 
+  test("coverPolygon is conservative and pruned (generic-polygon cover)") {
+    import spark.implicits._
+    val pts = SynthGeo.points(spark, TestSpark.sf001).collect()
+    // the diamonds as GENERIC polygons through the PIP path
+    for ((k, cx, cy, r) <- SynthGeo.zoneParams.take(4)) {
+      val mp = SynthGeo.diamond(cx, cy, r)
+      val cover = HexGrid.coverPolygon(mp, Fine).toSet
+      // conservative: every point inside the polygon lands in a covered cell
+      for (p <- pts if math.abs(p.x - cx) + math.abs(p.y - cy) < r)
+        assert(cover.contains(HexGrid.cellOf(p.x, p.y, Fine)),
+          s"zone $k missed point ${p.id}")
+    }
+    // pruned: at cell sizes well below the zone radius the cover beats the
+    // bbox blanket (a diamond fills half its bbox; the conservative
+    // boundary band is 3 hexes wide, so the win needs r/size >> 1)
+    val (k, cx, cy, r) = SynthGeo.zoneParams(4) // the largest diamond
+    val s = 0.5
+    val cover = HexGrid.coverPolygon(SynthGeo.diamond(cx, cy, r), s)
+    val bboxCells = (2.0 * r) * (2.0 * r) / (3.0 * math.sqrt(3.0) / 2.0 * s * s)
+    assert(cover.size < 0.8 * bboxCells,
+      s"zone $k cover ${cover.size} vs bbox blanket ~$bboxCells")
+  }
+
   test("SQL mirror parity: DuckDB-identical arithmetic reproduced via Spark SQL") {
     // The oracle gate proves Spark-vs-DuckDB; this spec pins the cheaper
     // invariant that the SQL text itself (run by Spark's own parser)
