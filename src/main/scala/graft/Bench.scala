@@ -10,7 +10,7 @@ object Bench {
   // headline set: flagship spatial ops + the heaviest pipeline operators
   val headline: Seq[String] = Seq(
     "q_pip_join", "q_zone_count", "q_knn_nearest", "q_radius_join",
-    "q_cell_assign", "q_cell_rollup", "q_s2_cell", "q_geo_join", "q_geo_pipeline",
+    "q_cell_assign", "q_cell_rollup", "q_s2_cell", "q_geo_join", "q_geo_pipeline", "q_geo_incr",
     "q_hex_cell", "q_hex_ring", "q_hex_join", "q_hex_pip",
     "q_multi_join", "q_agg_parts", "q_window_argmin",
     "q_dedup_minhash", "q_dedup_simhash", "q_dedup_embed", "q_jaccard_pairs",

@@ -8,6 +8,7 @@ import graft.sim.Similarity
 import graft.spatial.{CellGrid, HexGrid, IdPoint, S2Grid, SpatialJoin, SynthGeo}
 import graft.text.TextFns
 import graft.clean.PolygonClean
+import graft.pipeline.GeoPipeline
 
 /** The engine's operator inventory exposed as driver-checkable queries.
   * Each entry pairs a Spark implementation with (where SQL-expressible) an
@@ -299,6 +300,53 @@ object Queries {
                     WHERE regexp_extract(f.url_norm, '^[a-z]+://([^/:?#]*)', 1)
                       NOT IN ('h3.example', 'h7.example', 'h11.example'))
               SELECT r.region_id, g.lang, count(*) AS n_docs, sum(g.n_chars) AS tot_chars
+              FROM g JOIN ${SynthGeo.geoRegionsSql}
+              ON abs(g.lat - r.clat) + abs(g.lon - r.clon) < r.rr
+              GROUP BY 1, 2 ORDER BY region_id, lang""")),
+
+    // incremental crawl-append: the corpus splits into a base crawl and a
+    // later batch (doc_id % 7 == 3 — every url group keeps members on
+    // both sides, and for ~1/7 of groups the batch holds the SURVIVING
+    // min-doc_id revision, so the retraction path does real work: the
+    // base survivor's (lang, n_chars, geo) contribution must be backed
+    // out of the report, not just incremented past). The Spark side runs
+    // base → canonical state → report, then folds the batch in via
+    // GeoPipeline's mergeable-canonical + ±1-retraction algebra — the
+    // corpus is never rescanned or reshuffled. The ORACLE is the full
+    // recompute over base ∪ batch: hash equality IS the incremental-
+    // equals-batch theorem, checked by DuckDB.
+    "q_geo_incr" -> Q(
+      (s, d) => {
+        val pages = t(s, d, "documents").select(
+          col("doc_id"), col("lang"), col("n_chars"),
+          graft.ops.UrlOps.normalize(graft.ops.UrlOps.messyUrl(
+            expr("doc_id div 4"), col("doc_id"))).as("url_norm"))
+          .filter(!graft.ops.UrlOps.hostOf(col("url_norm"))
+            .isin(graft.ops.UrlOps.BlockedHosts: _*))
+        val base = pages.filter(col("doc_id") % 7 =!= 3)
+        val batch = pages.filter(col("doc_id") % 7 === 3)
+        // the stored state tables (at scale: url-bucketed parquet stages)
+        val baseCanon = graft.CacheBin.persist(GeoPipeline.canonPartial(base))
+        val baseReport = GeoPipeline.reportOf(baseCanon)
+        GeoPipeline.incrementalReport(baseCanon, baseReport, batch)
+          .orderBy("region_id", "lang")
+      },
+      Some(s"""WITH u AS (SELECT doc_id,
+                ${graft.ops.UrlOps.messyUrlSql("doc_id // 4", "doc_id")} AS u FROM documents),
+              ${graft.ops.UrlOps.normalizeSql("u")},
+              pg AS (SELECT d.doc_id, d.lang, d.n_chars, f.url_norm
+                    FROM documents d JOIN f ON d.doc_id = f.doc_id
+                    WHERE regexp_extract(f.url_norm, '^[a-z]+://([^/:?#]*)', 1)
+                      NOT IN ('h3.example', 'h7.example', 'h11.example')),
+              cn AS (SELECT url_norm, min(doc_id) AS doc_id,
+                      arg_min(lang, doc_id) AS lang,
+                      arg_min(n_chars, doc_id) AS n_chars
+                    FROM pg GROUP BY 1),
+              g AS (SELECT cn.lang, cn.n_chars,
+                      ${SynthGeo.latSqlOf("cn.doc_id")} AS lat,
+                      ${SynthGeo.lonSqlOf("cn.doc_id")} AS lon FROM cn)
+              SELECT r.region_id, g.lang, count(*) AS n_docs,
+                sum(g.n_chars) AS tot_chars
               FROM g JOIN ${SynthGeo.geoRegionsSql}
               ON abs(g.lat - r.clat) + abs(g.lon - r.clon) < r.rr
               GROUP BY 1, 2 ORDER BY region_id, lang""")),

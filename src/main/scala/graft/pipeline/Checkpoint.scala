@@ -24,6 +24,10 @@ import org.apache.spark.sql.functions._
 class CheckpointedPipeline(spark: SparkSession, rootDir: String) {
   Files.createDirectories(Paths.get(rootDir))
 
+  /** Stage-table root — versioned state readers (GeoPipeline.append) join
+    * new batches against prior stages by path. */
+  def root: String = rootDir
+
   private def manifestPath(name: String) = Paths.get(s"$rootDir/$name.manifest.json")
   private def dataDir(name: String) = s"$rootDir/$name.parquet"
 

@@ -116,6 +116,152 @@ object GeoPipeline {
     Result(report, fails)
   }
 
+  // ------------------------------------------------------------------
+  // Incremental-merge algebra: append a new crawl batch to an existing
+  // pipeline state WITHOUT rescanning the corpus. The canonical per-url
+  // aggregate is chosen to be MERGEABLE (doc identity = min doc_id,
+  // survivor attributes ride min_by on it, revision count sums), so base
+  // state and batch partials re-aggregate into the exact full-recompute
+  // canonical row. Downstream aggregates update by RETRACTION: the
+  // affected urls' old contributions enter the report with weight -1 and
+  // their merged contributions with weight +1, so the final re-agg is
+  // counts-sized. Exchange budget per batch at 10^12-doc corpus scale:
+  //   batch-sized   — batch canonical partial agg
+  //   scan, 0 shuffle — corpus ⟕ batch-url semi probe (broadcast; on a
+  //                     url-bucketed state table it prunes to buckets)
+  //   affected-sized — merge re-agg + the ±1 contribution join
+  //   counts-sized  — final report re-agg
+  // The corpus itself is never shuffled and never re-aggregated.
+  // Oracle-gated as q_geo_incr: base+incremental must hash-equal the
+  // full-recompute SQL over base ∪ batch.
+  // ------------------------------------------------------------------
+
+  /** Admin-boundary join side: one row per (covering cell, region). */
+  def regionSide(spark: SparkSession, level: Int): DataFrame =
+    spark.createDataFrame(
+      SynthGeo.geoRegionParams.flatMap { case (k, clat, clon, r) =>
+        S2Grid.coverDiamond(clat, clon, r, level).map(c => (c, k, clat, clon, r))
+      }).toDF("cell", "region_id", "clat", "clon", "rr")
+
+  /** Mergeable per-url canonical aggregate over any page subset
+    * (doc_id, lang, n_chars, url_norm — blocklist already applied). */
+  def canonPartial(pages: DataFrame): DataFrame =
+    pages.groupBy("url_norm").agg(
+      min("doc_id").as("doc_id"),
+      min_by(col("lang"), col("doc_id")).as("lang"),
+      min_by(col("n_chars"), col("doc_id")).as("n_chars"),
+      count(lit(1)).as("n_revisions"))
+
+  /** Merge canonical partials (base state rows ∪ batch partial rows) —
+    * same row out as canonPartial over the union of the raw pages. */
+  def mergeCanon(partials: DataFrame): DataFrame =
+    partials.groupBy("url_norm").agg(
+      min("doc_id").as("doc_id"),
+      min_by(col("lang"), col("doc_id")).as("lang"),
+      min_by(col("n_chars"), col("doc_id")).as("n_chars"),
+      sum("n_revisions").as("n_revisions"))
+
+  /** (region_id, lang, n_chars) contribution of each canonical row:
+    * geotag from the survivor doc_id, S2 encode, broadcast cover probe,
+    * exact L1 refinement — the same join shape as the batch pipeline. */
+  def regionContrib(canon: DataFrame, level: Int = 6): DataFrame =
+    canon
+      .withColumn("lat", SynthGeo.latColOf(col("doc_id")))
+      .withColumn("lon", SynthGeo.lonColOf(col("doc_id")))
+      .withColumn("cell", S2Grid.cellCol(col("lat"), col("lon"), level))
+      .join(broadcast(regionSide(canon.sparkSession, level)), "cell")
+      .where(abs(col("lat") - col("clat")) + abs(col("lon") - col("clon")) < col("rr"))
+      .select(col("region_id"), col("lang"), col("n_chars"))
+
+  /** Full per-(region, lang) report of a canonical table. */
+  def reportOf(canon: DataFrame): DataFrame =
+    regionContrib(canon).groupBy("region_id", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("tot_chars"))
+
+  /** Fold a new batch into (baseCanon, baseReport): returns the report of
+    * canonPartial(basePages ∪ batchPages) without touching base pages.
+    * batchPages carries (doc_id, lang, n_chars, url_norm), blocklisted. */
+  def incrementalReport(baseCanon: DataFrame, baseReport: DataFrame,
+      batchPages: DataFrame): DataFrame = {
+    val batchCanon = graft.CacheBin.persist(canonPartial(batchPages))
+    // affected = base urls the batch touches; at scale baseCanon is the
+    // stored state table and this is a broadcast semi probe over it
+    val oldAffected = graft.CacheBin.persist(
+      baseCanon.join(batchCanon.select("url_norm"), Seq("url_norm"), "left_semi"))
+    val newAffected = mergeCanon(oldAffected.unionByName(batchCanon))
+    val delta = regionContrib(newAffected).withColumn("w", lit(1L))
+      .unionByName(regionContrib(oldAffected).withColumn("w", lit(-1L)))
+      .groupBy("region_id", "lang")
+      .agg(sum("w").as("n_docs"), sum(col("w") * col("n_chars")).as("tot_chars"))
+    baseReport.select(col("region_id"), col("lang"), col("n_docs"), col("tot_chars"))
+      .unionByName(delta)
+      .groupBy("region_id", "lang")
+      .agg(sum("n_docs").as("n_docs"), sum("tot_chars").as("tot_chars"))
+      .filter(col("n_docs") > 0)
+  }
+
+  /** Merged canonical state after a batch (the new stored state table):
+    * untouched base rows pass through, affected urls re-merge. */
+  def incrementalCanon(baseCanon: DataFrame, batchPages: DataFrame): DataFrame = {
+    val batchCanon = canonPartial(batchPages)
+    val untouched = baseCanon.join(
+      batchCanon.select("url_norm"), Seq("url_norm"), "left_anti")
+    val merged = mergeCanon(
+      baseCanon.join(batchCanon.select("url_norm"), Seq("url_norm"), "left_semi")
+        .unionByName(batchCanon))
+    untouched.unionByName(merged)
+  }
+
+  /** Checkpointed crawl-append: fold `batchPages` (doc_id, lang, n_chars,
+    * url_norm — blocklisted) into the state a previous run/append left at
+    * version `fromVer`, writing `canon@toVer` and `rollup@toVer` stages.
+    * Same resume contract as run(): a retry with identical args recomputes
+    * only missing stages; the batch fingerprint rides the stage key so a
+    * DIFFERENT batch at the same version invalidates cleanly. Conservation
+    * law: the new rollup's doc count must equal the new state's region
+    * matches (recomputed counts-sized, not trusted from the delta). */
+  def append(spark: SparkSession, cp: CheckpointedPipeline, fromVer: String,
+      toVer: String, batchFp: String, batchPages: DataFrame): Result = {
+    val baseCanon = spark.read.parquet(s"${cp.root}/canon@$fromVer.parquet")
+      .drop("_lineage_partition")
+    val baseReport = spark.read.parquet(s"${cp.root}/rollup@$fromVer.parquet")
+      .drop("_lineage_partition")
+    val newCanon = cp.stage(s"canon@$toVer", s"$fromVer:$batchFp") {
+      incrementalCanon(baseCanon, batchPages)
+    }
+    var before = cp.computedStages
+    val newReport = cp.stage(s"rollup@$toVer", s"$fromVer:$batchFp:rollup") {
+      incrementalReport(baseCanon, baseReport, batchPages)
+    }
+    if (cp.computedStages > before) {
+      cp.addMetric(s"rollup@$toVer", "report_docs",
+        newReport.agg(coalesce(sum("n_docs"), lit(0L))).head().getLong(0))
+      cp.addMetric(s"canon@$toVer", "region_matches",
+        regionContrib(newCanon).count())
+    }
+    val fails = cp.validate(Seq(
+      (s"rollup@$toVer conserves state matches", m =>
+        m((s"rollup@$toVer", "report_docs")) == m((s"canon@$toVer", "region_matches")))))
+    Result(newReport, fails)
+  }
+
+  /** Seed the versioned state from a full corpus pass (the first crawl). */
+  def seed(spark: SparkSession, cp: CheckpointedPipeline, ver: String,
+      corpusFp: String, pages: DataFrame): Result = {
+    val canon = cp.stage(s"canon@$ver", corpusFp) { canonPartial(pages) }
+    var before = cp.computedStages
+    val report = cp.stage(s"rollup@$ver", s"$corpusFp:rollup") { reportOf(canon) }
+    if (cp.computedStages > before) {
+      cp.addMetric(s"rollup@$ver", "report_docs",
+        report.agg(coalesce(sum("n_docs"), lit(0L))).head().getLong(0))
+      cp.addMetric(s"canon@$ver", "region_matches", regionContrib(canon).count())
+    }
+    val fails = cp.validate(Seq(
+      (s"rollup@$ver conserves state matches", m =>
+        m((s"rollup@$ver", "report_docs")) == m((s"canon@$ver", "region_matches")))))
+    Result(report, fails)
+  }
+
   /** spark-submit entry: `--class graft.pipeline.GeoPipeline <jar>
     * <sfDir> <outDir>`. Rerun with the same args resumes from manifests
     * (zero stages recomputed). Prints ONE JSON summary line. */

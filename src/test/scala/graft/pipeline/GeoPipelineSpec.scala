@@ -66,4 +66,104 @@ class GeoPipelineSpec extends AnyFunSuite {
       .distinct().collect().map(_.getString(0)).toSet
     assert(hosts.intersect(graft.ops.UrlOps.BlockedHosts.toSet) === Set.empty)
   }
+
+  // ---- incremental-merge algebra --------------------------------------
+
+  private def pagesOf(sfDir: String) = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(s"$sfDir/documents.parquet").select(
+      col("doc_id"), col("lang"), col("n_chars"),
+      graft.ops.UrlOps.normalize(graft.ops.UrlOps.messyUrl(
+        expr("doc_id div 4"), col("doc_id"))).as("url_norm"))
+      .filter(!graft.ops.UrlOps.hostOf(col("url_norm"))
+        .isin(graft.ops.UrlOps.BlockedHosts: _*))
+  }
+
+  private def collectReport(df: org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    df.select("region_id", "lang", "n_docs", "tot_chars")
+      .as[(Long, String, Long, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+  }
+
+  test("incremental batch fold == full recompute, with live retractions") {
+    import org.apache.spark.sql.functions._
+    val pages = pagesOf(TestSpark.sf001)
+    // a split DIFFERENT from q_geo_incr's, so the oracle and the spec
+    // pin the algebra at two points
+    val base = pages.filter(col("doc_id") % 5 =!= 2)
+    val batch = pages.filter(col("doc_id") % 5 === 2)
+    val baseCanon = GeoPipeline.canonPartial(base)
+    val baseReport = GeoPipeline.reportOf(baseCanon)
+    val incr = collectReport(
+      GeoPipeline.incrementalReport(baseCanon, baseReport, batch))
+    val full = collectReport(GeoPipeline.reportOf(GeoPipeline.canonPartial(pages)))
+    assert(incr === full)
+    graft.CacheBin.drain()
+
+    // non-vacuity: the batch must CHANGE the survivor of >= 1 url (a
+    // batch doc_id below the base minimum), so the -1 retraction path is
+    // exercised, not just new-url inserts
+    val batchCanon = GeoPipeline.canonPartial(batch)
+    val changed = baseCanon.as("b")
+      .join(batchCanon.as("n"), "url_norm")
+      .filter(col("n.doc_id") < col("b.doc_id")).count()
+    assert(changed > 0, "split never flips a survivor - retraction untested")
+
+    // merged canonical state == full-recompute canonical state
+    import spark.implicits._
+    val mergedState = GeoPipeline.incrementalCanon(baseCanon, batch)
+      .as[(String, Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    val fullState = GeoPipeline.canonPartial(pages)
+      .as[(String, Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(mergedState === fullState)
+  }
+
+  test("versioned seed -> append: checkpointed state folds a crawl batch") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_geo_append").toString
+    val pages = pagesOf(TestSpark.sf001)
+    val base = pages.filter(col("doc_id") % 5 =!= 2)
+    val batch = pages.filter(col("doc_id") % 5 === 2)
+
+    val cp = new CheckpointedPipeline(spark, dir)
+    val r1 = GeoPipeline.seed(spark, cp, "v1", "crawl1", base)
+    assert(cp.computedStages === 2)
+    assert(r1.failedLaws === Seq.empty)
+
+    val r2 = GeoPipeline.append(spark, cp, "v1", "v2", "crawl2", batch)
+    assert(cp.computedStages === 4)
+    assert(r2.failedLaws === Seq.empty)
+    // the appended state equals the full recompute at both tables
+    assert(collectReport(r2.report) ===
+      collectReport(GeoPipeline.reportOf(GeoPipeline.canonPartial(pages))))
+    import spark.implicits._
+    val appended = spark.read.parquet(s"$dir/canon@v2.parquet")
+      .drop("_lineage_partition")
+      .as[(String, Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    val full = GeoPipeline.canonPartial(pages)
+      .as[(String, Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(appended === full)
+    graft.CacheBin.drain()
+
+    // retry with identical args: zero stages recomputed, same report;
+    // v1 state is untouched (time travel to the pre-append rollup)
+    val cp2 = new CheckpointedPipeline(spark, dir)
+    val r3 = GeoPipeline.append(spark, cp2, "v1", "v2", "crawl2", batch)
+    assert(cp2.computedStages === 0)
+    assert(collectReport(r3.report) === collectReport(r2.report))
+    assert(collectReport(spark.read.parquet(s"$dir/rollup@v1.parquet")
+      .drop("_lineage_partition")) === collectReport(r1.report))
+    graft.CacheBin.drain()
+  }
+
+  test("incremental fold of an EMPTY batch is the identity") {
+    import org.apache.spark.sql.functions._
+    val pages = pagesOf(TestSpark.sf001)
+    val baseCanon = GeoPipeline.canonPartial(pages)
+    val baseReport = GeoPipeline.reportOf(baseCanon)
+    val out = collectReport(GeoPipeline.incrementalReport(
+      baseCanon, baseReport, pages.filter(lit(false))))
+    assert(out === collectReport(baseReport))
+    graft.CacheBin.drain()
+  }
 }
