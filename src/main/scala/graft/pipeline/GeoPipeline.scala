@@ -262,6 +262,39 @@ object GeoPipeline {
     Result(report, fails)
   }
 
+  /** Streaming crawl-append: every micro-batch of a pages STREAM
+    * (doc_id, lang, n_chars, url_norm — blocklisted) folds into the
+    * versioned checkpoint state via [[append]] inside foreachBatch, one
+    * state version `b<batchId>` per trigger, chained off `seedVer` (the
+    * state [[seed]] left behind). Exactly-once state effects without an
+    * idempotent-sink primitive: Structured Streaming replays an
+    * uncommitted batch after a crash with the SAME batchId, the stage
+    * fingerprint carries that batchId, so the replay finds its
+    * `canon@b<N>`/`rollup@b<N>` manifests and recomputes zero stages —
+    * at-least-once invocation collapses to exactly-once state, and a
+    * crash BETWEEN the two stage writes resumes at exactly the missing
+    * one. The 10^12-doc exchange budget is inherited from [[append]]:
+    * per trigger the prior state pays one probe scan and every exchange
+    * is batch-/affected-/counts-sized, so steady-state ingest cost is
+    * independent of corpus size. */
+  def appendStream(spark: SparkSession, cp: CheckpointedPipeline,
+      pagesStream: DataFrame, seedVer: String, streamCpDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val fold = (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        batchId: Long) => {
+      val fromVer = if (batchId == 0L) seedVer else s"b${batchId - 1}"
+      append(spark, cp, fromVer, s"b$batchId", s"stream:$batchId", batch.toDF())
+      // stage parquets are written; persisted micro-batch intermediates
+      // (batch canon, affected rows) are dead past this point
+      graft.CacheBin.drain()
+      ()
+    }
+    pagesStream.writeStream
+      .option("checkpointLocation", streamCpDir)
+      .foreachBatch(fold)
+      .start()
+  }
+
   /** spark-submit entry: `--class graft.pipeline.GeoPipeline <jar>
     * <sfDir> <outDir>`. Rerun with the same args resumes from manifests
     * (zero stages recomputed). Prints ONE JSON summary line. */

@@ -156,6 +156,69 @@ class GeoPipelineSpec extends AnyFunSuite {
     graft.CacheBin.drain()
   }
 
+  test("streaming crawl-append: micro-batches fold exactly-once into versioned state") {
+    import org.apache.spark.sql.functions._
+    val stateDir = Files.createTempDirectory("graft_geo_stream_state").toString
+    val streamCp = Files.createTempDirectory("graft_geo_stream_cp").toString
+    val inDir = Files.createTempDirectory("graft_geo_stream_in")
+
+    val pages = pagesOf(TestSpark.sf001)
+    val seedPages = pages.filter(col("doc_id") % 5 === 0)
+    // one parquet FILE per future micro-batch (maxFilesPerTrigger=1)
+    def writeBatchFile(k: Int): Unit = {
+      val tmp = Files.createTempDirectory("graft_geo_stream_tmp").toString
+      pages.filter(col("doc_id") % 5 === k)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, inDir.resolve(s"batch$k.parquet"))
+    }
+    (1 to 3).foreach(writeBatchFile)
+
+    val cp = new CheckpointedPipeline(spark, stateDir)
+    assert(GeoPipeline.seed(spark, cp, "seed", "crawl0", seedPages)
+      .failedLaws === Seq.empty)
+
+    def runStream(): Unit = {
+      val stream = spark.readStream.schema(pages.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      val q = GeoPipeline.appendStream(spark, cp, stream, "seed", streamCp)
+      q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
+    runStream()
+    // 3 files -> 3 micro-batches -> versions b0..b2, each 2 stages
+    assert(cp.computedStages === 2 + 6,
+      s"stream computed ${cp.computedStages} stages")
+    def stateOf(ver: String) = {
+      import spark.implicits._
+      spark.read.parquet(s"$stateDir/canon@$ver.parquet")
+        .drop("_lineage_partition")
+        .as[(String, Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    }
+    def fullState(whole: org.apache.spark.sql.DataFrame) = {
+      import spark.implicits._
+      GeoPipeline.canonPartial(whole)
+        .as[(String, Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    }
+    val after3 = pages.filter(col("doc_id") % 5 <= 3)
+    assert(stateOf("b2") === fullState(after3))
+    assert(collectReport(
+      spark.read.parquet(s"$stateDir/rollup@b2.parquet").drop("_lineage_partition"))
+      === collectReport(GeoPipeline.reportOf(GeoPipeline.canonPartial(after3))))
+
+    // restart against the SAME stream checkpoint with no new files:
+    // nothing replays, zero stages recomputed (exactly-once state)
+    runStream()
+    assert(cp.computedStages === 8, s"idle restart computed ${cp.computedStages}")
+
+    // a late file after restart continues the version chain (b3)
+    writeBatchFile(4)
+    runStream()
+    assert(cp.computedStages === 10)
+    assert(stateOf("b3") === fullState(pages))
+    graft.CacheBin.drain()
+  }
+
   test("incremental fold of an EMPTY batch is the identity") {
     import org.apache.spark.sql.functions._
     val pages = pagesOf(TestSpark.sf001)
