@@ -25,7 +25,8 @@ object Bench {
     "q_dup_spans", "q_semdedup", "q_lm_ppl", "q_dedup_incr", "q_minhash_incr",
     "q_quantiles", "q_ann_index", "q_entropy",
     "q_link_graph", "q_pagerank", "q_para_dedup", "q_anchor_text",
-    "q_hits", "q_tfidf", "q_importance", "q_bpe_merges")
+    "q_hits", "q_tfidf", "q_importance", "q_bpe_merges",
+    "q_asof_join", "q_range_join", "q_sessionize")
 
   def makeSession(cpus: String): SparkSession = SparkSession.builder()
     .master(s"local[$cpus]")

@@ -2536,7 +2536,106 @@ object Queries {
         .orderBy("bucket", "event_type"),
       Some("""SELECT epoch_us(ts)//300000000 AS bucket, event_type,
               count(*) AS n, round(sum(value), 2) AS sum_value
-              FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""")))
+              FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""")),
+
+    // ================= temporal join family (ops.Temporal) ==============
+    // as-of join: "which crawl revision was live at time t" over the
+    // input_hint's (url, warc_ts) history — the temporal twin of
+    // cbcn.get_address's nearest-neighbor. Union + one exchange on url +
+    // per-key window carry-forward; NO inequality join, NO per-probe scan
+    // of the history. Probes at doc_id%5 half-day offsets exercise the
+    // before-first-snapshot NULL case (%5==0), the exact-timestamp
+    // inclusive bound (+1s), and multi-revision picks.
+    "q_asof_join" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val url = concat(lit("https://synth.example/doc/"), col("doc_id"))
+        val snaps = docs
+          .select(col("doc_id"), explode(sequence(lit(0L), col("doc_id") % 3)).as("k"))
+          .select(url.as("url"),
+            (lit(1704067200L) + col("k") * 86400L).as("ts_s"),
+            concat(lit("rev"), col("k")).as("rev"))
+        val probes = docs.select(url.as("url"),
+          (lit(1704067200L) + (col("doc_id") % 5 - 1) * 43200L + 1L).as("q_ts"))
+        // left-outer NULLs → sentinels: the compare harness hashes
+        // NaN != NaN, so unmatched probes carry ('none', 0) in both engines
+        graft.ops.Temporal.asofJoin(probes, snaps, "url", "q_ts", "ts_s", Seq("rev"))
+          .select(col("url"), col("q_ts"),
+            coalesce(col("rev"), lit("none")).as("asof_rev"),
+            coalesce(col("asof_ts"), lit(0L)).as("asof_ts"))
+          .orderBy("url")
+      },
+      Some("""WITH s AS (SELECT doc_id, unnest(range(doc_id % 3 + 1)) AS k FROM documents),
+              snaps AS (SELECT 'https://synth.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                1704067200 + k*86400 AS ts_s, 'rev' || CAST(k AS VARCHAR) AS rev FROM s),
+              probes AS (SELECT 'https://synth.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                1704067200 + (doc_id % 5 - 1)*43200 + 1 AS q_ts FROM documents)
+              SELECT p.url, p.q_ts,
+                COALESCE(arg_max(sn.rev, sn.ts_s), 'none') AS asof_rev,
+                COALESCE(max(sn.ts_s), 0) AS asof_ts
+              FROM probes p LEFT JOIN snaps sn
+                ON sn.url = p.url AND sn.ts_s <= p.q_ts
+              GROUP BY p.url, p.q_ts ORDER BY p.url""")),
+
+    // range (interval) join via temporal tiling: events against synthetic
+    // availability windows. Intervals explode onto ≤2 coarse 4h buckets
+    // (max duration 3.5h), points map to exactly one bucket → equi-join
+    // on bucket + in-condition refinement, every pair met exactly once
+    // (no distinct). The 1-D twin of the covering-cell PIP join; DuckDB's
+    // oracle is the bare inequality join the tiled plan replaces.
+    "q_range_join" -> Q(
+      (s, d) => {
+        val iv = t(s, d, "documents").select(
+            col("doc_id").as("interval_id"),
+            (lit(1704067200L) + (col("doc_id") % 96) * 900L).as("start_s"),
+            (lit(1704067200L) + (col("doc_id") % 96) * 900L
+              + (lit(1L) + col("doc_id") % 7) * 1800L).as("end_s"))
+        // ×7919 (coprime with 97200) spreads the dense event_id range over
+        // the whole 27h window so every interval offset sees points
+        val pts = t(s, d, "events").select(col("event_id"),
+          (lit(1704067200L) + (col("event_id") * 7919L) % 97200L).as("ts_p"))
+        graft.ops.Temporal.rangeJoin(pts, "ts_p", iv, "start_s", "end_s", 14400L)
+          .groupBy("interval_id")
+          .agg(count(lit(1)).as("n_points"),
+            min("ts_p").as("first_ts"), max("ts_p").as("last_ts"))
+          .orderBy("interval_id")
+      },
+      Some("""WITH iv AS (SELECT doc_id AS interval_id,
+                1704067200 + (doc_id % 96)*900 AS start_s,
+                1704067200 + (doc_id % 96)*900 + (1 + doc_id % 7)*1800 AS end_s
+                FROM documents),
+              pts AS (SELECT event_id, 1704067200 + (event_id * 7919) % 97200 AS ts_p FROM events)
+              SELECT iv.interval_id, count(*) AS n_points,
+                min(pts.ts_p) AS first_ts, max(pts.ts_p) AS last_ts
+              FROM iv JOIN pts ON pts.ts_p >= iv.start_s AND pts.ts_p < iv.end_s
+              GROUP BY 1 ORDER BY interval_id""")),
+
+    // gap-based sessionization of the event stream (30-min inactivity
+    // boundary): one exchange on user_id, lag + running-sum windows over
+    // one shared per-key sort, then a map-side-combinable rollup per
+    // session — per-user cost is that user's own event count at any
+    // corpus size.
+    "q_sessionize" -> Q(
+      (s, d) => {
+        val e = t(s, d, "events").select(col("user_id"), col("event_id"),
+          expr("unix_micros(cast(ts as timestamp)) div 1000000").as("ts_s"))
+        graft.ops.Temporal.sessionize(e, "user_id", "ts_s", "event_id", 1800L)
+          .groupBy("user_id", "session_no")
+          .agg(min("ts_s").as("session_start"), max("ts_s").as("session_end"),
+            count(lit(1)).as("n_events"))
+          .orderBy("user_id", "session_no")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts)//1000000 AS ts_s FROM events),
+              g AS (SELECT user_id, event_id, ts_s,
+                CASE WHEN lag(ts_s) OVER w IS NULL OR ts_s - lag(ts_s) OVER w > 1800
+                  THEN 1 ELSE 0 END AS brk
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+              sn AS (SELECT user_id, ts_s,
+                CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no FROM g)
+              SELECT user_id, session_no, min(ts_s) AS session_start,
+                max(ts_s) AS session_end, count(*) AS n_events
+              FROM sn GROUP BY 1, 2 ORDER BY user_id, session_no""")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => (k, q.fn) }
