@@ -1115,6 +1115,106 @@ object Queries {
               FROM h WHERE host NOT IN ('h3.example', 'h7.example', 'h11.example')
               GROUP BY 1 ORDER BY url_norm""")),
 
+    // blocked Bloom-filter membership (dedup/Bloom.scala): corpus = even
+    // doc urls, probes = all urls. The filter is deliberately UNDERSIZED
+    // (8 words × 62 bits for ~250 keys) so false positives are exercised
+    // — and because every bit comes from the md5-48 idiom, DuckDB rebuilds
+    // the identical bit table and the fp rows hash-match exactly. `truth`
+    // rides along so the output itself witnesses zero false negatives.
+    "q_bloom_probe" -> Q(
+      (s, d) => {
+        import graft.dedup.Bloom
+        val url = concat(lit("https://synth.example/doc/"), col("doc_id"))
+        val docs = t(s, d, "documents").select(col("doc_id"), url.as("url"))
+        val corpus = docs.filter(col("doc_id") % 2 === 0)
+        val f = Bloom.build(corpus, "url", nWords = 16L)
+        Bloom.probe(f, docs, "url", nWords = 16L)
+          .withColumn("truth", col("doc_id") % 2 === 0)
+          .select("doc_id", "url", "maybe_seen", "truth")
+          .orderBy("doc_id")
+      },
+      Some {
+        import graft.dedup.Bloom
+        s"""WITH docs AS (SELECT doc_id,
+                'https://synth.example/doc/' || CAST(doc_id AS VARCHAR) AS url
+              FROM documents),
+            f AS (SELECT ${Bloom.wordSql("url", 16L)} AS w,
+                    bit_or(${Bloom.maskSql("url")}) AS bits
+                  FROM docs WHERE doc_id % 2 = 0 GROUP BY 1)
+            SELECT doc_id, url,
+              coalesce((bits & ${Bloom.maskSql("url")}) = ${Bloom.maskSql("url")},
+                false) AS maybe_seen,
+              doc_id % 2 = 0 AS truth
+            FROM docs LEFT JOIN f ON ${Bloom.wordSql("url", 16L)} = f.w
+            ORDER BY doc_id"""
+      }),
+
+    // mirror-host detection (WebGraph.mirrorHosts): each canonical
+    // content (doc_id div 5) is served by 5 hosts (doc_id % 20), so
+    // near-aligned host pairs share ~tens of identical documents. The
+    // content key is the bucket — the standard bucketed-candidate
+    // discipline with the lossy hot-content cap replayed in the oracle.
+    "q_mirror_hosts" -> Q(
+      (s, d) => {
+        val pages = t(s, d, "documents").select(
+          concat(lit("h"), (col("doc_id") % 20).cast("string")).as("host"),
+          md5(concat(lit("content"), expr("doc_id div 5").cast("string"))).as("ck"))
+        graft.ops.WebGraph.mirrorHosts(pages, "host", "ck",
+            minShared = 2L, maxHostsPerContent = 16L)
+          .orderBy("host_a", "host_b")
+      },
+      Some("""WITH hc AS (SELECT DISTINCT
+                'h' || CAST(doc_id % 20 AS VARCHAR) AS h,
+                md5('content' || CAST(doc_id // 5 AS VARCHAR)) AS ck
+              FROM documents),
+            ok AS (SELECT * FROM hc WHERE ck IN (
+                SELECT ck FROM hc GROUP BY ck HAVING count(*) <= 16)),
+            n AS (SELECT h, count(*) AS n FROM hc GROUP BY h),
+            p AS (SELECT l.h AS host_a, r.h AS host_b, count(*) AS shared
+                  FROM ok l JOIN ok r ON l.ck = r.ck AND l.h < r.h
+                  GROUP BY 1, 2 HAVING count(*) >= 2)
+            SELECT host_a, host_b, shared, na.n AS n_a, nb.n AS n_b,
+              round(CAST(shared AS DOUBLE) / (na.n + nb.n - shared), 6) AS jaccard
+            FROM p JOIN n na ON p.host_a = na.h JOIN n nb ON p.host_b = nb.h
+            ORDER BY host_a, host_b""")),
+
+    // windowed crawl diff (UrlOps.crawlDiff): latest revision per url in
+    // two consecutive crawl windows, diffed in ONE groupBy(url) pass with
+    // conditional struct-max arg-max aggregates (no snapshot self-join,
+    // no window sort). Synthesis covers all four statuses: doc_id%2=1
+    // urls start late (new), %4=0 early-only (removed), the rest span
+    // both windows and split changed/unchanged by the content key.
+    "q_crawl_diff" -> Q(
+      (s, d) => {
+        val base = 1704067200L
+        val snaps = t(s, d, "documents")
+          .select(col("doc_id"),
+            explode(sequence(lit(0L), col("doc_id") % 4)).as("k"))
+          .select(
+            concat(lit("https://synth.example/doc/"), col("doc_id")).as("url"),
+            (lit(base) + (col("k") + (col("doc_id") % 2) * 2L) * 86400L).as("ts_s"),
+            concat(lit("v"), expr("(doc_id % 3 + k) div 4").cast("string")).as("rev"))
+        graft.ops.UrlOps.crawlDiff(snaps, "url", "ts_s", "rev",
+            t0 = base, t1 = base + 86400L, t2 = base + 3 * 86400L)
+          .orderBy("url")
+      },
+      Some("""WITH s AS (SELECT
+                'https://synth.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                1704067200 + (k + (doc_id % 2) * 2) * 86400 AS ts_s,
+                'v' || CAST((doc_id % 3 + k) // 4 AS VARCHAR) AS rev
+              FROM (SELECT doc_id, unnest(range(doc_id % 4 + 1)) AS k FROM documents)),
+            g AS (SELECT url,
+                arg_max(rev, ts_s) FILTER (WHERE ts_s <= 1704067200 + 86400) AS rev1,
+                arg_max(rev, ts_s) FILTER (WHERE ts_s > 1704067200 + 86400) AS rev2
+              FROM s WHERE ts_s >= 1704067200 AND ts_s <= 1704067200 + 3*86400
+              GROUP BY url)
+            SELECT url, rev1, rev2,
+              CASE WHEN rev1 IS NULL THEN 'new'
+                   WHEN rev2 IS NULL THEN 'removed'
+                   WHEN rev1 = rev2 THEN 'unchanged'
+                   ELSE 'changed' END AS status
+            FROM g ORDER BY url""")),
+
     // C4/CCNet line-level cleanup: chunk the corpus's whitespace text
     // into deterministic 5-token lines (the newline structure the
     // synthetic corpus lacks), drop boilerplate-marked lines, rejoin.

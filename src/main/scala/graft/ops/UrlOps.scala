@@ -123,4 +123,42 @@ object UrlOps {
       .agg(min(col(idCol)).as("canonical_id"),
         count(lit(1)).as("n_dups"))
   }
+
+  /** Windowed crawl diff: what changed between crawl window 1
+    * (`ts ∈ [t0, t1]`) and window 2 (`ts ∈ (t1, t2]`) — per url, the
+    * latest revision in each window and a status:
+    * `new` (only in w2), `removed` (only in w1), `changed` /
+    * `unchanged` (in both, by content key).
+    *
+    * Reference analog: the two-pass `-d` resume flow (app.py:76-97 —
+    * diffing the address layer against the previously exported state);
+    * generalized to crawl-over-crawl change detection.
+    *
+    * Scale shape: ONE exchange total. Both windows' arg-max collapse in a
+    * single groupBy(url) using conditional `max(struct(ts, content))`
+    * aggregates (max ignores the nulls the window predicate leaves, and
+    * ts is the struct's leading field, so this IS windowed arg_max —
+    * map-side combinable, unlike a window-function formulation which
+    * would sort). No self-join of two snapshot tables, no second scan:
+    * at 10^12 revisions the diff costs exactly one url-keyed shuffle of
+    * pre-aggregated partials. Rows outside both windows drop at the scan.
+    *
+    * Returns (url, rev1, rev2, status); `rev1`/`rev2` are the latest
+    * in-window content keys (null when absent).
+    */
+  def crawlDiff(snaps: DataFrame, urlCol: String, tsCol: String,
+      contentCol: String, t0: Long, t1: Long, t2: Long): DataFrame = {
+    val ts = col(tsCol)
+    def latest(cond: Column): Column =
+      max(when(cond, struct(ts.as("t"), col(contentCol).as("c"))))("c")
+    snaps
+      .filter(ts >= t0 && ts <= t2)
+      .groupBy(col(urlCol).as("url"))
+      .agg(latest(ts <= t1).as("rev1"), latest(ts > t1).as("rev2"))
+      .withColumn("status",
+        when(col("rev1").isNull, "new")
+          .when(col("rev2").isNull, "removed")
+          .when(col("rev1") === col("rev2"), "unchanged")
+          .otherwise("changed"))
+  }
 }

@@ -224,4 +224,48 @@ object WebGraph {
     }
     auth.join(hub, "id").select(col("id"), col("auth"), col("hub"))
   }
+
+  /** Mirror-host detection: pairs of hosts serving many IDENTICAL
+    * documents — the host-level cousin of document near-dup (a mirror or
+    * CDN alias duplicates a whole site, and corpus-level dedup wants the
+    * HOST pair, not 10^6 independent doc pairs).
+    *
+    * Reference analog: `conflate`'s duplicate-geometry grouping across
+    * layers (`geo/layer/cons.py` test_conflate) lifted to (host, content)
+    * identity.
+    *
+    * Shape — the engine's standard bucketed-candidate discipline (same as
+    * MinHash bands / SimHash combo keys): the content key IS the bucket.
+    *   1. distinct (host, ck): one exchange, map-side combine;
+    *   2. LOSSY skew cap: content served by more than `maxHostsPerContent`
+    *      hosts is dropped via left_anti (a k-host boilerplate page is
+    *      C(k,2) pairs — the cap bounds the self-join's output exactly as
+    *      minhashNearDups' maxBucket does; AQE picks broadcast vs
+    *      sort-merge from real stats);
+    *   3. per-ck self-join (host_a < host_b) → groupBy pair count: the
+    *      only quadratic step, bounded by the cap²·n_ck;
+    *   4. per-host doc counts re-join (counts-sized) for the Jaccard.
+    *
+    * Returns (host_a, host_b, shared, n_a, n_b, jaccard) with
+    * `shared >= minShared`, jaccard rounded for cross-engine fp safety.
+    */
+  def mirrorHosts(pages: DataFrame, hostCol: String, contentKeyCol: String,
+      minShared: Long, maxHostsPerContent: Long): DataFrame = {
+    val hc = pages.select(col(hostCol).as("h"), col(contentKeyCol).as("ck"))
+      .distinct()
+    val perHost = hc.groupBy("h").agg(count(lit(1)).as("n"))
+    val hot = hc.groupBy("ck").agg(count(lit(1)).as("nh"))
+      .filter(col("nh") > maxHostsPerContent).select("ck")
+    val ok = hc.join(hot, Seq("ck"), "left_anti")
+    ok.as("l").join(ok.as("r"),
+        col("l.ck") === col("r.ck") && col("l.h") < col("r.h"))
+      .groupBy(col("l.h").as("host_a"), col("r.h").as("host_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .join(perHost.select(col("h").as("host_a"), col("n").as("n_a")), "host_a")
+      .join(perHost.select(col("h").as("host_b"), col("n").as("n_b")), "host_b")
+      .select(col("host_a"), col("host_b"), col("shared"), col("n_a"), col("n_b"),
+        round(col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")), 6).as("jaccard"))
+  }
 }
