@@ -1215,6 +1215,62 @@ object Queries {
                    ELSE 'changed' END AS status
             FROM g ORDER BY url""")),
 
+    // HyperLogLog registers (ops/Stats.hllRegisters): the mergeable
+    // count-distinct sketch state per lang, 64 buckets — one groupBy
+    // whose map-side combine bounds the wire by sketch size. Registers
+    // are INTEGER-exact cross-engine (rank = base-2 string length, no
+    // fp log), so the oracle gate is a hash match; estimation accuracy
+    // is HllSpec's job.
+    "q_hll_registers" -> Q(
+      (s, d) => {
+        val keyed = t(s, d, "documents").select(col("lang"),
+          concat(lit("k"), (col("doc_id") % 200).cast("string")).as("k"))
+        graft.ops.Stats.hllRegisters(keyed, "lang", "k", bucketBits = 6)
+          .orderBy("lang", "bucket")
+      },
+      Some("""WITH r AS (SELECT lang,
+                ('0x' || substr(md5('k' || CAST(doc_id % 200 AS VARCHAR)), 1, 12))::BIGINT AS h
+              FROM documents)
+            SELECT lang, h % 64 AS bucket,
+              max(CASE WHEN h // 64 = 0 THEN 43
+                       ELSE 43 - length(bin(h // 64)) END) AS r
+            FROM r GROUP BY lang, h % 64 ORDER BY lang, bucket""")),
+
+    // Count-Min sketch (text/CountMin.scala): token frequencies in a
+    // 3×64 sketch — deliberately narrow so collision overestimates are
+    // exercised — probed for every distinct token with the exact count
+    // riding along (est >= truth is the CM guarantee; the md5 cell
+    // addressing makes DuckDB rebuild the identical sketch, so even the
+    // overestimates hash-match).
+    "q_cmsketch" -> Q(
+      (s, d) => {
+        import graft.text.CountMin
+        val toks = t(s, d, "documents").select(
+          explode(filter(split(col("text"), " "), x => length(x) > lit(0))).as("w"))
+        val sk = CountMin.build(toks, "w", depth = 3, width = 64L)
+        val truth = toks.groupBy("w").agg(count(lit(1)).as("truth"))
+        CountMin.estimate(sk, truth, "w", depth = 3, width = 64L)
+          .select(col("w"), col("est"), col("truth"))
+          .orderBy("w")
+      },
+      Some {
+        import graft.text.CountMin
+        def c(r: Int) = CountMin.cellSql("w", r, 64L)
+        s"""WITH toks AS (SELECT unnest(list_filter(string_split(text, ' '),
+                x -> x <> '')) AS w FROM documents),
+            truth AS (SELECT w, count(*) AS truth FROM toks GROUP BY w),
+            sk AS (SELECT r, c, count(*) AS cnt FROM (
+                SELECT 0 AS r, ${c(0)} AS c FROM toks
+                UNION ALL SELECT 1, ${c(1)} FROM toks
+                UNION ALL SELECT 2, ${c(2)} FROM toks) u GROUP BY r, c),
+            p AS (SELECT w, truth, 0 AS r, ${c(0)} AS c FROM truth
+                UNION ALL SELECT w, truth, 1, ${c(1)} FROM truth
+                UNION ALL SELECT w, truth, 2, ${c(2)} FROM truth)
+            SELECT p.w, CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS est, truth
+            FROM p LEFT JOIN sk ON p.r = sk.r AND p.c = sk.c
+            GROUP BY p.w, truth ORDER BY p.w"""
+      }),
+
     // C4/CCNet line-level cleanup: chunk the corpus's whitespace text
     // into deterministic 5-token lines (the newline structure the
     // synthetic corpus lacks), drop boilerplate-marked lines, rejoin.

@@ -82,6 +82,50 @@ object Bloom {
       .drop("__w", "__m", "bits")
   }
 
+  // ---- persisted index (the incremental-ingest shape) -----------------
+
+  /** Persist the filter BUCKETED AND SORTED by word — the Bloom twin of
+    * [[Dedup.writeDedupIndex]]: the filter's shuffle is paid once at
+    * write time, every later probe joins it exchange-free on the index
+    * side. At 10^12 keys the filter is nWords rows (∝ corpus), so never
+    * re-shuffling it per probe batch is the same game as the exact
+    * index — at ~1/100 the bytes. */
+  def writeIndex(keys: DataFrame, keyCol: String, nWords: Long,
+      table: String, buckets: Int): Unit =
+    graft.sources.Bucketed.writeBucketed(
+      build(keys, keyCol, nWords), table, "w", buckets)
+
+  /** Append new keys' words to an existing index. Appended rows are NOT
+    * merged with the stored ones (parquet is immutable); [[probeIndex]]
+    * bit_or-merges all rows of a word at probe time, so membership stays
+    * exact-Bloom after any number of appends. Rebuild via [[writeIndex]]
+    * occasionally to compact. */
+  def appendIndex(newKeys: DataFrame, keyCol: String, nWords: Long,
+      table: String): Unit =
+    graft.sources.Bucketed.appendBucketed(
+      build(newKeys, keyCol, nWords), table)
+
+  /** Probe against a persisted index table: same contract as [[probe]],
+    * but the filter side is the bucketed table (zero exchange, zero sort
+    * on the index side — asserted in the spec) and per-word rows from
+    * appends are bit_or-merged per probe. Only the probe batch shuffles.
+    * Contract: probe ROWS must be distinct (carry an id) — the merge
+    * groups by the probe's columns. */
+  def probeIndex(probes: DataFrame, keyCol: String, nWords: Long,
+      table: String): DataFrame = {
+    val spark = probes.sparkSession
+    val p = probes
+      .withColumn("__w", word(col(keyCol), nWords))
+      .withColumn("__m", maskOf(col(keyCol)))
+    val probeCols = probes.columns.map(col).toSeq
+    p.join(spark.table(table).withColumnRenamed("w", "__w"), Seq("__w"), "left")
+      .groupBy((probeCols :+ col("__m")): _*)
+      .agg(expr("bit_or(bits)").as("__bits"))
+      .withColumn("maybe_seen",
+        coalesce(col("__bits").bitwiseAND(col("__m")) === col("__m"), lit(false)))
+      .drop("__m", "__bits")
+  }
+
   // ---- DuckDB parity fragments (the oracle replays the exact bits) ----
 
   /** SQL for [[word]] over key expression `k` (VARCHAR). */
