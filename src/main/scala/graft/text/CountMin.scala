@@ -59,6 +59,14 @@ object CountMin {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  /** Merge two sketches built with the SAME (depth, width): cell-wise
+    * sum — the linearity that makes CM the incremental/streaming
+    * frequency state (fold per-batch sketches with merge; estimates over
+    * the merged sketch equal estimates over the concatenated stream,
+    * exactly). */
+  def merge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("r", "c").agg(sum("cnt").as("cnt"))
+
   // ---- DuckDB parity fragments ----------------------------------------
 
   /** SQL for [[cellCol]] over key expression `k` (VARCHAR) and literal

@@ -71,6 +71,17 @@ class CountMinSpec extends AnyFunSuite {
     }
   }
 
+  test("merge law: sketch of a concatenated stream = cell-wise sum of parts") {
+    val (s1, s2) = (stream.take(300), stream.drop(300))
+    val merged = CountMin.merge(
+      CountMin.build(s1.toDF("w"), "w", depth, width),
+      CountMin.build(s2.toDF("w"), "w", depth, width))
+    val direct = CountMin.build(stream.toDF("w"), "w", depth, width)
+    val m = merged.as[(Int, Long, Long)].collect().toSet
+    val d = direct.as[(Int, Long, Long)].collect().toSet
+    assert(m === d)
+  }
+
   test("build output is sketch-bounded: at most depth*width rows") {
     val sk = CountMin.build(stream.toDF("w"), "w", depth, width)
     assert(sk.count() <= depth * width)
