@@ -1215,6 +1215,57 @@ object Queries {
                    ELSE 'changed' END AS status
             FROM g ORDER BY url""")),
 
+    // crawl-frontier politeness scheduling (UrlOps.politenessSchedule):
+    // one row_number window per host — the per-host sort IS the
+    // semantics (politeness serializes a host by design); priority =
+    // the md5-48 bucket so both engines rank identically.
+    "q_politeness" -> Q(
+      (s, d) => {
+        val f = t(s, d, "documents").select(
+          concat(lit("https://synth.example/doc/"), col("doc_id")).as("url"),
+          concat(lit("h"), (col("doc_id") % 20).cast("string")).as("host"),
+          TextFns.hashBucket(col("doc_id").cast("string"), 1000).as("prio"))
+        graft.ops.UrlOps.politenessSchedule(f, "host", "url", "prio",
+            startTs = 1704067200L, delaySec = 2L)
+          .orderBy("url")
+      },
+      Some("""WITH f AS (SELECT
+                'https://synth.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                'h' || CAST(doc_id % 20 AS VARCHAR) AS host,
+                ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 1000 AS prio
+              FROM documents)
+            SELECT url, host, prio,
+              CAST(row_number() OVER (PARTITION BY host ORDER BY prio DESC, url) - 1 AS BIGINT) AS slot,
+              1704067200 + (row_number() OVER (PARTITION BY host ORDER BY prio DESC, url) - 1) * 2 AS fetch_ts
+            FROM f ORDER BY url""")),
+
+    // connected components over a synthetic host graph (4 path
+    // components of 30 hosts each — depth exercises the pointer-jump
+    // O(log d) rounds): the same distributed min-label operator the
+    // building-adjacency queries use (Adjacency.connectedComponents),
+    // replayed by the oracle as a recursive-CTE closure.
+    "q_host_components" -> Q(
+      (s, d) => {
+        val hosts = t(s, d, "documents")
+          .select((col("doc_id") % 120).as("bid")).distinct()
+        val edges = t(s, d, "documents")
+          .select((col("doc_id") % 120).as("a"), (col("doc_id") % 120 + 4).as("b"))
+          .filter(col("b") < 120).distinct()
+        graft.ops.Adjacency.connectedComponents(hosts, edges)
+          .select(col("bid").as("host_id"), col("comp"))
+          .orderBy("host_id")
+      },
+      Some("""WITH RECURSIVE hosts AS (SELECT DISTINCT doc_id % 120 AS id FROM documents),
+              e0 AS (SELECT DISTINCT doc_id % 120 AS a, doc_id % 120 + 4 AS b
+                     FROM documents WHERE doc_id % 120 + 4 < 120),
+              e AS (SELECT a AS s, b AS d FROM e0 UNION ALL SELECT b, a FROM e0),
+              r(id, m) AS (
+                SELECT id, id FROM hosts
+                UNION
+                SELECT e.s, r.m FROM e JOIN r ON r.id = e.d)
+              SELECT id AS host_id, min(m) AS comp
+              FROM r GROUP BY id ORDER BY host_id""")),
+
     // HyperLogLog registers (ops/Stats.hllRegisters): the mergeable
     // count-distinct sketch state per lang, 64 buckets — one groupBy
     // whose map-side combine bounds the wire by sketch size. Registers

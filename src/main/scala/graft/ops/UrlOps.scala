@@ -124,6 +124,31 @@ object UrlOps {
         count(lit(1)).as("n_dups"))
   }
 
+  /** Crawl-frontier politeness scheduling: assign each candidate url a
+    * fetch slot so every host is fetched at most once per `delaySec`,
+    * higher-priority urls first (ties broken by url for determinism at
+    * any parallelism).
+    *
+    * Reference analog: the reference's per-municipality task sequencing
+    * (app.py process_tasks ordering) lifted to the crawl frontier.
+    *
+    * Shape: ONE exchange on host + a per-host sort (row_number). The
+    * per-host sort is not an artifact to engineer away — politeness
+    * SERIALIZES a host by design, so a mega-host's frontier (the skew
+    * case) is exactly the work that must be ordered; cost is bounded by
+    * that host's own frontier size, never the corpus. Returns the
+    * frontier + (slot, fetch_ts). */
+  def politenessSchedule(frontier: DataFrame, hostCol: String,
+      urlCol: String, prioCol: String, startTs: Long,
+      delaySec: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(hostCol))
+      .orderBy(col(prioCol).desc, col(urlCol))
+    frontier
+      .withColumn("slot", row_number().over(w).cast("long") - 1L)
+      .withColumn("fetch_ts", lit(startTs) + col("slot") * delaySec)
+  }
+
   /** Windowed crawl diff: what changed between crawl window 1
     * (`ts ∈ [t0, t1]`) and window 2 (`ts ∈ (t1, t2]`) — per url, the
     * latest revision in each window and a status:

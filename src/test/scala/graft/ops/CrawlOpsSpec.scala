@@ -78,6 +78,29 @@ class CrawlOpsSpec extends AnyFunSuite {
     assert(!got.contains(("h0", "h3")) || want.contains(("h0", "h3")))
   }
 
+  test("politenessSchedule: per-host spacing law and priority order") {
+    val frontier = (0 until 60).map { i =>
+      (s"u-${i % 7}-$i", s"host${i % 7}", (i * 13) % 20)
+    }.toDF("url", "host", "prio")
+    val got = UrlOps.politenessSchedule(frontier, "host", "url", "prio",
+        startTs = 5000L, delaySec = 3L)
+      .as[(String, String, Int, Long, Long)].collect()
+    got.groupBy(_._2).foreach { case (host, rows) =>
+      val byslot = rows.sortBy(_._4)
+      // slots are 0..n-1 dense and fetch times delaySec apart
+      assert(byslot.map(_._4).toSeq === byslot.indices.map(_.toLong))
+      assert(byslot.map(_._5).toSeq === byslot.indices.map(i => 5000L + i * 3L))
+      // priority order: descending prio, ties by url ascending
+      val want = rows.sortBy(r => (-r._3, r._1)).map(_._1).toSeq
+      assert(byslot.map(_._1).toSeq === want, s"host $host order")
+    }
+    // determinism at different parallelism
+    val again = UrlOps.politenessSchedule(frontier.repartition(7), "host",
+        "url", "prio", 5000L, 3L)
+      .as[(String, String, Int, Long, Long)].collect().sortBy(_._1)
+    assert(again.toSeq === got.sortBy(_._1).toSeq)
+  }
+
   test("crawlDiff: every status reachable and equal to the two-snapshot join") {
     val snaps = (0 until 40).flatMap { id =>
       (0L to id % 4).map { k =>
