@@ -1966,6 +1966,70 @@ object Queries {
               WHERE inter*1.0/(na.sz + nb.sz - inter) >= 0.6
               ORDER BY id_a, id_b""")),
 
+    // edit-distance near-dup pairs: PassJoin lossless segment filter +
+    // banded levenshtein verify (EditDedup Scaladoc carries the constant-
+    // replication 100 TB shape). Oracle is the brute-force pair scan the
+    // filter avoids, pre-filtered by the lossless |Δlen| <= tau bound.
+    // PARITY NOTE: Spark's levenshtein counts CODEPOINTS, DuckDB's counts
+    // BYTES — identical only on ASCII corpora (this one is; a non-ASCII
+    // corpus would need a byte-cast oracle).
+    "q_edit_dedup" -> Q(
+      (s, d) => graft.dedup.EditDedup.nearDups(
+          t(s, d, "documents"), "doc_id", "text", tau = 6)
+        .orderBy("id_a", "id_b"),
+      Some("""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                levenshtein(a.text, b.text) AS d
+              FROM documents a JOIN documents b
+                ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 6
+              WHERE levenshtein(a.text, b.text) <= 6
+              ORDER BY id_a, id_b""")),
+
+    // BM25 top-k retrieval: inverted-index probe of corpus postings by a
+    // small query set — queries are the first 3 tokens of every 100th doc
+    // (Relevance.bm25TopK Scaladoc carries the broadcast-vocabulary shape)
+    "q_bm25" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val queries = docs.filter(col("doc_id") % 100 === 7)
+          .select(col("doc_id").as("qid"),
+            concat_ws(" ", slice(split(col("text"), " "), 1, 3)).as("qtext"))
+        graft.text.Relevance.bm25TopK(
+            docs, "doc_id", col("text"), queries, "qid", col("qtext"), k = 5)
+          .orderBy("qid", "rank")
+      },
+      Some("""WITH q AS (SELECT doc_id AS qid,
+                       array_to_string(string_split(text, ' ')[1:3], ' ') AS qtext
+                     FROM documents WHERE doc_id % 100 = 7),
+              qt AS (SELECT DISTINCT qid,
+                       unnest(string_split(qtext, ' ')) AS term FROM q),
+              w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                    FROM documents),
+              tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+              dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len
+                     FROM tf GROUP BY 1),
+              st AS (SELECT count(*) AS n,
+                       CAST(sum(len) AS DOUBLE) / count(*) AS avgl FROM dl),
+              tfq AS (SELECT * FROM tf
+                      WHERE term IN (SELECT DISTINCT term FROM qt)),
+              df AS (SELECT term, count(*) AS df FROM tfq GROUP BY 1),
+              sc AS (SELECT qt.qid, tfq.doc_id,
+                       round(sum(
+                         ln(1.0 + ((SELECT n FROM st) * 1.0 - df.df + 0.5)
+                                  / (df.df + 0.5))
+                         * (tfq.tf * (1.2 + 1.0)
+                            / (tfq.tf + 1.2 * (1.0 - 0.75
+                               + 0.75 * dl.len / (SELECT avgl FROM st))))), 6)
+                         AS score
+                     FROM qt JOIN tfq USING (term) JOIN df USING (term)
+                       JOIN dl ON dl.doc_id = tfq.doc_id
+                     GROUP BY 1, 2),
+              r AS (SELECT qid, doc_id, score,
+                      row_number() OVER (PARTITION BY qid
+                        ORDER BY score DESC, doc_id) AS rank
+                    FROM sc)
+              SELECT qid, rank, doc_id, score FROM r WHERE rank <= 5
+              ORDER BY qid, rank""")),
+
     // corpus dedup SELECTION: one survivor per near-dup cluster (min id)
     // plus every unpaired doc — components over the exact-Jaccard pairs
     // (near-duplication is not transitive; the closure decides), replayed

@@ -53,6 +53,70 @@ object Relevance {
         round(col("score"), 6).as("score"))
   }
 
+  /** BM25 top-k retrieval: score every document against every query and
+    * return the k best docs per query — the inverted-index probe workload
+    * (Robertson/Zaragoza BM25, idf = ln(1 + (N−df+0.5)/(df+0.5)), Lucene's
+    * positive form).
+    *
+    * `queries` is a SMALL table (qid, query text); docs are the corpus.
+    * Returns (qid, rank, doc_id, score) with score rounded to 6 decimals
+    * and rank ordered by (rounded score desc, doc_id) — rounding BEFORE
+    * ranking keeps the ordering identical across engines whose partial-sum
+    * orders differ in the last ulp.
+    *
+    * 100 TB shape: the corpus is aggregated ONCE into tf(doc, term) — the
+    * same map-side-combining groupBy as [[tfIdfTopK]] — and doc lengths
+    * fall out of tf with a second 8-byte-keyed aggregate. The QUERY
+    * VOCABULARY (distinct terms over all queries) is tiny and broadcast,
+    * so the posting-list probe is a broadcast-hash semi-shaped join: only
+    * postings of query terms survive the scan (this IS the inverted-index
+    * lookup — no corpus-sized exchange is keyed on anything but the 8-byte
+    * doc id). df comes from the filtered postings (count over all docs
+    * holding the term — the filter is term-exact, so df is exact). The
+    * per-(query, doc) score sum and the final top-k window both partition
+    * by qid — partition-local, never a global sort. Skew lives in stopword
+    * query terms (huge posting lists): that is AQE skew-split territory,
+    * and the broadcast side stays bounded by the query vocabulary.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: Column,
+               queries: DataFrame, qidCol: String, qtextCol: Column,
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = graft.CacheBin.persist(docs
+      .select(col(idCol), explode(split(textCol, " ")).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf")))
+    val docLen = graft.CacheBin.persist(
+      tf.groupBy(idCol).agg(sum("tf").as("len")))
+    val stats = docLen.agg(count(lit(1)).as("n"), sum("len").as("tot")).head()
+    val (nDocs, totLen) = (stats.getLong(0), stats.getLong(1))
+    // exact-integer division once, identically on both engines
+    val avgLen = totLen.toDouble / nDocs
+
+    val qTerms = queries
+      .select(col(qidCol).as("qid"), explode(split(qtextCol, " ")).as("term"))
+      .distinct()
+    val vocab = qTerms.select("term").distinct()
+
+    // inverted-index probe: corpus postings restricted to query terms
+    val tfQ = graft.CacheBin.persist(tf.join(broadcast(vocab), "term"))
+    val df = tfQ.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfn = col("tf") * (lit(k1) + lit(1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("len") / lit(avgLen)))
+
+    val scored = tfQ
+      .join(broadcast(qTerms), "term")
+      .join(broadcast(df), "term")
+      .join(docLen, idCol)
+      .groupBy(col("qid"), col(idCol))
+      .agg(round(sum(idf * tfn), 6).as("score"))
+    val rank = row_number().over(Window.partitionBy("qid")
+      .orderBy(col("score").desc, col(idCol)))
+    scored.withColumn("rank", rank.cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col(idCol), col("score"))
+  }
+
   /** 48-bit md5 prefix of a term, mod `buckets` — the hashed feature
     * space (the engine-wide TextFns.hashBucket idiom; DuckDB parity
     * documented there). */

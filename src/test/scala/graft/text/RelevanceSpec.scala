@@ -88,4 +88,43 @@ class RelevanceSpec extends AnyFunSuite {
       assert(wt === exp)
     }
   }
+
+  test("bm25TopK matches a hand model; rank by rounded score, doc_id tiebreak") {
+    val queries = Seq((100L, "cat mat"), (200L, "dog zzz"))
+      .toDF("qid", "qtext")
+    val got = Relevance.bm25TopK(
+        docs, "doc_id", col("text"), queries, "qid", col("qtext"), k = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._3) -> (r._2, r._4)).toMap
+    graft.CacheBin.drain()
+    // hand model: doc lengths 6/6/3/4, N=4, avg=19/4; df(cat)=2, df(mat)=1,
+    // df(dog)=2, zzz unseen (contributes nothing)
+    val avg = 19.0 / 4
+    def idf(df: Int) = math.log(1.0 + (4.0 - df + 0.5) / (df + 0.5))
+    def tfn(tf: Long, len: Long) =
+      tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * len / avg))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val s0 = r6(idf(2) * tfn(1, 6) + idf(1) * tfn(1, 6)) // doc0: cat + mat
+    val s3 = r6(idf(2) * tfn(3, 4))                      // doc3: cat tf=3
+    assert(got((100L, 0L)) === ((1L, s0)))               // two terms win
+    assert(got((100L, 3L)) === ((2L, s3)))
+    val d1 = r6(idf(2) * tfn(1, 6)) // doc1: dog, longer doc
+    val d3 = r6(idf(2) * tfn(1, 4)) // doc3: dog, shorter doc scores higher
+    assert(d3 > d1)
+    assert(got((200L, 3L)) === ((1L, d3)))
+    assert(got((200L, 1L)) === ((2L, d1)))
+    assert(got.size === 4) // zzz matches nothing; no other doc holds terms
+  }
+
+  test("bm25TopK is partitioning-invariant") {
+    val queries = Seq((1L, "the cat")).toDF("qid", "qtext")
+    def run(parts: Int) = Relevance.bm25TopK(
+        docs.repartition(parts), "doc_id", col("text"),
+        queries, "qid", col("qtext"), k = 4)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val a = run(1); graft.CacheBin.drain()
+    val b = run(7); graft.CacheBin.drain()
+    assert(a.toSeq === b.toSeq)
+  }
 }
