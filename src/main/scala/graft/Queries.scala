@@ -1678,6 +1678,39 @@ object Queries {
                      count(DISTINCT dst) AS n_dst_docs
               FROM e GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // log2-binned in/out-degree distribution of the extracted link graph
+    // (WebGraph.degreeDistribution Scaladoc carries the integer-bit-length
+    // binning + sketch-sized-rollup shape); oracle regenerates the edges
+    // from the synthesis rule, so agreement gates the extraction path too
+    "q_degree_dist" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val n = docs.count()
+        val pages = graft.sources.Pages.fromDocumentsLinked(s, d, n)
+        val edges = graft.ops.WebGraph.linkEdges(pages)
+          .select(col("src_id").as("src"), col("dst_id").as("dst"))
+        graft.ops.WebGraph.degreeDistribution(
+            edges, docs.select(col("doc_id").as("id")))
+          .orderBy("side", "bin")
+      },
+      Some("""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+              s AS (SELECT doc_id, unnest(range(doc_id % 4 + 1)) AS j
+                    FROM documents),
+              e AS (SELECT doc_id AS src,
+                      (doc_id*131 + 7*j) % (SELECT n FROM nn) AS dst FROM s),
+              ind AS (SELECT d.doc_id, count(e.src) AS deg
+                      FROM documents d LEFT JOIN e ON e.dst = d.doc_id
+                      GROUP BY 1),
+              outd AS (SELECT d.doc_id, count(e2.dst) AS deg
+                       FROM documents d LEFT JOIN e e2 ON e2.src = d.doc_id
+                       GROUP BY 1),
+              u AS (SELECT 'in' AS side, deg FROM ind
+                    UNION ALL SELECT 'out' AS side, deg FROM outd)
+              SELECT side, CAST(length(bin(deg + 1)) - 1 AS BIGINT) AS bin,
+                     count(*) AS n_docs, min(deg) AS min_deg,
+                     max(deg) AS max_deg
+              FROM u GROUP BY 1, 2 ORDER BY side, bin""")),
+
     // fixed-iteration PageRank over the extracted doc-level link graph:
     // iterative rank⨝edges join + dst aggregate, degrees cached once
     // (WebGraph.pageRank Scaladoc carries the 100 TB iteration shape).

@@ -25,10 +25,10 @@ import org.apache.spark.sql.functions._
   *
   * 100 TB shape: per-string replication is a CONSTANT — tau+1 index rows
   * and Σ_Δlen (tau+1)(tau−|Δlen|+1) ≈ (tau+1)² probe rows (tau=6: 7 vs
-  * ~343) — and every key is constant-width (len:int, seg:int, xxhash64 of
-  * the segment text: long), so the candidate join is one equi-join whose
-  * exchange is corpus-linear. Hash collisions only ADD candidates; the
-  * exact verify discards them, so the hash never needs oracle parity.
+  * ~343) — and (l1, i, segment-hash) folds into ONE 8-byte key, so the
+  * candidate join is a single-long equi-join whose exchange is
+  * corpus-linear at 16 bytes/row. Hash collisions only ADD candidates;
+  * the exact verify discards them, so the key never needs oracle parity.
   * Candidates are distinct'd on the 8-byte id pair ALONE (texts re-attach
   * by id afterwards — the SimHash r4 lesson: never drag payloads through
   * the widest exchange). Boilerplate segments (hot keys) are capped by
@@ -92,25 +92,32 @@ object EditDedup {
       } yield (l2, l1, i, p2, w)
     }.toDF("len", "l1", "i", "p", "w")
 
-    def segHash: Column = xxhash64(expr("substring(txt, p + 1, w)"))
+    // (l1, i, segment-hash) folded into ONE 8-byte key — the MinHash
+    // bandKey idiom: the odd-constant multiply is a bijection of the
+    // segment hash, so equal (l1, i, segment) triples always collide onto
+    // the same key (no recall loss) and a cross-group collision can only
+    // ADD a candidate, which exact verification discards. Halves the
+    // exchange row width vs a 3-column key and keeps the join sort on a
+    // single long.
+    def segKey(l1: Column): Column =
+      xxhash64(expr("substring(txt, p + 1, w)")) * lit(0x9E3779B97F4A7C15L) +
+        (l1.cast("long") * lit(64L) + $"i")
 
     val idxRows = base.join(broadcast(idxParams), "len")
-      .select($"id", $"len".as("l1"), $"i", segHash.as("h"))
+      .select($"id", segKey($"len").as("k"))
     val prbRows = base.join(broadcast(prbParams), "len")
-      .select($"id", $"l1", $"i", segHash.as("h"))
+      .select($"id", segKey($"l1").as("k"))
 
     // skew cap: boilerplate segments shared by > maxBucket docs are dropped
     // from BOTH roles (lossy, documented) — aggregated + anti-joined, never
     // driver-collected or broadcast
-    val hot = idxRows.groupBy("l1", "i", "h").agg(count(lit(1)).as("n"))
-      .filter($"n" > maxBucket).select("l1", "i", "h")
-    val idxOk = idxRows.join(hot, Seq("l1", "i", "h"), "left_anti")
-    val prbOk = prbRows.join(hot, Seq("l1", "i", "h"), "left_anti")
+    val hot = idxRows.groupBy("k").agg(count(lit(1)).as("n"))
+      .filter($"n" > maxBucket).select("k")
+    val idxOk = idxRows.join(hot, Seq("k"), "left_anti")
+    val prbOk = prbRows.join(hot, Seq("k"), "left_anti")
 
     val segCand = idxOk.as("a")
-      .join(prbOk.as("b"),
-        $"a.l1" === $"b.l1" && $"a.i" === $"b.i" && $"a.h" === $"b.h" &&
-          $"a.id" =!= $"b.id")
+      .join(prbOk.as("b"), $"a.k" === $"b.k" && $"a.id" =!= $"b.id")
       .select(least($"a.id", $"b.id").as("id_a"),
         greatest($"a.id", $"b.id").as("id_b"))
 

@@ -103,6 +103,35 @@ object WebGraph {
       .agg(count(lit(1)).as("n_links"),
         countDistinct(col("dst_id")).as("n_dst_docs"))
 
+  /** Log2-binned in/out-degree distribution over (src, dst) long edges —
+    * the power-law profile a crawl health check reads (Broder et al. 2000
+    * web-graph structure). Returns (side ∈ 'in'|'out', bin, n_docs,
+    * min_deg, max_deg) where bin = ⌊log2(deg+1)⌋ computed as
+    * length(bin(deg+1))−1 — INTEGER bit-length, never a float log whose
+    * last-ulp error could flip a floor at exact powers of two (the same
+    * exactness discipline as the Morton/rollup family).
+    *
+    * 100 TB shape: per-node degree is ONE map-side-combining aggregate on
+    * the 8-byte node id per side; zero-degree nodes re-enter via a left
+    * join from the node table (also id-keyed). The bin rollup's exchange
+    * is bounded by 64 bins × partitions — sketch-sized, like the
+    * Count-Min family. Hot bins (the deg-0/1 mass) are single bounded
+    * partial rows, not groups. */
+  def degreeDistribution(edges: DataFrame, ids: DataFrame): DataFrame = {
+    def oneSide(key: String, name: String): DataFrame = {
+      val deg = edges.groupBy(col(key).as("id")).agg(count(lit(1)).as("deg"))
+      ids.join(deg, Seq("id"), "left")
+        .select(coalesce(col("deg"), lit(0L)).as("deg"))
+        .select(lit(name).as("side"),
+          (length(bin(col("deg") + 1)) - 1).cast("long").as("bin"),
+          col("deg"))
+        .groupBy("side", "bin")
+        .agg(count(lit(1)).as("n_docs"),
+          min("deg").as("min_deg"), max("deg").as("max_deg"))
+    }
+    oneSide("src", "out").unionByName(oneSide("dst", "in"))
+  }
+
   /** Fixed-iteration PageRank over (src, dst) long edges covering nodes
     * 0..n-1 with no dangling nodes (every synthetic page links out).
     * Returns (id, rank). Damping 0.85, uniform start 1/n.

@@ -125,4 +125,36 @@ class WebGraphSpec extends AnyFunSuite {
     assert(r(0)._1 > 0 && r.tail.forall(_._1 == 0.0)) // only 0 has in-links
     assert(r(0)._2 == 0.0 && r.tail.forall(_._2 > 0)) // 0 has no out-links
   }
+
+  test("degreeDistribution matches a hand histogram incl. zero-degree nodes") {
+    // star + one isolate: node 0 in-deg 5, leaves 1..5 in-deg 0, node 6
+    // isolated both sides; out-deg: leaves 1, others 0
+    val edges = (1L to 5L).map(i => i -> 0L).toDF("src", "dst")
+    val ids = (0L to 6L).toDF("id")
+    val got = WebGraph.degreeDistribution(edges, ids)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // bin = bit_length(deg+1) - 1: deg0->0, deg1->1, deg5->2
+    assert(got(("in", 0L)) === ((6L, 0L, 0L)))  // nodes 1..6 at deg 0
+    assert(got(("in", 2L)) === ((1L, 5L, 5L)))  // node 0 at deg 5
+    assert(got(("out", 0L)) === ((2L, 0L, 0L))) // nodes 0 and 6
+    assert(got(("out", 1L)) === ((5L, 1L, 1L))) // leaves
+    assert(got.size === 4)
+  }
+
+  test("degreeDistribution conserves node count per side and bins exactly at powers of two") {
+    val n = spark.read.parquet(s"${TestSpark.sf001}/documents.parquet").count()
+    val edges = synthEdges(n).toDF("src", "dst")
+    val ids = spark.range(0, n).toDF("id")
+    val dist = WebGraph.degreeDistribution(edges, ids)
+    val perSide = dist.groupBy("side").agg(sum("n_docs").as("t"))
+      .as[(String, Long)].collect().toMap
+    assert(perSide("in") === n && perSide("out") === n)
+    // exact-power-of-two degrees must land in their own bin (the float-log
+    // failure mode the bit-length formulation exists to avoid)
+    val probe = Seq((0L, 9L), (1L, 9L), (2L, 9L)).toDF("src", "dst") // deg 3
+    val p2 = WebGraph.degreeDistribution(probe, Seq(9L).toDF("id"))
+      .filter($"side" === "in").select("bin").as[Long].head()
+    assert(p2 === 2L) // bit_length(4) - 1 = 2, never floor(1.9999…)
+  }
 }
