@@ -1239,6 +1239,31 @@ object Queries {
               1704067200 + (row_number() OVER (PARTITION BY host ORDER BY prio DESC, url) - 1) * 2 AS fetch_ts
             FROM f ORDER BY url""")),
 
+    // redirect-chain resolution (UrlOps.resolveRedirects): pointer
+    // doubling over a synthetic functional redirect graph — every doc_id
+    // not divisible by 16 redirects to doc_id - 1, so chains run up to 15
+    // hops and the doubling resolves them in ceil(log2(15)) = 4 join
+    // rounds (+1 convergence confirm) where per-hop walking would take
+    // 15. The oracle replays the walk as a recursive-CTE closure and
+    // keeps the terminal row per source.
+    "q_redirects" -> Q(
+      (s, d) => {
+        val edges = t(s, d, "documents")
+          .filter(col("doc_id") % 16 =!= 0)
+          .select(col("doc_id").as("src"), (col("doc_id") - 1).as("dst"))
+        graft.ops.UrlOps.resolveRedirects(edges).orderBy("src")
+      },
+      Some("""WITH RECURSIVE e AS (
+                SELECT doc_id AS src, doc_id - 1 AS dst FROM documents
+                WHERE doc_id % 16 <> 0),
+              r(src, cur, hops) AS (
+                SELECT src, dst, CAST(1 AS BIGINT) FROM e
+                UNION ALL
+                SELECT r.src, e.dst, r.hops + 1 FROM r JOIN e ON e.src = r.cur)
+              SELECT src, cur AS final_dst, hops, TRUE AS resolved
+              FROM r WHERE cur NOT IN (SELECT src FROM e)
+              ORDER BY src""")),
+
     // connected components over a synthetic host graph (4 path
     // components of 30 hosts each — depth exercises the pointer-jump
     // O(log d) rounds): the same distributed min-label operator the
@@ -1997,6 +2022,29 @@ object Queries {
                 round(inter*1.0/(na.sz + nb.sz - inter), 6) AS jaccard
               FROM c JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
               WHERE inter*1.0/(na.sz + nb.sz - inter) >= 0.6
+              ORDER BY id_a, id_b""")),
+
+    // CONTAINMENT near-dup pairs: |A∩B| / min(|A|,|B|) over the same
+    // distinct-3-gram sets — catches near-SUBSET duplication (quote /
+    // wrapper / aggregator pages) that Jaccard's union denominator
+    // dilutes. Candidates via the min-side prefix filter (only the
+    // smaller set needs a prefix; Dedup.containmentPairs Scaladoc carries
+    // the 100 TB shape). Oracle = the exact all-shared-gram pair scan.
+    "q_containment" -> Q(
+      (s, d) => Dedup.containmentPairs(
+          t(s, d, "documents"), "doc_id", "text", shingleN = 3, threshold = 0.7)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              x AS (SELECT doc_id, w, unnest(range(1, greatest(len(w)-1, 2))) AS i FROM t),
+              g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh FROM x),
+              n AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+              c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                    FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+              SELECT id_a, id_b,
+                round(inter*1.0/least(na.sz, nb.sz), 6) AS containment
+              FROM c JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
+              WHERE inter*1.0/least(na.sz, nb.sz) >= 0.7
               ORDER BY id_a, id_b""")),
 
     // edit-distance near-dup pairs: PassJoin lossless segment filter +

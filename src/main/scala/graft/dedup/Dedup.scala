@@ -471,6 +471,77 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Exact n-gram CONTAINMENT pairs: C(A,B) = |A∩B| / min(|A|,|B|) ≥ t.
+    * Jaccard misses near-SUBSET duplication (a page quoting another whole
+    * page scores J = |A|/|B|, arbitrarily low as the host page grows);
+    * containment is the standard complement in web-corpus dedup for
+    * quote/wrapper/aggregator pages. Same distinct-shingle-set semantics
+    * as [[jaccardPairsExact]] (reference analog: Osm.merge_duplicated's
+    * canonical-key grouping, osm.py:87-104, relaxed to set overlap).
+    *
+    * Candidate generation is the prefix-filter theorem specialized to the
+    * overlap bound α ≥ t·min(|A|,|B|): order shingles by (df, hash); the
+    * SMALLER set of any qualifying pair must intersect the other set
+    * within its own first |S| - ceil(t·|S|) + 1 shingles (its prefix for
+    * its OWN size — the bound t·|S| is exact because |S| IS the min).
+    * So candidates = smaller-side prefix ⨝ larger-side FULL shingle list
+    * on the 8-byte shingle hash, with the size inequality in the join
+    * condition. Lossless: only the min side needs a prefix. The larger
+    * side carries every shingle, which is what makes containment
+    * intrinsically heavier than Jaccard (whose both-sides-pruned prefix
+    * join it otherwise mirrors); the df-ascending order keeps the prefix
+    * shingles rare so candidate fan-out stays near the true pair count.
+    *
+    * Plan at 10^12 docs: ONE codegen'd shingle-hash generation persisted
+    * (CacheBin — caller drains), df aggregate is map-side combined on the
+    * 8-byte hash, the candidate equi-join shuffles constant-width rows,
+    * pairs dedup on ids ALONE, and the exact verify re-attaches the two
+    * hashed shingle sets by id (array_intersect per pair, no corpus-wide
+    * state). Boilerplate hot shingles are the skew risk → AQE skew-split
+    * on the candidate exchange; the fp-epsilon on the size bound only
+    * ADMITS candidates (verify discards), recall stays 1.0. */
+  def containmentPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(col(textCol), " ")
+    val sh = graft.CacheBin.persist(docs.select(
+      col(idCol).as("id"),
+      explode(graft.functions.ShingleHash64Expr.shingleHash64(toks, shingleN)).as("sh")))
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val ranked = sh.join(dfreq, "sh")
+    val byDoc = Window.partitionBy("id")
+    val withSz = ranked.withColumn("sz", count(lit(1)).over(byDoc))
+    // prefix of the prospective MIN side: first |S| - ceil(t·|S|) + 1
+    // shingles in (df, hash) order (ceil via the epsilon-guarded fp bound,
+    // as in jaccardPairsExact — admits, never drops)
+    val prefix = withSz
+      .withColumn("pos", row_number().over(byDoc.orderBy(col("df"), col("sh"))))
+      .filter(col("pos") <= col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
+      .select("id", "sh", "sz")
+    val full = withSz.select("id", "sh", "sz")
+    // a = the smaller set (strictly, sz_a <= sz_b; ties broken by id so
+    // each unordered pair is generated exactly once from one direction)
+    val cand = prefix.as("a").join(full.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") =!= col("b.id") &&
+          (col("a.sz") < col("b.sz") ||
+            (col("a.sz") === col("b.sz") && col("a.id") < col("b.id"))))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .distinct()
+    val sets = docs.select(
+      col(idCol).as("id"),
+      graft.functions.ShingleHash64Expr.shingleHash64(toks, shingleN).as("shs"))
+    cand
+      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("shs", "shs_a"), "id_a")
+      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("shs", "shs_b"), "id_b")
+      .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))).cast("double"))
+      .withColumn("containment",
+        round(col("inter") / least(size(col("shs_a")), size(col("shs_b"))), 6))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+  }
+
   /** splitmix64 of FNV-1a — deterministic 64-bit string hash, pure Scala. */
   def hash64(s: String): Long = {
     var h = 0xcbf29ce484222325L
