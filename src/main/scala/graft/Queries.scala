@@ -1736,6 +1736,70 @@ object Queries {
                      max(deg) AS max_deg
               FROM u GROUP BY 1, 2 ORDER BY side, bin""")),
 
+    // exact per-vertex triangle counts (WebGraph.triangleCounts): the
+    // degree-ordered orientation bounds every wedge fan-out by out-degree
+    // ≤ O(√m) — the classic Chiba–Nishizeki discipline that makes a
+    // celebrity hub a wedge SINK instead of a Σdeg² bomb. Edges = the
+    // ×131 power rule (no triangles by itself) + a ±1/±2 ring that plants
+    // one triangle per vertex; the oracle enumerates ordered triples
+    // a<b<c by the brute double-join.
+    "q_triangles" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val n = docs.count()
+        val pow = docs
+          .select(col("doc_id"),
+            explode(sequence(lit(0), (col("doc_id") % 4).cast("int"))).as("j"))
+          .select(col("doc_id").as("src"),
+            ((col("doc_id") * 131 + col("j") * 7) % n).as("dst"))
+        val ring = docs.select(col("doc_id").as("src"),
+            ((col("doc_id") + 1) % n).as("dst"))
+          .unionByName(docs.select(col("doc_id").as("src"),
+            ((col("doc_id") + 2) % n).as("dst")))
+        graft.ops.WebGraph.triangleCounts(pow.unionByName(ring))
+          .orderBy("vertex")
+      },
+      Some("""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+              s AS (SELECT doc_id, unnest(range(doc_id % 4 + 1)) AS j
+                    FROM documents),
+              raw AS (
+                SELECT doc_id AS src,
+                       (doc_id*131 + 7*j) % (SELECT n FROM nn) AS dst FROM s
+                UNION ALL SELECT doc_id, (doc_id + 1) % (SELECT n FROM nn)
+                          FROM documents
+                UNION ALL SELECT doc_id, (doc_id + 2) % (SELECT n FROM nn)
+                          FROM documents),
+              e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                    FROM raw WHERE src <> dst),
+              tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                      FROM e e1 JOIN e e2 ON e2.a = e1.b
+                      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+              v AS (SELECT x AS vertex FROM tri
+                    UNION ALL SELECT y FROM tri
+                    UNION ALL SELECT z FROM tri)
+              SELECT vertex, count(*) AS n_triangles FROM v
+              GROUP BY 1 ORDER BY 1""")),
+
+    // weighted sampling (Sampling.weightedSample, sequential Poisson):
+    // k smallest h/w priorities per language — inclusion ∝ weight. The
+    // priority is one IEEE division of exact operands, so both engines
+    // rank identical bit patterns (pow/ln keys would diverge in the ulp).
+    "q_weighted_sample" -> Q(
+      (s, d) => graft.text.Sampling.weightedSample(
+          t(s, d, "documents"), "doc_id", "lang",
+          (col("doc_id") % 9 + 1).cast("double"), 20)
+        .orderBy("lang", "pos"),
+      Some("""WITH t AS (SELECT doc_id, lang,
+                ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wsamp'), 1, 12))::BIGINT AS h,
+                CAST(doc_id % 9 + 1 AS DOUBLE) AS w
+              FROM documents),
+              r AS (SELECT doc_id, lang, w,
+                      CAST(row_number() OVER (PARTITION BY lang
+                        ORDER BY CAST(h AS DOUBLE) / w, doc_id) AS BIGINT) AS pos
+                    FROM t)
+              SELECT doc_id, lang, w, pos FROM r WHERE pos <= 20
+              ORDER BY lang, pos""")),
+
     // fixed-iteration PageRank over the extracted doc-level link graph:
     // iterative rank⨝edges join + dst aggregate, degrees cached once
     // (WebGraph.pageRank Scaladoc carries the 100 TB iteration shape).

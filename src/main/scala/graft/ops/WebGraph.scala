@@ -297,4 +297,56 @@ object WebGraph {
         round(col("shared").cast("double") /
           (col("n_a") + col("n_b") - col("shared")), 6).as("jaccard"))
   }
+
+  /** Exact per-vertex triangle counts over (src, dst) edges — the
+    * link-farm / community-density primitive (clustering coefficient's
+    * numerator). Input may be directed, multi, self-looped; triangles are
+    * counted over the SIMPLE UNDIRECTED support, each exactly once.
+    *
+    * The algorithm is the degree-ordered orientation (Chiba–Nishizeki):
+    * orient every undirected edge from its lower-(deg, id) endpoint to
+    * the higher one, enumerate wedges u→v, u→w (v before w in the same
+    * order), and close them against the oriented edge v→w. Orientation is
+    * THE skew weapon here: a 10^8-degree hub is larger than almost all of
+    * its neighbors, so it becomes a sink — it closes wedges but never
+    * fans them out; every vertex's wedge fan-out is bounded by its
+    * OUT-degree ≤ O(√m), giving the classic O(m^1.5) total work instead
+    * of the Σdeg² a naive neighbor-pair explode pays (which a single
+    * celebrity host would turn into 10^16 wedges).
+    *
+    * Shuffle shape at web scale: the oriented edge table is built with
+    * one degree aggregate (8-byte keys, map-side combine) + one join back
+    * onto edges; the wedge self-join and the closing join are both
+    * equi-joins on 8/16-byte keys; the per-vertex rollup map-side
+    * combines. No broadcast grows with the graph; AQE skew-split absorbs
+    * residual wedge-source skew. */
+  def triangleCounts(rawEdges: DataFrame): DataFrame = {
+    val und = rawEdges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+    // orient lower (deg, id) -> higher; carry the head's (deg, id) so the
+    // wedge join can order its two heads without another lookup
+    val oriented = graft.CacheBin.persist(withDeg.select(
+      when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"), col("da").as("dv")))
+        .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv")))
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.u") === col("y.u") &&
+          (col("x.dv") < col("y.dv") ||
+            (col("x.dv") === col("y.dv") && col("x.v") < col("y.v"))))
+      .select(col("x.u").as("w0"), col("x.v").as("w1"), col("y.v").as("w2"))
+    val tris = wedges.join(oriented.select(col("u").as("w1"), col("v").as("w2")),
+      Seq("w1", "w2"))
+    tris.select(explode(array(col("w0"), col("w1"), col("w2"))).as("vertex"))
+      .groupBy("vertex").agg(count(lit(1)).as("n_triangles"))
+  }
 }

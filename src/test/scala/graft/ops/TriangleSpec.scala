@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** WebGraph.triangleCounts (degree-ordered orientation) and
+  * Sampling.weightedSample (sequential Poisson priorities). */
+class TriangleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def counts(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    val got = WebGraph.triangleCounts(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    graft.CacheBin.drain()
+    got
+  }
+
+  private def brute(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val e = edges.filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+    val vs = e.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    val tri = for {
+      x <- vs; y <- vs if y > x && e((x, y))
+      z <- vs if z > y && e((y, z)) && e((x, z))
+    } yield (x, y, z)
+    tri.flatMap(t => Seq(t._1, t._2, t._3)).groupBy(identity)
+      .map { case (v, l) => v -> l.size.toLong }
+  }
+
+  test("K5: every vertex in C(4,2)=6 triangles; directed/multi/loop input normalized") {
+    val k5 = for (a <- 0L until 5L; b <- 0L until 5L if a != b) yield (a, b)
+    // full directed both ways + self loops + duplicates -> simple support is K5
+    val noisy = k5 ++ Seq((0L, 0L), (3L, 3L)) ++ k5
+    val got = counts(noisy)
+    assert(got === (0L until 5L).map(_ -> 6L).toMap)
+  }
+
+  test("star has no triangles; wheel puts the hub in every one") {
+    val star = (1L to 12L).map(i => (0L, i))
+    assert(counts(star) === Map.empty)
+    // wheel: hub 0 + cycle 1..12 — hub is in all 12 triangles, rim in 3? no:
+    // rim vertex i is in triangles (0,i-1,i) and (0,i,i+1) = 2 each
+    val rim = (1L to 12L).map(i => (i, if (i == 12L) 1L else i + 1))
+    val got = counts(star ++ rim)
+    assert(got(0L) === 12L)
+    assert((1L to 12L).forall(got(_) === 2L))
+  }
+
+  test("triangleCounts == scala brute force on the mixed synthetic rule") {
+    val n = 60L
+    val pow = for (i <- 0L until n; j <- 0L to i % 4) yield (i, (i * 131 + 7 * j) % n)
+    val ring = (0L until n).flatMap(i => Seq((i, (i + 1) % n), (i, (i + 2) % n)))
+    val edges = pow ++ ring
+    assert(counts(edges) === brute(edges))
+  }
+}
+
+class WeightedSampleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import graft.text.{Sampling, TextFns}
+
+  test("weightedSample == full-sort top-k by h/w priority, per stratum") {
+    import spark.implicits._
+    val docs = (0L until 400L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "stratum")
+    val k = 10
+    val got = Sampling.weightedSample(docs, "doc_id", "stratum",
+        (col("doc_id") % 9 + 1).cast("double"), k)
+      .select("doc_id", "stratum", "pos").as[(Long, String, Long)]
+      .collect().toSet
+    graft.CacheBin.drain()
+    // brute: same md5-48 hash, same division, full sort
+    val full = docs.select(col("doc_id"), col("stratum"),
+        (TextFns.hash48(concat(col("doc_id").cast("string"), lit(":wsamp")))
+          .cast("double") / (col("doc_id") % 9 + 1).cast("double")).as("prio"))
+      .as[(Long, String, Double)].collect()
+    val brute = full.groupBy(_._2).toSeq.flatMap { case (st, rows) =>
+      rows.sortBy(r => (r._3, r._1)).take(k).zipWithIndex
+        .map { case (r, i) => (r._1, st, (i + 1).toLong) }.toSeq
+    }.toSet
+    assert(got === brute)
+  }
+
+  test("weight dominance: an overwhelming weight always ranks first") {
+    import spark.implicits._
+    val docs = (0L until 100L).map(i => (i, "all")).toDF("doc_id", "stratum")
+    val got = Sampling.weightedSample(docs, "doc_id", "stratum",
+        when(col("doc_id") === 42L, lit(1e12)).otherwise(lit(1.0)), 5)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    graft.CacheBin.drain()
+    assert(got(42L) === 1L, s"the 1e12-weight doc must rank first: $got")
+  }
+
+  test("sampled mass skews toward weight (inclusion ∝ w sanity)") {
+    import spark.implicits._
+    val docs = (0L until 500L).map(i => (i, "x")).toDF("doc_id", "stratum")
+    val got = Sampling.weightedSample(docs, "doc_id", "stratum",
+        (col("doc_id") % 9 + 1).cast("double"), 50)
+      .select("w").as[Double].collect()
+    graft.CacheBin.drain()
+    val corpusAvg = (0L until 500L).map(_ % 9 + 1).sum.toDouble / 500
+    val sampleAvg = got.sum / got.length
+    assert(sampleAvg > corpusAvg,
+      f"weighted sample must over-represent heavy docs: $sampleAvg%.2f vs $corpusAvg%.2f")
+  }
+}
