@@ -30,7 +30,8 @@ object Bench {
     "q_bloom_probe", "q_mirror_hosts", "q_crawl_diff", "q_cmsketch", "q_hll_registers",
     "q_politeness", "q_host_components",
     "q_edit_dedup", "q_bm25", "q_degree_dist",
-    "q_containment", "q_redirects", "q_triangles", "q_weighted_sample")
+    "q_containment", "q_redirects", "q_triangles", "q_weighted_sample",
+    "q_transitions", "q_robots")
 
   def makeSession(cpus: String): SparkSession = SparkSession.builder()
     .master(s"local[$cpus]")

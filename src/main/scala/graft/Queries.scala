@@ -1264,6 +1264,64 @@ object Queries {
               FROM r WHERE cur NOT IN (SELECT src FROM e)
               ORDER BY src""")),
 
+    // robots-rule compliance (UrlOps.robotsFilter): longest-prefix wins
+    // per RFC 9309, as a bounded prefix-explode + broadcast equi-join +
+    // struct-argmax — no per-url sort. Rules/paths are synthesized so all
+    // three outcomes occur: longest rule OVERRIDES a shorter opposite
+    // rule, '/r' hard-blocks, and unmatched paths default to allowed.
+    "q_robots" -> Q(
+      (s, d) => {
+        val r = s.range(16).select(col("id").as("i"))
+        def host(c: org.apache.spark.sql.Column) = concat(lit("h"), c)
+        val rules = r.select(host(col("i")).as("host"),
+            concat(lit("/p"), col("i") % 4).as("prefix"),
+            (col("i") % 2 === 1).as("allow"))
+          .unionByName(r.select(host(col("i")).as("host"),
+            concat(lit("/p"), col("i") % 4, lit("/q"), col("i") % 3).as("prefix"),
+            (col("i") % 2 === 0).as("allow")))
+          .unionByName(r.select(host(col("i")).as("host"),
+            lit("/r").as("prefix"), lit(false).as("allow")))
+        val urls = t(s, d, "documents").select(
+          col("doc_id").as("id"), host(col("doc_id") % 16).as("host"),
+          when(col("doc_id") % 7 === 0, concat(lit("/r/s"), col("doc_id")))
+            .otherwise(concat(lit("/p"), col("doc_id") % 5,
+              lit("/q"), col("doc_id") % 3, lit("/d"), col("doc_id")))
+            .as("path"))
+        graft.ops.UrlOps.robotsFilter(urls, rules)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH u AS (SELECT doc_id, 'h' || CAST(doc_id % 16 AS VARCHAR) AS host,
+                CASE WHEN doc_id % 7 = 0 THEN '/r/s' || CAST(doc_id AS VARCHAR)
+                     ELSE '/p' || CAST(doc_id % 5 AS VARCHAR) || '/q' ||
+                       CAST(doc_id % 3 AS VARCHAR) || '/d' || CAST(doc_id AS VARCHAR)
+                END AS path
+              FROM documents),
+              r AS (SELECT 'h' || CAST(i AS VARCHAR) AS host,
+                      '/p' || CAST(i % 4 AS VARCHAR) AS prefix, i % 2 = 1 AS allow
+                    FROM range(16) t(i)
+                    UNION ALL SELECT 'h' || CAST(i AS VARCHAR),
+                      '/p' || CAST(i % 4 AS VARCHAR) || '/q' || CAST(i % 3 AS VARCHAR),
+                      i % 2 = 0 FROM range(16) t(i)
+                    UNION ALL SELECT 'h' || CAST(i AS VARCHAR), '/r', FALSE
+                    FROM range(16) t(i)),
+              segs AS (SELECT doc_id, host, path,
+                         list_filter(string_split(path, '/'), s -> len(s) > 0) AS sg,
+                         unnest(range(1, len(list_filter(string_split(path, '/'),
+                           s -> len(s) > 0)) + 1)) AS i
+                       FROM u),
+              pfx AS (SELECT doc_id, host,
+                        '/' || array_to_string(sg[1:i], '/') AS pfx FROM segs),
+              m AS (SELECT p.doc_id, r.prefix, r.allow,
+                      row_number() OVER (PARTITION BY p.doc_id
+                        ORDER BY len(r.prefix) DESC) AS rn
+                    FROM pfx p JOIN r ON r.host = p.host AND r.prefix = p.pfx)
+              SELECT u.doc_id, u.host, u.path, m.prefix AS matched_prefix,
+                coalesce(m.allow, TRUE) AS allowed
+              FROM u LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
+                ON m.doc_id = u.doc_id
+              ORDER BY u.doc_id""")),
+
     // connected components over a synthetic host graph (4 path
     // components of 30 hosts each — depth exercises the pointer-jump
     // O(log d) rounds): the same distributed min-label operator the
@@ -3051,7 +3109,32 @@ object Queries {
                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no FROM g)
               SELECT user_id, session_no, min(ts_s) AS session_start,
                 max(ts_s) AS session_end, count(*) AS n_events
-              FROM sn GROUP BY 1, 2 ORDER BY user_id, session_no""")))
+              FROM sn GROUP BY 1, 2 ORDER BY user_id, session_no""")),
+
+    // first-order Markov transition matrix over per-user event streams
+    // (Temporal.transitionMatrix): lead over the sessionize exchange/sort,
+    // then a |states|²-bounded rollup (sketch-sized wire). Oracle = the
+    // identical lead + count + ratio replay.
+    "q_transitions" -> Q(
+      (s, d) => {
+        val e = t(s, d, "events").select(col("user_id"), col("event_id"),
+          col("event_type"),
+          expr("unix_micros(cast(ts as timestamp)) div 1000000").as("ts_s"))
+        graft.ops.Temporal.transitionMatrix(
+            e, "user_id", "ts_s", "event_id", "event_type")
+          .orderBy("from_state", "to_state")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+                epoch_us(ts)//1000000 AS ts_s FROM events),
+              g AS (SELECT event_type AS from_state,
+                      lead(event_type) OVER (PARTITION BY user_id
+                        ORDER BY ts_s, event_id) AS to_state
+                    FROM e),
+              c AS (SELECT from_state, to_state, count(*) AS n FROM g
+                    WHERE to_state IS NOT NULL GROUP BY 1, 2)
+              SELECT from_state, to_state, n,
+                round(n*1.0 / sum(n) OVER (PARTITION BY from_state), 6) AS p
+              FROM c ORDER BY from_state, to_state""")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => (k, q.fn) }

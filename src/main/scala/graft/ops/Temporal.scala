@@ -126,4 +126,32 @@ object Temporal {
         order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .drop("__brk")
   }
+
+  /** First-order Markov transition matrix over each key's event stream:
+    * counts and probabilities of consecutive (state → next state) steps,
+    * ordered by (ts, tieBreak) per key — the navigation-flow / funnel
+    * profile a web-analytics pipeline derives from session logs.
+    *
+    * Plan: the SAME one-exchange-one-sort shape as [[sessionize]] (lead
+    * over the per-key order; per-key cost = that key's own event count),
+    * then a transition rollup whose map-side combine collapses every
+    * partition to ≤ |states|² partial rows — the output (and the second
+    * exchange) is state-vocabulary-sized, never corpus-sized, the same
+    * wire bound as the Count-Min / HLL sketch family. Probability is
+    * count/total_from rounded to 6dp so cross-engine division grids agree.
+    */
+  def transitionMatrix(events: DataFrame, key: String, ts: String,
+      tieBreak: String, state: String): DataFrame = {
+    val order = Window.partitionBy(key).orderBy(col(ts), col(tieBreak))
+    val steps = events
+      .withColumn("__next", lead(col(state), 1).over(order))
+      .filter(col("__next").isNotNull)
+      .select(col(state).as("from_state"), col("__next").as("to_state"))
+    val counts = steps.groupBy("from_state", "to_state")
+      .agg(count(lit(1)).as("n"))
+    val totals = Window.partitionBy("from_state")
+    counts
+      .withColumn("p", round(col("n").cast("double") /
+        sum("n").over(totals), 6))
+  }
 }

@@ -240,4 +240,37 @@ object UrlOps {
       .select(col("src"), col("cur").as("final_dst"), col("hops"),
         col("d_src").isNull.as("resolved"))
   }
+
+  /** Robots-rule compliance: longest-prefix match of each url path
+    * against per-host (prefix, allow) rules, REP semantics (RFC 9309
+    * §2.2.2: the most specific — longest — matching rule wins; no match =
+    * allowed). The IP-routing trick makes this an equi-join: a path of d
+    * segments explodes onto its d cumulative prefixes (bounded constant
+    * replication — crawl paths are depth-capped), rules join on
+    * (host, prefix) exactly, and the winner per url is max(struct(len,
+    * allow)) — a map-side-combinable argmax, NOT a per-url sort. The rule
+    * table broadcasts (robots corpora are ~10^5 hosts × few rules, never
+    * page-scaled); the page side stays scan-shaped.
+    *
+    * `urls`: (id, host, path); `rules`: (host, prefix, allow).
+    * Returns (id, host, path, matched_prefix|null, allowed). */
+  def robotsFilter(urls: DataFrame, rules: DataFrame): DataFrame = {
+    val segs = filter(split(col("path"), "/"), s => length(s) > 0)
+    val prefixes = transform(sequence(lit(1), size(segs)),
+      i => concat(lit("/"), array_join(slice(segs, lit(1), i), "/")))
+    val exploded = urls.select(col("id"), col("host"), col("path"),
+      explode(prefixes).as("pfx"))
+    exploded.join(broadcast(rules),
+        exploded("host") === rules("host") && col("pfx") === col("prefix"),
+        "left")
+      .select(col("id"), exploded("host"), col("path"),
+        when(col("prefix").isNotNull,
+          struct(length(col("prefix")).as("l"), col("allow").as("allow"),
+            col("prefix").as("pfx"))).as("m"))
+      .groupBy("id", "host", "path")
+      .agg(max("m").as("best"))
+      .select(col("id"), col("host"), col("path"),
+        col("best.pfx").as("matched_prefix"),
+        coalesce(col("best.allow"), lit(true)).as("allowed"))
+  }
 }
