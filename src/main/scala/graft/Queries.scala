@@ -3134,7 +3134,58 @@ object Queries {
                     WHERE to_state IS NOT NULL GROUP BY 1, 2)
               SELECT from_state, to_state, n,
                 round(n*1.0 / sum(n) OVER (PARTITION BY from_state), 6) AS p
-              FROM c ORDER BY from_state, to_state""")))
+              FROM c ORDER BY from_state, to_state""")),
+
+    // retention cohorts (Temporal.retentionCohorts): users per (first-day
+    // cohort, day offset) — one user-keyed min aggregate + co-partitioned
+    // join + distinct-then-count rollup bounded by cohorts × max age.
+    "q_retention" -> Q(
+      (s, d) => {
+        val e = t(s, d, "events").select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+        graft.ops.Temporal.retentionCohorts(e, "user_id", col("day"))
+          .orderBy("cohort", "age")
+      },
+      Some("""WITH a AS (SELECT user_id AS u, epoch_us(ts)//86400000000 AS b
+                FROM events),
+              f AS (SELECT u, min(b) AS cohort FROM a GROUP BY u),
+              dd AS (SELECT DISTINCT a.u, cohort, b - cohort AS age
+                     FROM a JOIN f USING (u))
+              SELECT cohort, age, count(*) AS n_users FROM dd
+              GROUP BY 1, 2 ORDER BY cohort, age""")),
+
+    // ordered 4-step funnel (Temporal.funnel): signup → view → click →
+    // purchase within the first 3 days, each stage strictly after the
+    // user's previous-stage entry — k user-keyed min aggregates chained by
+    // co-partitioned joins, no per-user sort. The 3-day cutoff keeps real
+    // drop-off in the synthetic stream (105 → 55 → 23 → 8 at sf0.01).
+    "q_funnel" -> Q(
+      (s, d) => {
+        val e = t(s, d, "events")
+          .filter(col("ts") < lit("2024-01-04 00:00:00").cast("timestamp"))
+          .select(col("user_id"),
+            expr("unix_micros(cast(ts as timestamp))").as("t_us"),
+            col("event_type"))
+        graft.ops.Temporal.funnel(e, "user_id", "t_us", "event_type",
+            Seq("signup", "view", "click", "purchase"))
+          .orderBy("step")
+      },
+      Some("""WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS s
+                FROM events WHERE ts < TIMESTAMP '2024-01-04 00:00:00'),
+              s1 AS (SELECT u, min(t) AS t1 FROM e WHERE s = 'signup' GROUP BY u),
+              s2 AS (SELECT e.u, min(t) AS t2 FROM e JOIN s1 ON s1.u = e.u
+                     WHERE s = 'view' AND t > t1 GROUP BY e.u),
+              s3 AS (SELECT e.u, min(t) AS t3 FROM e JOIN s2 ON s2.u = e.u
+                     WHERE s = 'click' AND t > t2 GROUP BY e.u),
+              s4 AS (SELECT e.u, min(t) AS t4 FROM e JOIN s3 ON s3.u = e.u
+                     WHERE s = 'purchase' AND t > t3 GROUP BY e.u)
+              SELECT * FROM (
+                SELECT CAST(1 AS BIGINT) AS step, 'signup' AS state,
+                       (SELECT count(*) FROM s1) AS n_users
+                UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+                UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
+                UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4))
+              ORDER BY step""")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => (k, q.fn) }

@@ -154,4 +154,62 @@ object Temporal {
       .withColumn("p", round(col("n").cast("double") /
         sum("n").over(totals), 6))
   }
+
+  /** Retention cohorts: users grouped by first-activity bucket (their
+    * cohort), counted per (cohort, age) where age = activity bucket −
+    * cohort bucket — the day-N retention table every activity log feeds.
+    * `bucket` is the time bucket column expression (e.g. epoch-day).
+    *
+    * Shape: first-seen per user is ONE map-side-combining min aggregate on
+    * the user key; the join back onto the user's own activity is
+    * user-keyed (co-partitioned with the aggregate output — AQE plans it
+    * without a second exchange of the big side when bucketing matches);
+    * the final rollup first collapses to DISTINCT (user, cohort, age) —
+    * map-side — so the count-distinct never ships raw events. Output is
+    * bounded by cohorts × max-age, never corpus-sized. */
+  def retentionCohorts(events: DataFrame, key: String,
+      bucket: org.apache.spark.sql.Column): DataFrame = {
+    val acts = events.select(col(key).as("u"), bucket.as("b"))
+    val first = acts.groupBy("u").agg(min("b").as("cohort"))
+    acts.join(first, "u")
+      .select(col("u"), col("cohort"), (col("b") - col("cohort")).as("age"))
+      .distinct()
+      .groupBy("cohort", "age")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Ordered k-step funnel: how many users reach each stage of
+    * `steps` IN ORDER (stage i's earliest event must be strictly after
+    * the user's stage-(i−1) entry time). Returns (stage, step, n_users)
+    * with stage 1-based.
+    *
+    * Shape: one user-keyed min aggregate per step, each joined back onto
+    * the (already user-partitioned) event stream — k small co-partitioned
+    * joins of user-sized tables, NO per-user sort and no event
+    * materialization beyond the scan. k is the funnel length (constant);
+    * the user tables are corpus-user-sized, each carrying one timestamp. */
+  def funnel(events: DataFrame, key: String, ts: String, state: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val e = events.select(col(key).as("u"), col(ts).as("t"), col(state).as("s"))
+    // reached(i): (u, t_prev) = the user's earliest qualifying entry time
+    // of step i. Each stage is persisted (CacheBin — caller drains): stage
+    // i+1 and stage i's count both read it, and the tables are user-sized
+    // with one timestamp, the cheapest thing in the job to cache.
+    var reached = graft.CacheBin.persist(
+      e.filter(col("s") === steps.head).groupBy("u").agg(min("t").as("t_prev")))
+    def stageCount(i: Int, st: String, r: DataFrame): DataFrame =
+      r.agg(count(lit(1)).as("n_users"))
+        .select(lit(i.toLong).as("step"), lit(st).as("state"), col("n_users"))
+    var out = stageCount(1, steps.head, reached)
+    steps.zipWithIndex.drop(1).foreach { case (st, i) =>
+      reached = graft.CacheBin.persist(
+        e.filter(col("s") === st)
+          .join(reached, "u")
+          .filter(col("t") > col("t_prev"))
+          .groupBy("u").agg(min("t").as("t_prev")))
+      out = out.unionByName(stageCount(i + 1, st, reached))
+    }
+    out
+  }
 }
