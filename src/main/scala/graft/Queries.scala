@@ -1838,6 +1838,59 @@ object Queries {
               SELECT vertex, count(*) AS n_triangles FROM v
               GROUP BY 1 ORDER BY 1""")),
 
+    // k-core decomposition (WebGraph.kCore): peel deg<7 vertices to the
+    // fixpoint over the same mixed edge rule (converges in 2 peels here;
+    // the oracle unrolls 4 for margin — extra peels of a stable core are
+    // identities). Spark side peels to TRUE fixpoint with a loud
+    // non-convergence guard.
+    "q_kcore" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val n = docs.count()
+        val pow = docs
+          .select(col("doc_id"),
+            explode(sequence(lit(0), (col("doc_id") % 4).cast("int"))).as("j"))
+          .select(col("doc_id").as("src"),
+            ((col("doc_id") * 131 + col("j") * 7) % n).as("dst"))
+        val ring = docs.select(col("doc_id").as("src"),
+            ((col("doc_id") + 1) % n).as("dst"))
+          .unionByName(docs.select(col("doc_id").as("src"),
+            ((col("doc_id") + 2) % n).as("dst")))
+        graft.ops.WebGraph.kCore(pow.unionByName(ring), k = 7)
+          .orderBy("vertex")
+      },
+      Some {
+        // MATERIALIZED is load-bearing: DuckDB inlines CTEs by default,
+        // and 4 peel levels each referencing the previous one 3× would
+        // re-expand e0 exponentially (observed: minutes vs 0.5 s)
+        val peel = (1 to 4).map { i =>
+          s"""d$i AS MATERIALIZED (SELECT v, count(*) AS deg FROM
+                (SELECT a AS v FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1})
+                GROUP BY v),
+              k$i AS MATERIALIZED (SELECT v FROM d$i WHERE deg >= 7),
+              e$i AS MATERIALIZED (SELECT e${i - 1}.a, e${i - 1}.b FROM e${i - 1}
+                JOIN k$i x ON x.v = e${i - 1}.a
+                JOIN k$i y ON y.v = e${i - 1}.b)"""
+        }.mkString(",\n")
+        s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+            s AS (SELECT doc_id, unnest(range(doc_id % 4 + 1)) AS j
+                  FROM documents),
+            raw AS (
+              SELECT doc_id AS src,
+                     (doc_id*131 + 7*j) % (SELECT n FROM nn) AS dst FROM s
+              UNION ALL SELECT doc_id, (doc_id + 1) % (SELECT n FROM nn)
+                        FROM documents
+              UNION ALL SELECT doc_id, (doc_id + 2) % (SELECT n FROM nn)
+                        FROM documents),
+            e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+                   greatest(src, dst) AS b
+                   FROM raw WHERE src <> dst),
+            $peel
+            SELECT v AS vertex, count(*) AS deg FROM
+              (SELECT a AS v FROM e4 UNION ALL SELECT b FROM e4)
+            GROUP BY v ORDER BY vertex"""
+      }),
+
     // weighted sampling (Sampling.weightedSample, sequential Poisson):
     // k smallest h/w priorities per language — inclusion ∝ weight. The
     // priority is one IEEE division of exact operands, so both engines

@@ -105,3 +105,55 @@ class WeightedSampleSpec extends AnyFunSuite {
       f"weighted sample must over-represent heavy docs: $sampleAvg%.2f vs $corpusAvg%.2f")
   }
 }
+
+class KCoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def core(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    import spark.implicits._
+    WebGraph.kCore(edges.toDF("src", "dst"), k)
+      .as[(Long, Long)].collect().toMap
+  }
+
+  test("pendant chain peels CASCADING, clique survives (k=2)") {
+    // triangle 0-1-2 plus a chain 2-10-11-12: at k=2 the chain melts one
+    // vertex per round (12 first, then 11, then 10) — 3 peel rounds —
+    // while the triangle is the stable 2-core
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 10L), (10L, 11L), (11L, 12L))
+    assert(core(edges, 2) === Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
+  }
+
+  test("k above the max degree empties the core") {
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L))
+    assert(core(edges, 3) === Map.empty)
+  }
+
+  test("kCore == scala brute peel on the mixed synthetic rule (k=6 and the empty k=7)") {
+    val n = 120L
+    val pow = for (i <- 0L until n; j <- 0L to i % 4) yield (i, (i * 131 + 7 * j) % n)
+    val ring = (0L until n).flatMap(i => Seq((i, (i + 1) % n), (i, (i + 2) % n)))
+    val edges = pow ++ ring
+    def brutePeel(k: Int): Map[Long, Long] = {
+      var es = edges.filter(p => p._1 != p._2)
+        .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+      var stable = false
+      while (!stable) {
+        val deg = es.toSeq.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+          .map { case (v, l) => v -> l.size }
+        val keep = deg.filter(_._2 >= k).keySet
+        val nxt = es.filter(p => keep(p._1) && keep(p._2))
+        stable = nxt == es
+        es = nxt
+      }
+      es.toSeq.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+        .map { case (v, l) => v -> l.size.toLong }
+    }
+    val expect6 = brutePeel(6)
+    assert(expect6.nonEmpty)
+    assert(core(edges, 6) === expect6)
+    // at this size the 7-core melts COMPLETELY through the cascade — both
+    // engines must agree on empty, not just on happy cores
+    assert(brutePeel(7) === Map.empty)
+    assert(core(edges, 7) === Map.empty)
+  }
+}
