@@ -1891,6 +1891,111 @@ object Queries {
             GROUP BY v ORDER BY vertex"""
       }),
 
+    // multi-source BFS crawl depth (WebGraph.bfsDepth): frontier rounds
+    // over the directed link rule from seeds doc_id % 100 == 0 (max depth
+    // 5 here). Oracle = depth-capped recursive closure with UNION (NOT
+    // UNION ALL — the distinct is what keeps cyclic path enumeration from
+    // exploding) + min per vertex.
+    "q_crawl_depth" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val n = docs.count()
+        val pow = docs
+          .select(col("doc_id"),
+            explode(sequence(lit(0), (col("doc_id") % 4).cast("int"))).as("j"))
+          .select(col("doc_id").as("src"),
+            ((col("doc_id") * 131 + col("j") * 7) % n).as("dst"))
+        val ring = docs.select(col("doc_id").as("src"),
+            ((col("doc_id") + 1) % n).as("dst"))
+          .unionByName(docs.select(col("doc_id").as("src"),
+            ((col("doc_id") + 2) % n).as("dst")))
+        val seeds = docs.filter(col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("v"))
+        graft.ops.WebGraph.bfsDepth(pow.unionByName(ring), seeds)
+          .orderBy("v")
+      },
+      Some("""WITH RECURSIVE nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+              s AS (SELECT doc_id, unnest(range(doc_id % 4 + 1)) AS j
+                    FROM documents),
+              e AS (
+                SELECT doc_id AS src,
+                       (doc_id*131 + 7*j) % (SELECT n FROM nn) AS dst FROM s
+                UNION ALL SELECT doc_id, (doc_id + 1) % (SELECT n FROM nn)
+                          FROM documents
+                UNION ALL SELECT doc_id, (doc_id + 2) % (SELECT n FROM nn)
+                          FROM documents),
+              r(v, d) AS (
+                SELECT doc_id, CAST(0 AS BIGINT) FROM documents
+                WHERE doc_id % 100 = 0
+                UNION
+                SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.v
+                WHERE r.d < 12)
+              SELECT v, min(d) AS depth FROM r GROUP BY v ORDER BY v""")),
+
+    // local clustering coefficient: triangleCounts ⨝ simple-support
+    // degree, coef = 2T / (d(d−1)) on the shared 6dp grid — the
+    // per-vertex community-density score (composition of two gated
+    // primitives; zero-triangle vertices report 0.0 via the left join).
+    "q_clustering" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val n = docs.count()
+        val pow = docs
+          .select(col("doc_id"),
+            explode(sequence(lit(0), (col("doc_id") % 4).cast("int"))).as("j"))
+          .select(col("doc_id").as("src"),
+            ((col("doc_id") * 131 + col("j") * 7) % n).as("dst"))
+        val ring = docs.select(col("doc_id").as("src"),
+            ((col("doc_id") + 1) % n).as("dst"))
+          .unionByName(docs.select(col("doc_id").as("src"),
+            ((col("doc_id") + 2) % n).as("dst")))
+        val edges = pow.unionByName(ring)
+        val und = edges.filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+        val deg = und.select(explode(array(col("a"), col("b"))).as("vertex"))
+          .groupBy("vertex").agg(count(lit(1)).as("deg"))
+        deg.join(graft.ops.WebGraph.triangleCounts(edges), Seq("vertex"), "left")
+          .select(col("vertex"), col("deg"),
+            coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+            when(col("deg") >= 2,
+              round(coalesce(col("n_triangles"), lit(0L)) * 2.0 /
+                (col("deg") * (col("deg") - 1)), 6))
+              .otherwise(lit(0.0)).as("coef"))
+          .orderBy("vertex")
+      },
+      Some("""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+              s AS (SELECT doc_id, unnest(range(doc_id % 4 + 1)) AS j
+                    FROM documents),
+              raw AS (
+                SELECT doc_id AS src,
+                       (doc_id*131 + 7*j) % (SELECT n FROM nn) AS dst FROM s
+                UNION ALL SELECT doc_id, (doc_id + 1) % (SELECT n FROM nn)
+                          FROM documents
+                UNION ALL SELECT doc_id, (doc_id + 2) % (SELECT n FROM nn)
+                          FROM documents),
+              e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                    FROM raw WHERE src <> dst),
+              dg AS (SELECT v AS vertex, count(*) AS deg FROM
+                       (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+                     GROUP BY v),
+              tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                      FROM e e1 JOIN e e2 ON e2.a = e1.b
+                      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+              tv AS (SELECT v AS vertex, count(*) AS n_triangles FROM
+                       (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+                        UNION ALL SELECT z FROM tri)
+                     GROUP BY v)
+              SELECT dg.vertex, dg.deg,
+                coalesce(tv.n_triangles, 0) AS n_triangles,
+                CASE WHEN dg.deg >= 2 THEN
+                  round(coalesce(tv.n_triangles, 0) * 2.0 /
+                    (dg.deg * (dg.deg - 1)), 6)
+                ELSE 0.0 END AS coef
+              FROM dg LEFT JOIN tv ON tv.vertex = dg.vertex
+              ORDER BY dg.vertex""")),
+
     // weighted sampling (Sampling.weightedSample, sequential Poisson):
     // k smallest h/w priorities per language — inclusion ∝ weight. The
     // priority is one IEEE division of exact operands, so both engines

@@ -393,4 +393,41 @@ object WebGraph {
     und.select(explode(array(col("a"), col("b"))).as("vertex"))
       .groupBy("vertex").agg(count(lit(1)).as("deg"))
   }
+
+  /** Multi-source BFS depth over DIRECTED (src, dst) edges: the crawl
+    * depth of every page reachable from the seed frontier (seeds at depth
+    * 0), unreachable pages absent. The frontier discipline every crawler
+    * scheduler runs ("how deep is this URL from the seed list").
+    *
+    * Pregel-shaped: each round expands only the CURRENT frontier (one
+    * equi-join frontier ⨝ edges on src — cost ∝ frontier out-edges, not
+    * the visited set), dedups candidates map-side, and anti-joins the
+    * known-distance table so every vertex is settled exactly once. Rounds
+    * = graph eccentricity from the seeds — single digits on web graphs
+    * (Broder et al.); lineage cut per round, loud guard past `maxRounds`.
+    * The settled table only ever APPENDS (union), so the per-round work
+    * decays as the frontier burns out. */
+  def bfsDepth(edges: DataFrame, seeds: DataFrame, maxRounds: Int = 30): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    var dist = seeds.select(col("v"), lit(0L).as("depth")).distinct()
+      .localCheckpoint()
+    var frontier = dist
+    var round = 0
+    var exhausted = false
+    while (!exhausted && round < maxRounds) {
+      round += 1
+      val next = frontier.join(e, frontier("v") === e("src"))
+        .select(e("dst").as("v"), lit(round.toLong).as("depth"))
+        .distinct()
+        .join(dist, Seq("v"), "left_anti")
+        .localCheckpoint()
+      if (next.isEmpty) exhausted = true
+      else {
+        dist = dist.unionByName(next).localCheckpoint()
+        frontier = next
+      }
+    }
+    require(exhausted, s"bfsDepth frontier still live after $maxRounds rounds")
+    dist
+  }
 }

@@ -157,3 +157,35 @@ class KCoreSpec extends AnyFunSuite {
     assert(core(edges, 7) === Map.empty)
   }
 }
+
+class BfsDepthSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("multi-source BFS: min depth wins, direction respected, unreachable absent") {
+    // 0 -> 1 -> 2 -> 3 ; seed {0, 3}; 4 -> 0 (upstream of seed: unreachable);
+    // 5 isolated; 3 -> 1 shortcut does not shorten 1 (already depth 1 from 0)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (4L, 0L), (3L, 1L))
+      .toDF("src", "dst")
+    val seeds = Seq(0L, 3L).toDF("v")
+    val got = WebGraph.bfsDepth(edges, seeds)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 0L, 3L -> 0L, 1L -> 1L, 2L -> 2L))
+  }
+
+  test("cycles terminate; depth is the true eccentricity round count") {
+    // directed 6-cycle from one seed: depths 0..5, frontier dies at 6
+    val edges = (0L until 6L).map(i => (i, (i + 1) % 6)).toDF("src", "dst")
+    val got = WebGraph.bfsDepth(edges, Seq(0L).toDF("v"), maxRounds = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(got === (0L until 6L).map(i => i -> i).toMap)
+  }
+
+  test("maxRounds guard fails loudly on a frontier that cannot settle in time") {
+    val edges = (0L until 10L).map(i => (i, i + 1)).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      WebGraph.bfsDepth(edges, Seq(0L).toDF("v"), maxRounds = 3).count()
+    }
+    assert(ex.getMessage.contains("frontier still live"))
+  }
+}
