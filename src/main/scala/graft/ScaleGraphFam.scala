@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** N→4N scaling evidence for the round-5 graph family — triangle counting
+  * (degree-ordered orientation), k-core (iterative peel) and multi-source
+  * BFS (frontier rounds) — run end-to-end on ONE multi-million-edge
+  * synthetic graph at two core counts (strong scaling: identical input,
+  * the brief's two-cluster-size criterion). The graph is the oracle-gated
+  * rule at corpus scale: power edges (id·131+7j mod n, 1–4 per node) + a
+  * ±1/±2 ring, all pure column math from range() — identical bits at any
+  * parallelism. Cross-level correctness invariants: total triangle count,
+  * k-core vertex/edge census, and the BFS depth histogram checksum must be
+  * IDENTICAL at both levels (an iterative operator that changes its answer
+  * under parallelism is broken, not slow).
+  */
+object ScaleGraphFam {
+
+  def edgesDf(spark: org.apache.spark.sql.SparkSession, n: Long, parts: Int) = {
+    val base = spark.range(0L, n, 1L, parts)
+    val pow = base
+      .select(col("id").as("src"),
+        explode(sequence(lit(0L), col("id") % 4)).as("j"))
+      .select(col("src"), ((col("src") * 131L + lit(7L) * col("j")) % n).as("dst"))
+    val ring = base.select(col("id").as("src"), ((col("id") + 1L) % n).as("dst"))
+      .unionByName(base.select(col("id").as("src"), ((col("id") + 2L) % n).as("dst")))
+    pow.unionByName(ring)
+  }
+
+  final case class Run(sec: Double, triSec: Double, coreSec: Double,
+      bfsSec: Double, tri: Long, coreVerts: Long, coreDegSum: Long,
+      bfsChecksum: Long)
+
+  def timed(cores: Int, n: Long): Run = {
+    val spark = Scale.makeSession(cores)
+    def clock[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val e = edgesDf(spark, n, cores * 2)
+    val (tri, triSec) = clock(graft.ops.WebGraph.triangleCounts(e)
+      .agg(sum("n_triangles")).head().getLong(0) / 3) // 3 vertices/triangle
+    CacheBin.drain()
+    val (core, coreSec) = clock(graft.ops.WebGraph.kCore(e, k = 7)
+      .agg(count(lit(1)), sum("deg")).head())
+    val seeds = spark.range(0L, n, 100L, cores).select(col("id").as("v"))
+    val (bfs, bfsSec) = clock(graft.ops.WebGraph.bfsDepth(e, seeds)
+      .agg(sum(col("depth") * col("v") % 1000003L)).head().getLong(0))
+    CacheBin.drain()
+    spark.stop()
+    Run(triSec + coreSec + bfsSec, triSec, coreSec, bfsSec,
+      tri, core.getLong(0), core.getLong(1), bfs)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_GRAPHFAM_N", "8000000").toLong
+    val pair = sys.env.getOrElse("SPARK_GRAFT_PAIR", "8,32")
+      .split(",").map(_.trim.toInt).toSeq
+    timed(pair.head, n / 8) // warmup
+    val runs = pair.map { c =>
+      val r = Seq.fill(2)(timed(c, n)).minBy(_.sec)
+      (c, r)
+    }
+    val checks = runs.map(_._2)
+      .map(r => (r.tri, r.coreVerts, r.coreDegSum, r.bfsChecksum)).distinct
+    require(checks.size == 1,
+      s"graph-family invariants diverged across core counts: $checks")
+    val nEdges = n / 4 * 10 + 2 * n // Σ(id%4+1) + ring
+    val thr = runs.map { case (c, r) => c -> nEdges / r.sec }.toMap
+    val eff = (thr(pair.last) / thr(pair.head)) / (pair.last.toDouble / pair.head)
+    val pts = runs.map { case (c, r) =>
+      f""""local$c":{"sec":${r.sec}%.2f,"tri_sec":${r.triSec}%.2f,""" +
+        f""""kcore_sec":${r.coreSec}%.2f,"bfs_sec":${r.bfsSec}%.2f,""" +
+        f""""edges_per_sec":${(nEdges / r.sec).round}}"""
+    }.mkString("{", ",", "}")
+    val inv = runs.head._2
+    println(s"""{"job":"graph_family_scale","nodes":$n,"edges":$nEdges,""" +
+      s""""triangles":${inv.tri},"core7_verts":${inv.coreVerts},""" +
+      s""""core7_degsum":${inv.coreDegSum},"bfs_checksum":${inv.bfsChecksum},""" +
+      s""""points":$pts,"eff_${pair.head}_to_${pair.last}":${f"$eff%.3f"}}""")
+  }
+}
