@@ -2071,6 +2071,60 @@ object Queries {
                      round(rank * (SELECT n FROM nn), 6) AS rank_x_n
               FROM r3 ORDER BY doc_id""")),
 
+    // fixed-iteration TrustRank (WebGraph.trustRank): teleport mass lands
+    // only on the seed set (doc_id % 50 == 0), so trust decays with link
+    // distance from vetted pages — the seeded anti-spam score. Oracle =
+    // the same 3 unrolled iterations with the seed-conditional teleport;
+    // the 0.15/|S| and 1/|S| constants are single IEEE divisions both
+    // engines reproduce bit-for-bit.
+    "q_trustrank" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val n = docs.count()
+        val pages = graft.sources.Pages.fromDocumentsLinked(s, d, n)
+        val edges = graft.ops.WebGraph.linkEdges(pages)
+          .select(col("src_id").as("src"), col("dst_id").as("dst"))
+        val seeds = docs.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("v"))
+        graft.ops.WebGraph.trustRank(edges, n, seeds, iters = 3)
+          .select(col("id").as("doc_id"),
+            round(col("rank") * n, 6).as("trust_x_n"))
+          .orderBy("doc_id")
+      },
+      Some {
+        def iter(i: Int) =
+          s"""r$i AS (SELECT d.doc_id AS id,
+               (CASE WHEN d.doc_id % 50 = 0
+                  THEN CAST(0.15 AS DOUBLE) / (SELECT ns FROM sn)
+                  ELSE CAST(0.0 AS DOUBLE) END)
+                 + CAST(0.85 AS DOUBLE) * coalesce(m.mass, 0) AS rank
+             FROM documents d LEFT JOIN (
+               SELECT e.dst, sum(r${i - 1}.rank / deg.deg) AS mass
+               FROM e JOIN deg ON deg.src = e.src
+                 JOIN r${i - 1} ON r${i - 1}.id = e.src
+               GROUP BY 1) m ON m.dst = d.doc_id)"""
+        s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+            sn AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM documents
+                   WHERE doc_id % 50 = 0),
+            s AS (SELECT doc_id, unnest(range(doc_id % 4 + 1)) AS j
+                  FROM documents),
+            e AS (SELECT doc_id AS src,
+                    (doc_id*131 + 7*j) % (SELECT n FROM nn) AS dst FROM s),
+            deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg
+                    FROM e GROUP BY 1),
+            r0 AS (SELECT doc_id AS id,
+                     CASE WHEN doc_id % 50 = 0
+                       THEN CAST(1.0 AS DOUBLE) / (SELECT ns FROM sn)
+                       ELSE CAST(0.0 AS DOUBLE) END AS rank
+                   FROM documents),
+            ${iter(1)},
+            ${iter(2)},
+            ${iter(3)}
+            SELECT id AS doc_id,
+                   round(rank * (SELECT n FROM nn), 6) AS trust_x_n
+            FROM r3 ORDER BY doc_id"""
+      }),
+
     // anchor-text aggregation per link target (what other pages call this
     // one — the classic web search/quality signal): hrefs and inner texts
     // zipped out of the same html scan, one shuffle on the target id

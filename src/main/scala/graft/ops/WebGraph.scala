@@ -195,6 +195,56 @@ object WebGraph {
     ranks
   }
 
+  /** Fixed-iteration TrustRank (Gyöngyi/Garcia-Molina/Pedersen 2004):
+    * PageRank whose teleport mass lands ONLY on a vetted seed set — trust
+    * flows out of known-good pages and decays with distance, so spam farms
+    * far from any seed score ≈ 0 however densely they interlink. The
+    * standard seeded anti-spam score next to [[kCore]]'s structural one.
+    *
+    * Same single-exchange-per-iteration discipline as [[pageRank]] (edge
+    * table partitioned+sorted on src ONCE; degrees and the seed-flagged
+    * node table share the layout; per-iteration movement = one double per
+    * node). The teleport/|S| and 1/|S| constants are computed as single
+    * IEEE divisions of exact operands so the SQL oracle reproduces them
+    * bit-for-bit. Requires every node to have out-degree ≥ 1 (the
+    * synthetic rule guarantees it; dangling mass would otherwise leak). */
+  def trustRank(edges: DataFrame, n: Long, seeds: DataFrame, iters: Int,
+      damping: Double = 0.85, teleport: Double = 0.15): DataFrame = {
+    val spark = edges.sparkSession
+    val edgesP = graft.CacheBin.persist(
+      edges.repartition(col("src")).sortWithinPartitions("src"))
+    val deg = graft.CacheBin.persist(
+      edgesP.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
+        .sortWithinPartitions("src"))
+    val nSeeds = seeds.count()
+    require(nSeeds > 0, "trustRank needs a non-empty seed set")
+    val tele = teleport / nSeeds
+    val init = 1.0 / nSeeds
+    val nodes = graft.CacheBin.persist(
+      spark.range(n).select(col("id"))
+        .join(seeds.select(col("v").as("id"), lit(true).as("is_seed")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
+        .repartition(col("id")).sortWithinPartitions("id"))
+    var ranks = nodes.select(col("id"),
+      when(col("is_seed"), lit(init)).otherwise(lit(0.0)).as("rank"))
+    for (it <- 1 to iters) {
+      val outMass = ranks
+        .join(deg, ranks("id") === deg("src"))
+        .select(col("src"), (col("rank") / col("deg")).as("c"))
+      val contrib = edgesP
+        .join(outMass, "src")
+        .groupBy("dst").agg(sum("c").as("mass"))
+      ranks = nodes
+        .join(contrib, nodes("id") === contrib("dst"), "left")
+        .select(col("id"),
+          (when(col("is_seed"), lit(tele)).otherwise(lit(0.0)) +
+            lit(damping) * coalesce(col("mass"), lit(0.0))).as("rank"))
+      if (it % 5 == 0) ranks = ranks.localCheckpoint()
+    }
+    ranks
+  }
+
   /** Fixed-iteration HITS (Kleinberg hubs & authorities) over (src, dst)
     * long edges covering nodes 0..n-1. Returns (id, auth, hub) after
     * `iters` full (auth-then-hub) updates, UNNORMALIZED: with the all-ones

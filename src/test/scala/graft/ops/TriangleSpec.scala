@@ -189,3 +189,31 @@ class BfsDepthSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("frontier still live"))
   }
 }
+
+class TrustRankSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("trust flows FROM seeds and decays; spam linking TO a seed gets none") {
+    // cycle 0->1->2->0 with seed {0}; node 3 links INTO the seed cluster
+    // but nothing links to it — classic spam shape: it must score 0
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 0L)).toDF("src", "dst")
+    val got = graft.ops.WebGraph.trustRank(edges, 4L, Seq(0L).toDF("v"), iters = 2)
+      .as[(Long, Double)].collect().toMap
+    graft.CacheBin.drain()
+    assert(got(3L) === 0.0)
+    assert(math.abs(got(0L) - 0.15) < 1e-12)           // tele only (2 hops short)
+    assert(math.abs(got(1L) - 0.85 * 0.15) < 1e-12)    // seed's iter-1 tele forwarded
+    assert(math.abs(got(2L) - 0.85 * 0.85) < 1e-12)    // the initial unit, twice damped
+    // mass conservation: no dangling nodes, so sum(rank) stays 1
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
+  test("empty seed set fails loudly") {
+    val edges = Seq((0L, 1L), (1L, 0L)).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.WebGraph.trustRank(edges, 2L, Seq.empty[Long].toDF("v"), 1)
+    }
+    assert(ex.getMessage.contains("seed"))
+  }
+}
