@@ -1264,11 +1264,12 @@ object Queries {
               FROM r WHERE cur NOT IN (SELECT src FROM e)
               ORDER BY src""")),
 
-    // robots-rule compliance (UrlOps.robotsFilter): longest-prefix wins
-    // per RFC 9309, as a bounded prefix-explode + broadcast equi-join +
-    // struct-argmax — no per-url sort. Rules/paths are synthesized so all
-    // three outcomes occur: longest rule OVERRIDES a shorter opposite
-    // rule, '/r' hard-blocks, and unmatched paths default to allowed.
+    // robots-rule compliance (UrlOps.robotsFilter): longest BYTE-prefix
+    // wins per RFC 9309, as a broadcast host-keyed join with startsWith
+    // refined in the condition + struct-argmax — no per-url sort.
+    // Rules/paths are synthesized so all three outcomes occur: longest
+    // rule OVERRIDES a shorter opposite rule, '/r' hard-blocks, and
+    // unmatched paths default to allowed.
     "q_robots" -> Q(
       (s, d) => {
         val r = s.range(16).select(col("id").as("i"))
@@ -1305,17 +1306,11 @@ object Queries {
                       i % 2 = 0 FROM range(16) t(i)
                     UNION ALL SELECT 'h' || CAST(i AS VARCHAR), '/r', FALSE
                     FROM range(16) t(i)),
-              segs AS (SELECT doc_id, host, path,
-                         list_filter(string_split(path, '/'), s -> len(s) > 0) AS sg,
-                         unnest(range(1, len(list_filter(string_split(path, '/'),
-                           s -> len(s) > 0)) + 1)) AS i
-                       FROM u),
-              pfx AS (SELECT doc_id, host,
-                        '/' || array_to_string(sg[1:i], '/') AS pfx FROM segs),
-              m AS (SELECT p.doc_id, r.prefix, r.allow,
-                      row_number() OVER (PARTITION BY p.doc_id
+              m AS (SELECT u.doc_id, r.prefix, r.allow,
+                      row_number() OVER (PARTITION BY u.doc_id
                         ORDER BY len(r.prefix) DESC) AS rn
-                    FROM pfx p JOIN r ON r.host = p.host AND r.prefix = p.pfx)
+                    FROM u JOIN r ON r.host = u.host
+                      AND starts_with(u.path, r.prefix))
               SELECT u.doc_id, u.host, u.path, m.prefix AS matched_prefix,
                 coalesce(m.allow, TRUE) AS allowed
               FROM u LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
@@ -1950,13 +1945,14 @@ object Queries {
           .unionByName(docs.select(col("doc_id").as("src"),
             ((col("doc_id") + 2) % n).as("dst")))
         val edges = pow.unionByName(ring)
-        val und = edges.filter(col("src") =!= col("dst"))
-          .select(least(col("src"), col("dst")).as("a"),
-            greatest(col("src"), col("dst")).as("b"))
-          .distinct()
-        val deg = und.select(explode(array(col("a"), col("b"))).as("vertex"))
-          .groupBy("vertex").agg(count(lit(1)).as("deg"))
-        deg.join(graft.ops.WebGraph.triangleCounts(edges), Seq("vertex"), "left")
+        // the support + degree tables feed BOTH the coefficient and the
+        // triangle counter — built once, persisted (CacheBin drains after
+        // the action), instead of letting triangleCounts rebuild them
+        val und = graft.CacheBin.persist(graft.ops.WebGraph.simpleSupport(edges))
+        val degV = graft.CacheBin.persist(graft.ops.WebGraph.supportDegrees(und))
+        val deg = degV.select(col("v").as("vertex"), col("deg"))
+        deg.join(graft.ops.WebGraph.triangleCountsOnSupport(und, degV),
+            Seq("vertex"), "left")
           .select(col("vertex"), col("deg"),
             coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
             when(col("deg") >= 2,

@@ -65,7 +65,10 @@ object ScaleGraphFam {
       .map(r => (r.tri, r.coreVerts, r.coreDegSum, r.bfsChecksum)).distinct
     require(checks.size == 1,
       s"graph-family invariants diverged across core counts: $checks")
-    val nEdges = n / 4 * 10 + 2 * n // Σ(id%4+1) + ring
+    // exact Σ(id%4+1) + 2n ring edges — the tail term matters when the
+    // env-provided n is not a multiple of 4 (throughput/eff are computed
+    // from this count, so an approximation would skew the evidence)
+    val nEdges = n / 4 * 10 + (n % 4) * (n % 4 + 1) / 2 + 2 * n
     val thr = runs.map { case (c, r) => c -> nEdges / r.sec }.toMap
     val eff = (thr(pair.last) / thr(pair.head)) / (pair.last.toDouble / pair.head)
     val pts = runs.map { case (c, r) =>

@@ -213,7 +213,18 @@ object UrlOps {
     * so a caller can quarantine loop members instead of mis-keying them.
     */
   def resolveRedirects(edges: DataFrame, maxIters: Int = 20): DataFrame = {
-    var st = edges.select(col("src"), col("dst").as("cur"), lit(1L).as("hops"))
+    // input hygiene, cheap and loud: duplicate (src, dst) rows collapse
+    // (a crawl log recording the same redirect twice is benign), but a
+    // src with TWO DIFFERENT targets breaks the functional-graph contract
+    // — each doubling round would join both branches and multiply state
+    // rows 2^round. Refuse it instead of silently corrupting.
+    val uniq = edges.select(col("src"), col("dst")).distinct()
+    val multi = uniq.groupBy("src").agg(count(lit(1)).as("nout"))
+      .filter(col("nout") > 1).limit(5).collect()
+    require(multi.isEmpty,
+      s"resolveRedirects needs a functional graph (one dst per src); " +
+        s"offending srcs: ${multi.map(_.get(0)).mkString(",")}")
+    var st = uniq.select(col("src"), col("dst").as("cur"), lit(1L).as("hops"))
       .localCheckpoint()
     var live = 1L
     var iter = 0
@@ -244,26 +255,23 @@ object UrlOps {
   /** Robots-rule compliance: longest-prefix match of each url path
     * against per-host (prefix, allow) rules, REP semantics (RFC 9309
     * §2.2.2: the most specific — longest — matching rule wins; no match =
-    * allowed). The IP-routing trick makes this an equi-join: a path of d
-    * segments explodes onto its d cumulative prefixes (bounded constant
-    * replication — crawl paths are depth-capped), rules join on
-    * (host, prefix) exactly, and the winner per url is max(struct(len,
-    * allow)) — a map-side-combinable argmax, NOT a per-url sort. The rule
+    * allowed). Matching is TRUE BYTE-prefix (`/priv` matches `/private`,
+    * `/admin/` matches `/admin/secret`), not segment-anchored: the rule
     * table broadcasts (robots corpora are ~10^5 hosts × few rules, never
-    * page-scaled); the page side stays scan-shaped.
+    * page-scaled), so the match is a broadcast HASH join on the host key
+    * with `startsWith` refined in the join condition — per-url fan-out is
+    * bounded by that host's own rule count, and the page side stays
+    * scan-shaped. The winner per url is max(struct(len, allow)) — a
+    * map-side-combinable argmax, NOT a per-url sort.
     *
     * `urls`: (id, host, path); `rules`: (host, prefix, allow).
     * Returns (id, host, path, matched_prefix|null, allowed). */
   def robotsFilter(urls: DataFrame, rules: DataFrame): DataFrame = {
-    val segs = filter(split(col("path"), "/"), s => length(s) > 0)
-    val prefixes = transform(sequence(lit(1), size(segs)),
-      i => concat(lit("/"), array_join(slice(segs, lit(1), i), "/")))
-    val exploded = urls.select(col("id"), col("host"), col("path"),
-      explode(prefixes).as("pfx"))
-    exploded.join(broadcast(rules),
-        exploded("host") === rules("host") && col("pfx") === col("prefix"),
+    urls.join(broadcast(rules),
+        urls("host") === rules("host") &&
+          col("path").startsWith(col("prefix")),
         "left")
-      .select(col("id"), exploded("host"), col("path"),
+      .select(col("id"), urls("host"), col("path"),
         when(col("prefix").isNotNull,
           struct(length(col("prefix")).as("l"), col("allow").as("allow"),
             col("prefix").as("pfx"))).as("m"))

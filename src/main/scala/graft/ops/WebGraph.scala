@@ -216,16 +216,21 @@ object WebGraph {
     val deg = graft.CacheBin.persist(
       edgesP.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
         .sortWithinPartitions("src"))
-    val nSeeds = seeds.count()
-    require(nSeeds > 0, "trustRank needs a non-empty seed set")
-    val tele = teleport / nSeeds
-    val init = 1.0 / nSeeds
+    // seed hygiene: dedup (a duplicate seed row would fan out the node
+    // join and double-count that node's mass every iteration) and count
+    // |S| from the NODE table, not the raw input — a stale seed id
+    // outside [0, n) would otherwise split teleport mass across rows that
+    // never receive it, silently deflating every score
     val nodes = graft.CacheBin.persist(
       spark.range(n).select(col("id"))
-        .join(seeds.select(col("v").as("id"), lit(true).as("is_seed")),
-          Seq("id"), "left")
+        .join(seeds.select(col("v").as("id")).distinct()
+          .withColumn("is_seed", lit(true)), Seq("id"), "left")
         .select(col("id"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
         .repartition(col("id")).sortWithinPartitions("id"))
+    val nSeeds = nodes.filter(col("is_seed")).count()
+    require(nSeeds > 0, "trustRank needs a non-empty in-range seed set")
+    val tele = teleport / nSeeds
+    val init = 1.0 / nSeeds
     var ranks = nodes.select(col("id"),
       when(col("is_seed"), lit(init)).otherwise(lit(0.0)).as("rank"))
     for (it <- 1 to iters) {
@@ -371,12 +376,27 @@ object WebGraph {
     * combines. No broadcast grows with the graph; AQE skew-split absorbs
     * residual wedge-source skew. */
   def triangleCounts(rawEdges: DataFrame): DataFrame = {
-    val und = rawEdges.filter(col("src") =!= col("dst"))
+    val und = simpleSupport(rawEdges)
+    triangleCountsOnSupport(und, supportDegrees(und))
+  }
+
+  /** Canonical simple undirected support of a (src, dst) edge table:
+    * self-loops dropped, direction/duplicates collapsed to (a<b). */
+  def simpleSupport(rawEdges: DataFrame): DataFrame =
+    rawEdges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-    val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
+
+  /** Per-vertex degree over a [[simpleSupport]] table: (v, deg). */
+  def supportDegrees(und: DataFrame): DataFrame =
+    und.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("deg"))
+
+  /** [[triangleCounts]] taking a prebuilt support + degree table, so a
+    * caller that also needs them (clustering coefficient) builds the two
+    * dominant shuffles ONCE instead of having this operator redo them. */
+  def triangleCountsOnSupport(und: DataFrame, deg: DataFrame): DataFrame = {
     val withDeg = und
       .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
@@ -477,6 +497,14 @@ object WebGraph {
         frontier = next
       }
     }
+    // off-by-one mercy probe: a caller who set maxRounds to the true
+    // eccentricity has a COMPLETE answer whose final frontier just hasn't
+    // confirmed empty yet — one more expansion check settles it instead
+    // of throwing on a correct result
+    if (!exhausted)
+      exhausted = frontier.join(e, frontier("v") === e("src"))
+        .select(e("dst").as("v")).distinct()
+        .join(dist, Seq("v"), "left_anti").isEmpty
     require(exhausted, s"bfsDepth frontier still live after $maxRounds rounds")
     dist
   }

@@ -35,7 +35,10 @@ object Similarity {
     * pairs: the window sorts AND fully shuffles every pair; this keeps a
     * k-bounded buffer per key with map-side partial aggregation, so only
     * ≤k rows per (vector, partition) reach the exchange. Output order is
-    * identical to the window (total order on (cos, nbr_id)). */
+    * identical to the window (total order on (cos, nbr_id)).
+    * TWIN: text/Sampling.scala's BottomKByPrio carries the same buffer
+    * discipline with the comparator reversed — a fix to the fill/compare/
+    * trim hot path here almost certainly applies there too. */
   private class TopKByCos(k: Int)
       extends org.apache.spark.sql.expressions.Aggregator[
         (Long, Long, Double), Seq[(Double, Long)], Seq[(Double, Long)]] {

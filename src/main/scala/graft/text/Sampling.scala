@@ -183,17 +183,6 @@ object Sampling {
         (col("offset") + row_number().over(wb) - 1).as("idx"))
   }
 
-  /** Deterministic stratified sampling: the k docs with the SMALLEST
-    * salted hash per stratum — a reproducible fixed-size eval subset per
-    * language/domain. Two-phase so no window ever ranks a whole stratum:
-    * bounded per-stratum counts (one map-side-combined aggregate, #strata
-    * rows) set a conservative hash-acceptance threshold (~4k/stratum of
-    * the corpus passes the scan filter), and the exact (hash, id) rank
-    * runs over that candidate sliver only. The sliver is validated, not
-    * trusted: a stratum that returned fewer than min(k, |stratum|) rows
-    * fails loudly (hash uniformity would have to break by 4x for the
-    * sliver to go thin — the guard turns 'improbable' into 'cannot return
-    * silently wrong'). */
   /** Per-stratum bottom-k by (priority, id) as a typed Aggregator — the
     * k-bounded-buffer discipline of Similarity's TopKByCos, keyed by
     * stratum: map-side partials mean only ≤k rows per (stratum, partition)
@@ -263,6 +252,17 @@ object Sampling {
       .toDF(idCol, stratumCol, "w", "pos")
   }
 
+  /** Deterministic stratified sampling: the k docs with the SMALLEST
+    * salted hash per stratum — a reproducible fixed-size eval subset per
+    * language/domain. Two-phase so no window ever ranks a whole stratum:
+    * bounded per-stratum counts (one map-side-combined aggregate, #strata
+    * rows) set a conservative hash-acceptance threshold (~4k/stratum of
+    * the corpus passes the scan filter), and the exact (hash, id) rank
+    * runs over that candidate sliver only. The sliver is validated, not
+    * trusted: a stratum that returned fewer than min(k, |stratum|) rows
+    * fails loudly (hash uniformity would have to break by 4x for the
+    * sliver to go thin — the guard turns 'improbable' into 'cannot return
+    * silently wrong'). */
   def stratifiedSample(docs: DataFrame, idCol: String, stratumCol: String,
                        k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")

@@ -66,13 +66,21 @@ class RobotsFilterSpec extends AnyFunSuite {
       6L -> (None, true)))
   }
 
-  test("prefix match is segment-anchored, not substring: /a never matches /ab") {
+  test("RFC 9309 byte-prefix semantics: /a matches /ab, /admin/ matches inside") {
     import spark.implicits._
-    val rules = Seq(("h", "/a", false)).toDF("host", "prefix", "allow")
-    val urls = Seq((1L, "h", "/ab/c"), (2L, "h", "/a/c")).toDF("id", "host", "path")
+    val rules = Seq(("h", "/a", false), ("h", "/admin/", false),
+      ("h", "/priv", false)).toDF("host", "prefix", "allow")
+    val urls = Seq(
+      (1L, "h", "/ab/c"),          // byte prefix: /a matches /ab
+      (2L, "h", "/a/c"),           // and the segment-aligned case
+      (3L, "h", "/admin/secret"),  // trailing-slash rule matches inside
+      (4L, "h", "/private/x"),     // mid-segment rule matches
+      (5L, "h", "/b"))             // nothing matches
+      .toDF("id", "host", "path")
     val got = UrlOps.robotsFilter(urls, rules)
       .select("id", "allowed").collect()
       .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
-    assert(got === Map(1L -> true, 2L -> false))
+    assert(got === Map(1L -> false, 2L -> false, 3L -> false,
+      4L -> false, 5L -> true))
   }
 }

@@ -173,10 +173,12 @@ class BfsDepthSpec extends AnyFunSuite {
     assert(got === Map(0L -> 0L, 3L -> 0L, 1L -> 1L, 2L -> 2L))
   }
 
-  test("cycles terminate; depth is the true eccentricity round count") {
-    // directed 6-cycle from one seed: depths 0..5, frontier dies at 6
+  test("cycles terminate; maxRounds == true eccentricity is ENOUGH (no off-by-one)") {
+    // directed 6-cycle from one seed: depths 0..5. maxRounds = 5 is the
+    // exact eccentricity — the final empty-frontier confirm must not
+    // demand a 6th round (the mercy probe settles it)
     val edges = (0L until 6L).map(i => (i, (i + 1) % 6)).toDF("src", "dst")
-    val got = WebGraph.bfsDepth(edges, Seq(0L).toDF("v"), maxRounds = 8)
+    val got = WebGraph.bfsDepth(edges, Seq(0L).toDF("v"), maxRounds = 5)
       .as[(Long, Long)].collect().toMap
     assert(got === (0L until 6L).map(i => i -> i).toMap)
   }
