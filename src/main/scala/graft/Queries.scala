@@ -3344,6 +3344,64 @@ object Queries {
                 round(n*1.0 / sum(n) OVER (PARTITION BY from_state), 6) AS p
               FROM c ORDER BY from_state, to_state""")),
 
+    // host-template boilerplate removal (Boilerplate.stripHostBoilerplate):
+    // a planted nav paragraph on 100% of each host's pages is stripped,
+    // a promo planted on ~40% stays (0.5 threshold), body lines untouched.
+    // The oracle replays the page-fraction rule + ordered reassembly.
+    "q_boilerplate" -> Q(
+      (s, d) => {
+        val host = concat(lit("h"), col("doc_id") % 16)
+        val nav = concat(lit("nav "), host, lit(" menu about contact"))
+        val promo = concat(lit("promo "), host, lit(" subscribe banner"))
+        val paras = concat(
+          array(nav),
+          when(col("doc_id") % 5 < 2, array(promo))
+            .otherwise(array().cast("array<string>")),
+          TextFns.fixedLines(col("text"), 5))
+        val pages = t(s, d, "documents")
+          .select(col("doc_id"), host.as("host"), paras.as("paras"))
+        graft.text.Boilerplate
+          .stripHostBoilerplate(pages, "doc_id", "host", "paras")
+          .select(col("doc_id"), col("host"),
+            array_join(col("paras_clean"), "\n").as("text_clean"),
+            col("n_stripped"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH dd AS (SELECT doc_id, 'h' || CAST(doc_id % 16 AS VARCHAR) AS host,
+                text FROM documents),
+              w AS (SELECT doc_id, host,
+                      list_filter(string_split(text, ' '), x -> x <> '') AS w
+                    FROM dd),
+              body AS (SELECT doc_id, host,
+                         list_transform(range(0, len(w)//5),
+                           i -> array_to_string(list_slice(w, i*5+1, i*5+5), ' ')) AS ls
+                       FROM w),
+              paras AS (SELECT doc_id, host,
+                  list_concat(list_concat(
+                    ['nav ' || host || ' menu about contact'],
+                    CASE WHEN doc_id % 5 < 2
+                      THEN ['promo ' || host || ' subscribe banner']
+                      ELSE [] END), ls) AS ps
+                FROM body),
+              x AS (SELECT doc_id, host, unnest(ps) AS para,
+                      generate_subscripts(ps, 1) AS pos FROM paras),
+              hp AS (SELECT host, count(*) AS n_pages FROM dd GROUP BY 1),
+              fr AS (SELECT host, para, count(DISTINCT doc_id) AS n_with
+                     FROM x GROUP BY 1, 2),
+              bo AS (SELECT fr.host, fr.para FROM fr JOIN hp USING (host)
+                     WHERE n_with >= 2 AND n_with >= 0.5 * n_pages),
+              kept AS (SELECT x.doc_id, x.para, x.pos FROM x
+                       LEFT JOIN bo ON bo.host = x.host AND bo.para = x.para
+                       WHERE bo.para IS NULL),
+              kg AS (SELECT doc_id, array_to_string(list(para ORDER BY pos), chr(10)) AS tc,
+                       count(*) AS n_kept
+                     FROM kept GROUP BY doc_id)
+              SELECT p.doc_id, p.host,
+                coalesce(kg.tc, '') AS text_clean,
+                CAST(len(p.ps) - coalesce(kg.n_kept, 0) AS BIGINT) AS n_stripped
+              FROM paras p LEFT JOIN kg ON kg.doc_id = p.doc_id
+              ORDER BY p.doc_id""")),
+
     // retention cohorts (Temporal.retentionCohorts): users per (first-day
     // cohort, day offset) — one user-keyed min aggregate + co-partitioned
     // join + distinct-then-count rollup bounded by cohorts × max age.
