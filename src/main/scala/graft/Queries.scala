@@ -3402,6 +3402,104 @@ object Queries {
               FROM paras p LEFT JOIN kg ON kg.doc_id = p.doc_id
               ORDER BY p.doc_id""")),
 
+    // CCNet tercile bucketing (LangModel.ccnetBuckets): per-LANGUAGE bigram
+    // LM on the 10% trusted slice, head/middle/tail cut at the data-derived
+    // per-language perplexity terciles (Wenzek et al. §4.3) — the
+    // fixed-threshold q_lm_ppl's production-shaped sibling. The oracle
+    // replays the per-lang LM, the integer micro-nat sum, and the
+    // multiply-only exact-quantile cutoff rule.
+    "q_ccnet_bucket" -> Q(
+      (s, d) => graft.text.LangModel.ccnetBuckets(
+          t(s, d, "documents"), "doc_id", "text", "lang",
+          col("doc_id") % 10 === 0)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, lang, doc_id % 10 = 0 AS is_ref,
+                           string_split(text,' ') AS w FROM documents),
+              x AS (SELECT doc_id, lang, is_ref, w[i] AS w1, w[i+1] AS w2
+                    FROM (SELECT doc_id, lang, is_ref, w,
+                            unnest(range(1, greatest(len(w),2))) AS i FROM t)),
+              c1 AS (SELECT lang, w1, count(*) AS c1 FROM x WHERE is_ref GROUP BY 1,2),
+              c2 AS (SELECT lang, w1, w2, count(*) AS c2 FROM x WHERE is_ref GROUP BY 1,2,3),
+              v AS (SELECT lang, count(DISTINCT w1) AS v FROM x WHERE is_ref GROUP BY 1),
+              s AS (SELECT m.doc_id, m.lang, CAST(sum(m.m) AS BIGINT) AS n_bigrams,
+                      CAST(sum(m.m * CAST(round(-ln((coalesce(c2.c2,0)+1.0)/(coalesce(c1.c1,0)+v.v))*1e6) AS BIGINT)) AS BIGINT) AS cost_unats
+                    FROM (SELECT doc_id, lang, w1, w2, count(*) AS m FROM x GROUP BY 1,2,3,4) m
+                    JOIN v ON m.lang = v.lang
+                    LEFT JOIN c1 ON m.lang = c1.lang AND m.w1 = c1.w1
+                    LEFT JOIN c2 ON m.lang = c2.lang AND m.w1 = c2.w1 AND m.w2 = c2.w2
+                    GROUP BY 1,2),
+              a AS (SELECT *, cost_unats / n_bigrams AS avg_unats FROM s),
+              h AS (SELECT lang, avg_unats AS vv, count(*) AS c FROM a GROUP BY 1,2),
+              cum AS (SELECT lang, vv, c,
+                        sum(c) OVER (PARTITION BY lang ORDER BY vv ROWS UNBOUNDED PRECEDING) AS cum,
+                        sum(c) OVER (PARTITION BY lang) AS n
+                      FROM h),
+              cuts AS (SELECT lang,
+                         min(CASE WHEN cum*1000 >= 333*n THEN vv END) AS q333,
+                         min(CASE WHEN cum*1000 >= 667*n THEN vv END) AS q667
+                       FROM cum GROUP BY 1)
+              SELECT a.doc_id, a.lang, a.n_bigrams, a.cost_unats,
+                CASE WHEN avg_unats <= q333 THEN 'head'
+                     WHEN avg_unats <= q667 THEN 'middle'
+                     ELSE 'tail' END AS bucket
+              FROM a JOIN cuts ON a.lang = cuts.lang ORDER BY a.doc_id""")),
+
+    // perceptual-hash image near-dup (Media.phashNearDups): planted
+    // re-hosted image groups (md5-chained 8x9 luminance grids, <= 1 pixel
+    // of re-encode noise per doc) -> 64-bit dHash -> generic
+    // combination-block Hamming machinery. The oracle recomputes every
+    // grid, hash half, and brute-force pair from the same md5 chain.
+    "q_phash_dedup" -> Q(
+      (s, d) => graft.multimodal.Media.phashNearDups(
+          graft.multimodal.Media.synthPixels(s, d), maxDist = 4)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH g AS (SELECT doc_id, doc_id % 25 AS grp, doc_id % 2 AS nmut FROM documents),
+              base AS (SELECT doc_id, nmut,
+                  list_transform(range(0,72), p ->
+                    ('0x' || substr(md5('g' || CAST(grp AS VARCHAR) || ':' || CAST(p//16 AS VARCHAR)), CAST((p%16)*2+1 AS INT), 2))::INT) AS pix0
+                FROM g),
+              mut AS (SELECT doc_id, CASE WHEN nmut = 1 THEN
+                    list_transform(range(0,72), p -> CASE WHEN p = (doc_id*31) % 72
+                      THEN ('0x' || substr(md5('m' || CAST(doc_id AS VARCHAR) || ':0'), 1, 2))::INT
+                      ELSE pix0[CAST(p+1 AS INT)] END)
+                  ELSE pix0 END AS pix FROM base),
+              h AS (SELECT doc_id,
+                  list_sum(list_transform(range(0,32), b -> CASE
+                    WHEN pix[CAST((b//8)*9 + (b%8) + 1 AS INT)] < pix[CAST((b//8)*9 + (b%8) + 2 AS INT)]
+                    THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END)) AS lo,
+                  list_sum(list_transform(range(32,64), b -> CASE
+                    WHEN pix[CAST((b//8)*9 + (b%8) + 1 AS INT)] < pix[CAST((b//8)*9 + (b%8) + 2 AS INT)]
+                    THEN (CAST(1 AS BIGINT) << CAST(b-32 AS INT)) ELSE 0 END)) AS hi
+                FROM mut)
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INT) AS ham
+              FROM h a JOIN h b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 4
+              ORDER BY id_a, id_b""")),
+
+    // crawl vocabulary drift (Drift.vocabDrift): top-20 words whose corpus
+    // share moved most between the even- and odd-numbered source slices,
+    // ranked by the INTEGER cross-product delta c_a*N_b - c_b*N_a (exact,
+    // division-free). One word-keyed conditional-count exchange; top-k is
+    // TakeOrdered over the vocab table.
+    "q_vocab_drift" -> Q(
+      (s, d) => graft.text.Drift.vocabDrift(
+          t(s, d, "documents"), "text",
+          substring(col("source"), 4, 10).cast("int") % 2 === 1, topK = 20)
+        .orderBy(abs(col("delta")).desc, col("word")),
+      Some("""WITH w AS (SELECT CAST(substr(source,4) AS INT) % 2 = 1 AS b,
+                           unnest(list_filter(string_split(text,' '), x -> x <> '')) AS word
+                         FROM documents),
+              c AS (SELECT word,
+                      sum(CASE WHEN NOT b THEN 1 ELSE 0 END) AS c_a,
+                      sum(CASE WHEN b THEN 1 ELSE 0 END) AS c_b
+                    FROM w GROUP BY 1),
+              t AS (SELECT sum(c_a) AS n_a, sum(c_b) AS n_b FROM c)
+              SELECT word, CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+                CAST(c_a*n_b - c_b*n_a AS BIGINT) AS delta
+              FROM c CROSS JOIN t
+              ORDER BY abs(c_a*n_b - c_b*n_a) DESC, word LIMIT 20""")),
+
     // retention cohorts (Temporal.retentionCohorts): users per (first-day
     // cohort, day offset) — one user-keyed min aggregate + co-partitioned
     // join + distinct-then-count rollup bounded by cohorts × max age.

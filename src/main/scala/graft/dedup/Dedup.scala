@@ -696,9 +696,24 @@ object Dedup {
                       nBlocks: Int = 0, maxBucket: Int = 0): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val b = if (nBlocks > 0) nBlocks else autoBlocks(maxDist)
     val sigs = docs.map { case (id, toks) => (id, simhash64(toks, tokenHash)) }
       .toDF("id", "sig")
+    hammingNearDups(sigs, maxDist, nBlocks, maxBucket)
+  }
+
+  /** Generic Hamming-radius near-dup pairs over ANY 64-bit signature
+    * column (`sigs`: (id: long, sig: long)) — the candidate/verify
+    * machinery of [[simhashNearDups]] factored out so other signature
+    * families (SimHash over tokens, perceptual dHash over decoded media,
+    * …) share one scale-audited implementation. Combination-block keys
+    * (lossless by pigeonhole), sort-merge candidate join, codegen'd
+    * bit_count verify; `withDist = true` adds the exact distance column
+    * (`ham`, int) — one small int through the pair-dedup exchange, never
+    * the signatures. */
+  def hammingNearDups(sigs: DataFrame, maxDist: Int,
+                      nBlocks: Int = 0, maxBucket: Int = 0,
+                      withDist: Boolean = false): DataFrame = {
+    val b = if (nBlocks > 0) nBlocks else autoBlocks(maxDist)
     // persisted: both self-join sides (and the hot-bucket scan) read ONE
     // combo-key generation, and the cache gives AQE REAL size stats — the
     // parquet-derived estimate misses the C(b,k)× explode, and Spark would
@@ -730,10 +745,15 @@ object Dedup {
     // longs, no signatures — and (b) the up-to-C(b,k) duplicate copies of
     // each surviving pair collapse map-side in distinct's partial
     // aggregate instead of crossing the wire
-    keyed.as("l").hint("merge").join(keyed.as("r").hint("merge"),
+    val verified = keyed.as("l").hint("merge").join(keyed.as("r").hint("merge"),
         col("l.key") === col("r.key") && col("l.id") < col("r.id"))
       .filter(bit_count(col("l.sig").bitwiseXOR(col("r.sig"))) <= maxDist)
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .distinct()
+    if (withDist)
+      verified.select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+          bit_count(col("l.sig").bitwiseXOR(col("r.sig"))).cast("int").as("ham"))
+        .distinct()
+    else
+      verified.select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+        .distinct()
   }
 }

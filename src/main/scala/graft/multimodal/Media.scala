@@ -155,4 +155,82 @@ object Media {
       .select(col("doc_id"), (col("t_ms") / everyMs).cast("long").as("frame_idx"),
         col("t_ms"))
     // >>> STUB: a real sampler would seek+decode the frame at t_ms here
+
+  // ---- perceptual-hash near-duplicate images ---------------------------
+
+  /** dHash grid shape: PhRows × PhCols luminance samples; the hash compares
+    * horizontally adjacent samples → PhRows × (PhCols−1) = 64 bits. */
+  val PhRows = 8
+  val PhCols = 9
+
+  /** Deterministic synthetic "decoded image" table with PLANTED
+    * near-duplicates: each doc's 8×9 luminance grid is its GROUP's base
+    * image (md5-chained from `doc_id % 25`, so ~25 re-hosted copies of the
+    * same image exist per group — the thumbnail/mirror situation image
+    * dedup exists for) with at most one per-doc pixel mutation (re-encode
+    * noise). A mutation moves ≤ 2 dHash bits, so same-group pairs sit
+    * within Hamming 4 of each other while cross-group hashes are ~32 bits
+    * apart (binomial, 5σ+ away). The md5 chain is the same oracle-
+    * replayable byte source as [[synthMd5]]. */
+  def synthPixels(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val n = PhRows * PhCols
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val grp = id % 25
+        val pix = new Array[Int](n)
+        var j = 0
+        while (j * 16 < n) {
+          val block = md.digest(
+            s"g$grp:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var k = 0
+          while (k < 16 && j * 16 + k < n) {
+            pix(j * 16 + k) = block(k) & 0xFF; k += 1
+          }
+          j += 1
+        }
+        if (id % 2 == 1) {
+          val p = ((id * 31) % n).toInt
+          pix(p) = md.digest(
+            s"m$id:0".getBytes(java.nio.charset.StandardCharsets.UTF_8))(0) & 0xFF
+        }
+        (id, pix)
+      }
+      .toDF("doc_id", "pix")
+  }
+
+  /** 64-bit difference hash (dHash) of one decoded luminance grid: bit
+    * r·8+c set iff pixel (r,c) < pixel (r,c+1) — the classic
+    * gradient-direction perceptual hash, invariant to brightness/contrast
+    * shifts and robust to small pixel noise. The grid is what a real
+    * pipeline's resize-to-9×8-grayscale step produces; here it arrives
+    * from the deterministic stub. */
+  def dHash64(pix: Array[Int]): Long = {
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      val r = b / (PhCols - 1); val c = b % (PhCols - 1)
+      if (pix(r * PhCols + c) < pix(r * PhCols + c + 1)) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** Near-duplicate image pairs: dHash each decoded grid, then reuse the
+    * generic combination-block Hamming machinery
+    * ([[graft.dedup.Dedup.hammingNearDups]] — lossless candidate keys,
+    * sort-merge join, bit_count verify). Scale shape is the audited
+    * SimHash one: candidate width constant per doc, never an all-pairs
+    * or broadcast-that-grows-with-n step. */
+  def phashNearDups(pixels: DataFrame, maxDist: Int): DataFrame = {
+    val spark = pixels.sparkSession
+    import spark.implicits._
+    val sigs = pixels.select(col("doc_id"), col("pix"))
+      .as[(Long, Array[Int])]
+      .map { case (id, pix) => (id, dHash64(pix)) }
+      .toDF("id", "sig")
+    graft.dedup.Dedup.hammingNearDups(sigs, maxDist, withDist = true)
+  }
 }

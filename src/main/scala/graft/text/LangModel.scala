@@ -79,4 +79,64 @@ object LangModel {
         .when(col("cost_unats") <= col("n_bigrams") * middleMaxUnats, "middle")
         .otherwise("tail"))
   }
+
+  /** CCNet's actual bucketing discipline (Wenzek et al. §4.3): one bigram
+    * LM PER LANGUAGE trained on that language's trusted slice, and the
+    * head/middle/tail cut at the per-language perplexity TERCILES derived
+    * from the data — not fixed thresholds like [[perplexityBuckets]].
+    *
+    * Cross-engine determinism: per-doc cost is the integer micro-nat sum
+    * (order-independent); avg = cost/n is ONE IEEE double division of two
+    * longs (bit-identical in any engine); the tercile cutoffs come from
+    * [[graft.ops.Stats.exactQuantiles]]'s multiply-only integer rank
+    * predicate over the avg-value histogram, so the cut VALUE is one of
+    * the exact per-doc doubles and every comparison agrees.
+    *
+    * Plan shape at 10^12 docs: the LM scoring is the same
+    * exploded-bigram / vocab-keyed-join shape as [[perplexityBuckets]]
+    * (now keyed by (lang, w1[, w2]) — still constant-width, still never
+    * broadcast); the cutoff derivation adds one histogram aggregate whose
+    * output is bounded by DISTINCT avg values, and the cutoff table is
+    * #langs rows — broadcast back into a scan-shaped bucket assignment.
+    * Languages with an empty trusted slice have no LM and are dropped
+    * (inner join on the per-lang vocabulary), matching CCNet, which only
+    * scores languages it has a reference model for. */
+  def ccnetBuckets(docs: DataFrame, idCol: String, textCol: String,
+                   langCol: String, isRef: Column): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val g = graft.CacheBin.persist(docs
+      .select(col(idCol), col(langCol).as("lang"), isRef.as("is_ref"),
+        explode(bigramPairs(toks)).as("p"))
+      .select(col(idCol), col("lang"), col("is_ref"), col("p.w1"), col("p.w2")))
+    val ref = g.filter(col("is_ref"))
+    val c1 = ref.groupBy("lang", "w1").agg(count(lit(1)).as("c1"))
+    val c2 = ref.groupBy("lang", "w1", "w2").agg(count(lit(1)).as("c2"))
+    val v = ref.groupBy("lang").agg(countDistinct(col("w1")).as("v"))
+    val m = g.groupBy(col(idCol), col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("m"))
+    val cost = m
+      .join(c1, Seq("lang", "w1"), "left")
+      .join(c2, Seq("lang", "w1", "w2"), "left")
+      .join(broadcast(v), Seq("lang")) // inner: unscored langs drop
+      .withColumn("unats",
+        round(-log((coalesce(col("c2"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("c1"), lit(0L)) + col("v"))) * lit(1e6)).cast("long"))
+      .groupBy(col(idCol), col("lang"))
+      .agg(sum(col("m")).cast("long").as("n_bigrams"),
+        sum(col("m") * col("unats")).cast("long").as("cost_unats"))
+      .withColumn("avg_unats", col("cost_unats") / col("n_bigrams"))
+    val scored = graft.CacheBin.persist(cost)
+    val cuts = graft.ops.Stats.exactQuantiles(
+      scored.select(col("lang"), col("avg_unats")),
+      "lang", "avg_unats", Seq(333, 667))
+    scored
+      .join(broadcast(cuts.select(col("lang"), col("q333"), col("q667"))),
+        Seq("lang"))
+      .withColumn("bucket",
+        when(col("avg_unats") <= col("q333"), "head")
+          .when(col("avg_unats") <= col("q667"), "middle")
+          .otherwise("tail"))
+      .select(col(idCol), col("lang"), col("n_bigrams"), col("cost_unats"),
+        col("bucket"))
+  }
 }
