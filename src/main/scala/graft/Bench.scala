@@ -33,7 +33,8 @@ object Bench {
     "q_containment", "q_redirects", "q_triangles", "q_weighted_sample",
     "q_transitions", "q_robots", "q_retention", "q_funnel", "q_kcore",
     "q_crawl_depth", "q_clustering", "q_trustrank",
-    "q_boilerplate", "q_ccnet_bucket", "q_phash_dedup", "q_vocab_drift")
+    "q_boilerplate", "q_ccnet_bucket", "q_phash_dedup", "q_vocab_drift",
+    "q_hll_union")
 
   def makeSession(cpus: String): SparkSession = SparkSession.builder()
     .master(s"local[$cpus]")

@@ -3500,6 +3500,42 @@ object Queries {
               FROM c CROSS JOIN t
               ORDER BY abs(c_a*n_b - c_b*n_a) DESC, word LIMIT 20""")),
 
+    // HLL sketch algebra (Stats.hllMerge): per-slice registers over the
+    // even-/odd-source key sets plus their element-wise-max MERGE — the
+    // mergeability law that lets 10^12-key count-distinct build
+    // shard-by-shard with no rescan. Registers are integer and md5-keyed,
+    // so DuckDB replays all three columns exactly (absent register = 0).
+    "q_hll_union" -> Q(
+      (s, d) => {
+        val keyed = t(s, d, "documents").select(
+          when(substring(col("source"), 4, 10).cast("int") % 2 === 1, "B")
+            .otherwise("A").as("slice"),
+          concat(lit("k"), (col("doc_id") % 300).cast("string")).as("k"))
+        val regs = graft.ops.Stats.hllRegisters(keyed, "slice", "k",
+          bucketBits = 6)
+        regs.groupBy("bucket").agg(
+            coalesce(max(when(col("slice") === "A", col("r"))), lit(0L))
+              .as("r_a"),
+            coalesce(max(when(col("slice") === "B", col("r"))), lit(0L))
+              .as("r_b"))
+          .withColumn("r_union", greatest(col("r_a"), col("r_b")))
+          .orderBy("bucket")
+      },
+      Some("""WITH r AS (SELECT
+                CASE WHEN CAST(substr(source,4) AS INT) % 2 = 1 THEN 'B' ELSE 'A' END AS slice,
+                ('0x' || substr(md5('k' || CAST(doc_id % 300 AS VARCHAR)), 1, 12))::BIGINT AS h
+              FROM documents),
+              g AS (SELECT slice, h % 64 AS bucket,
+                      max(CASE WHEN h // 64 = 0 THEN 43
+                               ELSE 43 - length(bin(h // 64)) END) AS r
+                    FROM r GROUP BY 1, 2)
+              SELECT bucket,
+                CAST(coalesce(max(CASE WHEN slice = 'A' THEN r END), 0) AS BIGINT) AS r_a,
+                CAST(coalesce(max(CASE WHEN slice = 'B' THEN r END), 0) AS BIGINT) AS r_b,
+                CAST(greatest(coalesce(max(CASE WHEN slice = 'A' THEN r END), 0),
+                              coalesce(max(CASE WHEN slice = 'B' THEN r END), 0)) AS BIGINT) AS r_union
+              FROM g GROUP BY bucket ORDER BY bucket""")),
+
     // retention cohorts (Temporal.retentionCohorts): users per (first-day
     // cohort, day offset) — one user-keyed min aggregate + co-partitioned
     // join + distinct-then-count rollup bounded by cohorts × max age.

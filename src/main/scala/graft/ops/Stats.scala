@@ -119,4 +119,15 @@ object Stats {
           .otherwise(col("raw")))
       .select(col(groupCol), round(col("est")).cast("long").as("est"))
   }
+
+  /** Sketch ALGEBRA — the property that makes HLL the 100 TB
+    * count-distinct: registers of a UNION of corpora equal the
+    * element-wise MAX of the corpora's separate registers, so sketches
+    * built shard-by-shard (or crawl-by-crawl) merge in register-sized
+    * work with no rescan. Input: [[hllRegisters]] output over any number
+    * of slices; output: one merged register row per bucket. Intersection
+    * cardinality follows by inclusion-exclusion over [[hllEstimate]] of
+    * the parts and the merge ([[StatsSpec]] checks both laws). */
+  def hllMerge(registers: DataFrame): DataFrame =
+    registers.groupBy(col("bucket")).agg(max(col("r")).cast("long").as("r"))
 }

@@ -68,6 +68,29 @@ class HllSpec extends AnyFunSuite {
     assert(ru === merged)
   }
 
+  test("hllMerge operator == sketch of the union; intersection by " +
+      "inclusion-exclusion lands within the error band") {
+    val b = 11
+    val a = (0 until 2000).map(i => s"x-$i")
+    val bb = (1200 until 3200).map(i => s"x-$i") // |A|=|B|=2000, |A∩B|=800
+    def regs(ks: Seq[(String, String)]) =
+      Stats.hllRegisters(ks.toDF("g", "k"), "g", "k", b)
+    val parts = regs(a.map(("A", _)) ++ bb.map(("B", _)))
+    val mergedOp = Stats.hllMerge(parts)
+      .select("bucket", "r").as[(Long, Long)].collect().toMap
+    val unionSketch = regs((a ++ bb).distinct.map(("U", _)))
+      .select("bucket", "r").as[(Long, Long)].collect().toMap
+    assert(mergedOp === unionSketch, "merge operator must equal a rescan")
+    def est(ks: Seq[String]) =
+      Stats.hllEstimate(regs(ks.map(("g", _))), "g", b)
+        .select("est").as[Long].head()
+    val inter = est(a) + est(bb) - est((a ++ bb).distinct)
+    // inclusion-exclusion compounds three ~2.3% estimates over a set
+    // 4x smaller than the union — allow a generous 4-sigma-ish band
+    assert(math.abs(inter - 800L) < 800 * 0.35,
+      s"intersection estimate $inter vs truth 800")
+  }
+
   test("small-range linear counting kicks in and stays sane") {
     val keys = (0 until 30).map(i => s"only-$i")
     val est = Stats.hllEstimate(
