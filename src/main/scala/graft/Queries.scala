@@ -3536,6 +3536,46 @@ object Queries {
                               coalesce(max(CASE WHEN slice = 'B' THEN r END), 0)) AS BIGINT) AS r_union
               FROM g GROUP BY bucket ORDER BY bucket""")),
 
+    // IDW interpolation (Interpolate.idwMilli): site measurements
+    // resampled onto the event points with INTEGER-EXACT weights
+    // (milli-unit coords -> exact d2 -> w = 1e12 div d2; integer weighted
+    // sums, one final division). Sites are the kNN site layer in milli
+    // units with a deterministic measurement v = site_id*131 % 1000.
+    "q_idw" -> Q(
+      (s, d) => {
+        val pts = t(s, d, "events").select(
+          col("event_id").as("id"),
+          (col("event_id") * 7919L % 10000L * 10L).as("pxm"),
+          (col("event_id") * 104729L % 10000L * 10L).as("pym"))
+        val sites = s.range(20).select(
+          col("id").as("site_id"),
+          (col("id") * 37 % 97 * 1000L + 515L + col("id") * 13L).as("sxm"),
+          (col("id") * 59 % 89 * 1000L + 525L + col("id") * 17L).as("sym"),
+          (col("id") * 131 % 1000L).as("v"))
+        graft.spatial.Interpolate.idwMilli(pts, sites,
+          cellMilli = 20000L, radiusMilli = 20000L)
+          .orderBy("id")
+      },
+      Some("""WITH p AS (SELECT event_id AS id,
+                (event_id*7919)%10000*10 AS pxm,
+                (event_id*104729)%10000*10 AS pym FROM events),
+              s AS (SELECT k AS site_id,
+                      (k*37%97)*1000 + 515 + 13*k AS sxm,
+                      (k*59%89)*1000 + 525 + 17*k AS sym,
+                      (k*131)%1000 AS v
+                    FROM range(0,20) t(k)),
+              c AS (SELECT p.id, s.v,
+                      (p.pxm-s.sxm)*(p.pxm-s.sxm) + (p.pym-s.sym)*(p.pym-s.sym) AS d2
+                    FROM p CROSS JOIN s
+                    WHERE (p.pxm-s.sxm)*(p.pxm-s.sxm) + (p.pym-s.sym)*(p.pym-s.sym)
+                          <= 400000000),
+              w AS (SELECT id, v,
+                      CASE WHEN d2 = 0 THEN 1000000000000
+                           ELSE 1000000000000 // d2 END AS w FROM c)
+              SELECT id, CAST(count(*) AS BIGINT) AS n_sites,
+                round(sum(w*v) * 1.0 / sum(w), 6) AS idw
+              FROM w GROUP BY id ORDER BY id""")),
+
     // retention cohorts (Temporal.retentionCohorts): users per (first-day
     // cohort, day offset) — one user-keyed min aggregate + co-partitioned
     // join + distinct-then-count rollup bounded by cohorts × max age.
