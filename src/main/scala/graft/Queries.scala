@@ -566,6 +566,32 @@ object Queries {
                   + greatest(0, gy*10.0 - cy, cy - gy*10.0 - 10.0) <= r
               ORDER BY 1, 2""")),
 
+    // areal interpolation (area-weighted reaggregation): each zone's value
+    // split over its covering cells ∝ exact zone∩cell overlap area, summed
+    // per cell. The ENGINE runs the generic pruned-cover + convex-clip
+    // kernel; the zones are integer rectangles whose areas are 2^a·5^b so
+    // the oracle's closed-form interval-overlap shares are exact at 6
+    // decimals (see SynthGeo.arealZoneParams).
+    "q_areal_interp" -> Q(
+      (s, d) => {
+        import s.implicits._
+        graft.spatial.Interpolate.arealReaggregate(
+          s.createDataset(graft.spatial.SynthGeo.arealZones), coarse)
+          .orderBy("cell")
+      },
+      Some(s"""WITH zs AS (SELECT * FROM ${graft.spatial.SynthGeo.arealZonesSql}),
+              xs AS (SELECT *, unnest(range(x0//10, (x0+w)//10 + 1)) AS gx FROM zs),
+              cs AS (SELECT *, unnest(range(y0//10, (y0+h)//10 + 1)) AS gy FROM xs),
+              ov AS (SELECT CAST(gy*1000 + gx AS BIGINT) AS cell,
+                       v * (least(x0+w, gx*10+10) - greatest(x0, gx*10))
+                         * (least(y0+h, gy*10+10) - greatest(y0, gy*10))
+                         / (w*h*1.0) AS part
+                     FROM cs
+                     WHERE least(x0+w, gx*10+10) > greatest(x0, gx*10)
+                       AND least(y0+h, gy*10+10) > greatest(y0, gy*10))
+              SELECT cell, round(sum(part), 6) AS value
+              FROM ov GROUP BY cell ORDER BY cell""")),
+
     // raster -> vector: the covering cell set reassembled into its boundary
     // polygon (edge-cancellation union + collinear simplify); a bbox cover
     // is a rectangle, so the closed form is area = nx*ny*cell² and exactly
@@ -3318,6 +3344,27 @@ object Queries {
               SELECT user_id, session_no, min(ts_s) AS session_start,
                 max(ts_s) AS session_end, count(*) AS n_events
               FROM sn GROUP BY 1, 2 ORDER BY user_id, session_no""")),
+
+    // STREAMING gap sessions: Spark's native session_window aggregation
+    // (state-store window merge, append-mode emission when the watermark
+    // passes a session's end — the harness advances the watermark with a
+    // sentinel event exactly as a live stream's late-data horizon would).
+    // Oracle = the batch sessionize gap rule; stream must equal batch.
+    "q_session_stream" -> Q(
+      (s, d) => graft.streaming.EventStream.runSessionWindowsOnce(s, d, 1800L)
+        .orderBy("user_id", "session_start"),
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts)//1000000 AS ts_s FROM events),
+              g AS (SELECT user_id, event_id, ts_s,
+                CASE WHEN lag(ts_s) OVER w IS NULL OR ts_s - lag(ts_s) OVER w > 1800
+                  THEN 1 ELSE 0 END AS brk
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+              sn AS (SELECT user_id, ts_s,
+                CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no FROM g)
+              SELECT user_id, min(ts_s) AS session_start,
+                max(ts_s) AS session_end, count(*) AS n_events
+              FROM sn GROUP BY user_id, session_no
+              ORDER BY user_id, session_start""")),
 
     // first-order Markov transition matrix over per-user event streams
     // (Temporal.transitionMatrix): lead over the sessionize exchange/sort,

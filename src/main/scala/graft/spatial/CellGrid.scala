@@ -98,6 +98,16 @@ final case class CellGrid(cellSize: Double, origin: Double = -1e7, rowWidth: Lon
   def cellY(y: Double): Long = math.floor((y - origin) / cellSize).toLong
   def pack(cx: Long, cy: Long): Long = cy * rowWidth + cx
 
+  /** The square of a packed cell id as an open CCW ring (inverse of pack
+    * via floor arithmetic, so negative axis indices round-trip too). */
+  def cellSquare(c: Long): Array[graft.geom.Pt] = {
+    val cy = java.lang.Math.floorDiv(c, rowWidth)
+    val cx = c - cy * rowWidth
+    val x0 = origin + cx * cellSize; val y0 = origin + cy * cellSize
+    Array(graft.geom.Pt(x0, y0), graft.geom.Pt(x0 + cellSize, y0),
+      graft.geom.Pt(x0 + cellSize, y0 + cellSize), graft.geom.Pt(x0, y0 + cellSize))
+  }
+
   /** All cells covered by a bbox (the covering-cell enumeration the polygon
     * side flatMaps into before the cell equi-join). */
   def cover(b: Geom.BBox): Seq[Long] = {

@@ -62,4 +62,34 @@ object Interpolate {
       .select(col("id"), col("n_sites"),
         round(col("sw") / col("tw"), 6).as("idw"))
   }
+
+  /** Area-weighted reaggregation (areal interpolation, Goodchild & Lam
+    * 1980): re-express a zone-level measure on the analysis grid by
+    * splitting each zone's value over its covering cells in proportion to
+    * the EXACT zone∩cell overlap area. The engine always runs the generic
+    * kernel — pruned covering-cell enumeration + one Sutherland–Hodgman
+    * clip per candidate cell (the CELL square is the convex clip, the zone
+    * ring may be any simple polygon); rectangle zones are an oracle-side
+    * closed form only, never an engine special case.
+    *
+    * Plan shape at corpus scale: one flatMap over the zone layer (rows out
+    * = Σ pruned-cover sizes, not bbox sizes), then a single groupBy(cell)
+    * sum with map-side partial aggregation. No join, no broadcast, no
+    * driver state — a zone layer of any size streams through. */
+  def arealReaggregate(
+      zones: org.apache.spark.sql.Dataset[(Long, Array[graft.geom.Pt], Double)],
+      grid: CellGrid): DataFrame = {
+    val spark = zones.sparkSession
+    import spark.implicits._
+    zones.flatMap { case (_, ring, v) =>
+      val az = graft.geom.Geom.ringArea(ring)
+      grid.coverPolygon(Array(Array(ring))).iterator
+        .map { c =>
+          (c, v * (graft.geom.Geom.clipAreaConvex(ring, grid.cellSquare(c)) / az))
+        }
+        .filter(_._2 > 0.0)
+    }.toDF("cell", "part")
+      .groupBy("cell")
+      .agg(round(sum("part"), 6).as("value"))
+  }
 }

@@ -87,6 +87,39 @@ object SynthGeo {
     .map { case (k, zx0, zx1, row) => s"($k, $zx0, $zx1, $row)" }
     .mkString("(VALUES ", ", ", ") AS z(zone_id, zx0, zx1, zrow)")
 
+  // ---- value-carrying integer zones for areal interpolation ------------
+  //
+  // Every coordinate is an INTEGER and every zone area w·h is 2^a·5^b with
+  // a,b <= 6, so each exact cell share v·overlap/(w·h) has <= 6 decimal
+  // places: round(·,6) recovers the exact decimal in BOTH engines and the
+  // clip kernel's ~1e-13 fp noise can never straddle a rounding boundary.
+  // Bounds avoid multiples of 10, so no zone edge lies ON a cell edge
+  // (zero-area covers can't hover at fp sign ambiguity).
+  /** (zone_id, x0, y0, w, h, v). */
+  val arealZoneParams: Seq[(Long, Long, Long, Long, Long, Long)] =
+    (0L until 12L).map { k =>
+      val x0 = 3 + (k % 4) * 23
+      val y0 = 2 + (k / 4) * 31
+      val w = Seq(16L, 20L, 25L, 40L)((k % 4).toInt)
+      val h = Seq(20L, 25L, 50L)((k / 4).toInt)
+      (k, x0, y0, w, h, (k + 1) * 3)
+    }
+
+  /** The same zones as generic CCW rings with a double value — the form the
+    * engine consumes (it never sees the rectangle closed form). */
+  def arealZones: Seq[(Long, Array[Pt], Double)] =
+    arealZoneParams.map { case (k, x0, y0, w, h, v) =>
+      (k, Array(
+        Pt(x0.toDouble, y0.toDouble), Pt((x0 + w).toDouble, y0.toDouble),
+        Pt((x0 + w).toDouble, (y0 + h).toDouble), Pt(x0.toDouble, (y0 + h).toDouble)),
+        v.toDouble)
+    }
+
+  /** DuckDB VALUES table for the areal zones. */
+  val arealZonesSql: String = arealZoneParams
+    .map { case (k, x0, y0, w, h, v) => s"($k, $x0, $y0, $w, $h, $v)" }
+    .mkString("(VALUES ", ", ", ") AS z(zone_id, x0, y0, w, h, v)")
+
   /** 4×4 parcels in closed form: x on the 0.01 grid, y strictly inside the
     * id%3 row band (so the y-overlap with that row's zones is exactly 4). */
   def parcelParams(spark: SparkSession, sfDir: String): Dataset[(Long, Double, Double)] = {

@@ -267,6 +267,61 @@ object EventStream {
     spark.table(name)
   }
 
+  /** Gap-based session windows via Spark's NATIVE `session_window`: the
+    * streaming aggregation operator merges overlapping per-key windows in
+    * the state store itself and, in append mode, emits a session exactly
+    * once — when the event-time watermark passes its end (last event +
+    * gap). State is ∝ OPEN sessions per key, evicted by the same watermark,
+    * so a 10^12-event stream holds only its active-session frontier.
+    * Timestamps are truncated to whole seconds BEFORE windowing so stream,
+    * batch ([[graft.ops.Temporal.sessionize]]) and the SQL oracle share one
+    * gap rule (diff > gapSec splits). */
+  def sessionWindowAgg(events: DataFrame, gapSec: Long): DataFrame =
+    events
+      .select(col("user_id"), timestamp_seconds(
+        expr("unix_micros(cast(ts as timestamp)) div 1000000")).as("ets"))
+      .withWatermark("ets", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("ets"), s"$gapSec seconds"))
+      .agg(count(lit(1)).as("n_events"), max(col("ets")).as("emax"))
+      .select(col("user_id"),
+        unix_seconds(col("session_window.start")).as("session_start"),
+        unix_seconds(col("emax")).as("session_end"),
+        col("n_events"))
+
+  /** Run [[sessionWindowAgg]] over the events of `sfDir` synchronously.
+    * Append mode emits a session only when the watermark passes its end,
+    * so after draining the real data the harness appends ONE far-future
+    * sentinel event (user_id = -1) to the staged stream dir: the watermark
+    * advance it causes — plus the no-data micro-batch Spark schedules on
+    * watermark movement — flushes every real session deterministically.
+    * This is exactly the mechanism a production stream relies on (the
+    * late-data horizon moving past a session), exercised end-to-end rather
+    * than short-circuited with complete mode. */
+  def runSessionWindowsOnce(spark: SparkSession, sfDir: String,
+      gapSec: Long): DataFrame = {
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sessions_").toString
+    batch.write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(batch.schema).parquet(s"$dir/in")
+    val name = s"session_windows_${runSeq.incrementAndGet()}"
+    val q = sessionWindowAgg(stream, gapSec).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    val maxTs = batch
+      .agg(max(expr("unix_micros(cast(ts as timestamp)) div 1000000")))
+      .head().getLong(0)
+    batch.limit(1)
+      .withColumn("user_id", lit(-1L))
+      .withColumn("ts", timestamp_seconds(lit(maxTs + 2 * gapSec + 10)))
+      .write.mode("append").parquet(s"$dir/in")
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).filter(col("user_id") >= 0)
+  }
+
   /** Run the streaming agg over the parquet events of `sfDir` synchronously
     * (memory sink, complete mode) and return the result as a DataFrame. */
   def runOnce(spark: SparkSession, sfDir: String, queryName: String): DataFrame = {
