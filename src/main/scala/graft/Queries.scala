@@ -3366,6 +3366,66 @@ object Queries {
               FROM sn GROUP BY user_id, session_no
               ORDER BY user_id, session_start""")),
 
+    // STREAM-STREAM event-time interval join (attribution: impression ×
+    // click within a 10-minute horizon). Both sides watermarked; the range
+    // bound in the JOIN CONDITION is what lets Spark evict each side's
+    // state at the other's watermark — join state ∝ the delay horizon,
+    // never stream history. Oracle = the identical batch interval join.
+    "q_stream_join" -> Q(
+      (s, d) => graft.streaming.EventStream.runIntervalJoinOnce(s, d, 600L)
+        .orderBy("imp_id", "clk_id"),
+      Some("""SELECT i.event_id AS imp_id, c.event_id AS clk_id,
+                i.event_type, epoch_us(c.ts) - epoch_us(i.ts) AS delay_us
+              FROM events i JOIN events c ON i.event_type = c.event_type
+                AND i.event_id % 2 = 0 AND c.event_id % 2 = 1
+                AND c.ts > i.ts AND c.ts <= i.ts + INTERVAL 600 seconds
+              ORDER BY imp_id, clk_id""")),
+
+    // grid-bucketed DBSCAN over md5-synthesized page geotags: candidate
+    // pairs from ONE ε-cell equi-join (3×3 literal-offset explode on the
+    // probe side — each ordered pair exactly once), map-side-combined
+    // degree agg, pointer-jump components over CORE points only, border =
+    // min core-neighbor label (deterministic refinement of the textbook's
+    // scan-order rule). Oracle replays the same ε-graph + recursive
+    // min-label closure in DuckDB.
+    "q_dbscan" -> Q(
+      (s, d) => {
+        val id = col("event_id")
+        val pts = t(s, d, "events").select(id.as("id"),
+          (graft.text.TextFns.hash48(concat(lit("x:"), id.cast("string")))
+            % 10000 / lit(100.0)).as("x"),
+          (graft.text.TextFns.hash48(concat(lit("y:"), id.cast("string")))
+            % 10000 / lit(100.0)).as("y"))
+        graft.spatial.Dbscan.dbscan(pts, eps = 0.7, minPts = 4)
+          .orderBy("id")
+      },
+      Some("""WITH RECURSIVE pts AS MATERIALIZED (SELECT event_id AS id,
+                (('0x' || substr(md5('x:' || CAST(event_id AS VARCHAR)), 1, 12))::BIGINT % 10000)/100.0 AS x,
+                (('0x' || substr(md5('y:' || CAST(event_id AS VARCHAR)), 1, 12))::BIGINT % 10000)/100.0 AS y
+                FROM events),
+              cel AS MATERIALIZED (SELECT id, x, y,
+                cast(floor(x/0.7) AS BIGINT) cx, cast(floor(y/0.7) AS BIGINT) cy FROM pts),
+              prs AS MATERIALIZED (SELECT a.id ia, b.id ib FROM cel a JOIN cel b
+                ON b.cx BETWEEN a.cx-1 AND a.cx+1 AND b.cy BETWEEN a.cy-1 AND a.cy+1
+                AND a.id <> b.id
+                AND (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) <= 0.7*0.7),
+              deg AS MATERIALIZED (SELECT ia AS id, count(*) AS nn FROM prs GROUP BY ia),
+              core AS MATERIALIZED (SELECT p.id FROM pts p LEFT JOIN deg d ON p.id = d.id
+                WHERE coalesce(d.nn, 0) + 1 >= 4),
+              ce AS MATERIALIZED (SELECT ia, ib FROM prs
+                WHERE ia IN (SELECT id FROM core) AND ib IN (SELECT id FROM core)),
+              r AS (SELECT id, id AS m FROM core
+                UNION SELECT ce.ia, r.m FROM ce JOIN r ON r.id = ce.ib),
+              lab AS MATERIALIZED (SELECT id, min(m) AS cluster FROM r GROUP BY id),
+              brd AS MATERIALIZED (SELECT p.ia AS id, min(l.cluster) AS cluster
+                FROM prs p JOIN lab l ON p.ib = l.id
+                WHERE p.ia NOT IN (SELECT id FROM core) GROUP BY p.ia)
+              SELECT id, 'core' AS role, cluster FROM lab
+              UNION ALL SELECT id, 'border' AS role, cluster FROM brd
+              UNION ALL SELECT id, 'noise' AS role, CAST(-1 AS BIGINT) AS cluster FROM pts
+                WHERE id NOT IN (SELECT id FROM lab) AND id NOT IN (SELECT id FROM brd)
+              ORDER BY id""")),
+
     // first-order Markov transition matrix over per-user event streams
     // (Temporal.transitionMatrix): lead over the sessionize exchange/sort,
     // then a |states|²-bounded rollup (sketch-sized wire). Oracle = the

@@ -322,6 +322,55 @@ object EventStream {
     spark.table(name).filter(col("user_id") >= 0)
   }
 
+  /** STREAM–STREAM event-time interval join — the attribution shape
+    * (impression stream × click stream): inner join on a key plus a
+    * time-range bound `imp.ts < clk.ts <= imp.ts + maxDelay`. Both sides
+    * carry an event-time watermark, and the range condition gives Spark a
+    * state-eviction bound on EACH side: an impression's state is dropped
+    * once the click watermark passes its ts + maxDelay, a click's once the
+    * impression watermark passes its ts — so join state is proportional to
+    * the delay horizon's event volume, never the stream's history. That
+    * bounded-state contract is the whole reason the interval bound is in
+    * the join condition instead of a post-filter (an unbounded inner join
+    * keeps every row ever seen). */
+  def intervalJoin(imps: DataFrame, clks: DataFrame, key: String,
+      maxDelaySec: Long, watermarkDelay: String = "10 minutes"): DataFrame = {
+    val i = imps
+      .select(col("event_id").as("imp_id"), col(key).as("k"),
+        col("ts").cast("timestamp").as("its"))
+      .withWatermark("its", watermarkDelay)
+    val c = clks
+      .select(col("event_id").as("clk_id"), col(key).as("ck"),
+        col("ts").cast("timestamp").as("cts"))
+      .withWatermark("cts", watermarkDelay)
+    i.join(c,
+        i("k") === c("ck") && c("cts") > i("its") &&
+          c("cts") <= i("its") + expr(s"INTERVAL $maxDelaySec seconds"))
+      .select(col("imp_id"), col("clk_id"), col("k").as("event_type"),
+        (unix_micros(col("cts")) - unix_micros(col("its"))).as("delay_us"))
+  }
+
+  /** Run [[intervalJoin]] synchronously over the events of `sfDir`: even
+    * event_ids stream as impressions, odd as clicks (two independent
+    * readStream sources over the same parquet — a genuine stream-stream
+    * self-join). Inner-join pairs emit in the micro-batch that completes
+    * them, so one drain suffices (no watermark-flush sentinel needed —
+    * that is only an append-mode AGGREGATION/outer-join concern). */
+  def runIntervalJoinOnce(spark: SparkSession, sfDir: String,
+      maxDelaySec: Long): DataFrame = {
+    val schema: StructType = spark.read.parquet(s"$sfDir/events.parquet").schema
+    def src() = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    val imps = src().filter(col("event_id") % 2 === 0)
+    val clks = src().filter(col("event_id") % 2 === 1)
+    val name = s"interval_join_${runSeq.incrementAndGet()}"
+    val q = intervalJoin(imps, clks, "event_type", maxDelaySec).writeStream
+      .outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   /** Run the streaming agg over the parquet events of `sfDir` synchronously
     * (memory sink, complete mode) and return the result as a DataFrame. */
   def runOnce(spark: SparkSession, sfDir: String, queryName: String): DataFrame = {
