@@ -3381,6 +3381,23 @@ object Queries {
                 AND c.ts > i.ts AND c.ts <= i.ts + INTERVAL 600 seconds
               ORDER BY imp_id, clk_id""")),
 
+    // LEFT OUTER stream-stream interval join: unmatched impressions emit
+    // (-1, -1) — and only when the global watermark passes their horizon
+    // (driven end-to-end by per-input far-future sentinels, the same
+    // late-data mechanism a live stream relies on). Oracle = the batch
+    // left interval join.
+    "q_stream_join_outer" -> Q(
+      (s, d) => graft.streaming.EventStream.runIntervalJoinOuterOnce(s, d, 600L)
+        .orderBy("imp_id", "clk_id"),
+      Some("""SELECT i.event_id AS imp_id, coalesce(c.event_id, -1) AS clk_id,
+                i.event_type,
+                coalesce(epoch_us(c.ts) - epoch_us(i.ts), -1) AS delay_us
+              FROM (SELECT * FROM events WHERE event_id % 2 = 0) i
+              LEFT JOIN (SELECT * FROM events WHERE event_id % 2 = 1) c
+                ON i.event_type = c.event_type
+                AND c.ts > i.ts AND c.ts <= i.ts + INTERVAL 600 seconds
+              ORDER BY imp_id, clk_id""")),
+
     // grid-bucketed DBSCAN over md5-synthesized page geotags: candidate
     // pairs from ONE ε-cell equi-join (3×3 literal-offset explode on the
     // probe side — each ordered pair exactly once), map-side-combined

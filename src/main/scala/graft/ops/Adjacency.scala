@@ -62,6 +62,20 @@ object Adjacency {
   def connectedComponents(vertices: DataFrame, edges: DataFrame, maxIter: Int = 30): DataFrame =
     connectedComponentsWithRounds(vertices, edges, maxIter)._1
 
+  /** Eager localCheckpoint + STATS reset. `Dataset.localCheckpoint`
+    * truncates lineage but PRESERVES the child plan's sizeInBytes
+    * estimate, and the propagation loop's join estimates multiply the
+    * label plan's stats ~4× per round — a double-exponential BigInteger
+    * that overflows Catalyst's stats visitor near round 14 (hit at
+    * 2M-point DBSCAN scale, where the giant component needs that many
+    * pointer-jump rounds). Rebuilding the frame from the checkpointed RDD
+    * resets to the conservative default estimate each round (runtime join
+    * strategy stays AQE-decided, so no planning quality is lost). */
+  private def ckFresh(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint()
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
   /** Min-label propagation with POINTER JUMPING: each round does one
     * neighbor-min hop (c1 = min(comp, neighbors' comp)) and then one path
     * shortcut (comp' = c1's own c1). The shortcut more than doubles the
@@ -76,10 +90,9 @@ object Adjacency {
     // localCheckpoint (eager) per round truncates the lineage — without it
     // every convergence check replays all previous rounds, turning an
     // O(log d) loop into O(log² d) plan growth
-    var labels = vertices.select(col("bid"), col("bid").as("comp")).localCheckpoint()
-    val sym = edges.select(col("a"), col("b"))
-      .union(edges.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
+    var labels = ckFresh(vertices.select(col("bid"), col("bid").as("comp")))
+    val sym = ckFresh(edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b"))))
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -99,13 +112,14 @@ object Adjacency {
       // round. Task retries can only inflate a NONZERO count, never turn a
       // converged (zero) round nonzero, so the zero-test stays exact.
       val changedAcc = spark.sparkContext.longAccumulator(s"cc_changed_$it")
-      val next = hop.join(jump, hop("c1") === jump("jbid"), "left")
+      // ckFresh's inner localCheckpoint is the eager materialization the
+      // accumulator rides; the stats reset happens after it
+      val next = ckFresh(hop.join(jump, hop("c1") === jump("jbid"), "left")
         .select(col("bid"), col("old"),
           least(col("c1"), coalesce(col("jc"), col("c1"))).as("comp"))
         .as[(Long, Long, Long)]
         .map { r => if (r._2 != r._3) changedAcc.add(1L); (r._1, r._3) }
-        .toDF("bid", "comp")
-        .localCheckpoint()
+        .toDF("bid", "comp"))
       labels = next
       converged = changedAcc.value == 0L
       it += 1

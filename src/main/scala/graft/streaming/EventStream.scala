@@ -334,7 +334,21 @@ object EventStream {
     * the join condition instead of a post-filter (an unbounded inner join
     * keeps every row ever seen). */
   def intervalJoin(imps: DataFrame, clks: DataFrame, key: String,
-      maxDelaySec: Long, watermarkDelay: String = "10 minutes"): DataFrame = {
+      maxDelaySec: Long, watermarkDelay: String = "10 minutes"): DataFrame =
+    intervalJoinTyped(imps, clks, key, maxDelaySec, watermarkDelay, "inner")
+
+  /** LEFT OUTER flavor: an impression with no click inside the horizon
+    * emits (clk_id = -1, delay_us = -1) — but only once the global
+    * watermark passes its ts + maxDelay (no earlier click can still
+    * arrive). That late emission is the semantics a production attribution
+    * stream relies on; the harness drives it with far-future sentinel rows
+    * exactly as [[runSessionWindowsOnce]] drives session flushes. */
+  def intervalJoinOuter(imps: DataFrame, clks: DataFrame, key: String,
+      maxDelaySec: Long, watermarkDelay: String = "10 minutes"): DataFrame =
+    intervalJoinTyped(imps, clks, key, maxDelaySec, watermarkDelay, "left_outer")
+
+  private def intervalJoinTyped(imps: DataFrame, clks: DataFrame, key: String,
+      maxDelaySec: Long, watermarkDelay: String, joinType: String): DataFrame = {
     val i = imps
       .select(col("event_id").as("imp_id"), col(key).as("k"),
         col("ts").cast("timestamp").as("its"))
@@ -345,9 +359,13 @@ object EventStream {
       .withWatermark("cts", watermarkDelay)
     i.join(c,
         i("k") === c("ck") && c("cts") > i("its") &&
-          c("cts") <= i("its") + expr(s"INTERVAL $maxDelaySec seconds"))
-      .select(col("imp_id"), col("clk_id"), col("k").as("event_type"),
-        (unix_micros(col("cts")) - unix_micros(col("its"))).as("delay_us"))
+          c("cts") <= i("its") + expr(s"INTERVAL $maxDelaySec seconds"),
+        joinType)
+      .select(col("imp_id"),
+        coalesce(col("clk_id"), lit(-1L)).as("clk_id"),
+        col("k").as("event_type"),
+        coalesce(unix_micros(col("cts")) - unix_micros(col("its")), lit(-1L))
+          .as("delay_us"))
   }
 
   /** Run [[intervalJoin]] synchronously over the events of `sfDir`: even
@@ -369,6 +387,44 @@ object EventStream {
     q.processAllAvailable()
     q.stop()
     spark.table(name)
+  }
+
+  /** Run [[intervalJoinOuter]] synchronously. Unmatched impressions only
+    * emit when the watermark passes their horizon, so after draining the
+    * real data the harness appends one far-future sentinel row to EACH
+    * stream (the global watermark is the MIN across inputs — both must
+    * advance) and drains again; sentinel ids are negative and filtered. */
+  def runIntervalJoinOuterOnce(spark: SparkSession, sfDir: String,
+      maxDelaySec: Long): DataFrame = {
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ijoin_").toString
+    batch.write.mode("overwrite").parquet(s"$dir/in")
+    def src() = spark.readStream.schema(batch.schema).parquet(s"$dir/in")
+    val imps = src().filter(col("event_id") % 2 === 0)
+    val clks = src().filter(col("event_id") % 2 === 1)
+    val name = s"interval_join_outer_${runSeq.incrementAndGet()}"
+    val q = intervalJoinOuter(imps, clks, "event_type", maxDelaySec,
+        watermarkDelay = "0 seconds").writeStream
+      .outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    val maxUs = batch
+      .agg(max(unix_micros(col("ts").cast("timestamp")))).head().getLong(0)
+    val sentinelTs = timestamp_micros(
+      lit(maxUs + (maxDelaySec + 60L) * 1000000L))
+    // one sentinel per INPUT (the global watermark is the min across
+    // inputs): an odd id feeds the click stream, an even the impressions;
+    // the sentinel type matches no real key so neither can join, and the
+    // sentinel impression never emits (its own horizon stays past the
+    // final watermark) — filtered by type regardless
+    def sentinel(id: Long) = batch.limit(1)
+      .withColumn("event_id", lit(id))
+      .withColumn("ts", sentinelTs)
+      .withColumn("event_type", lit("zz_sentinel"))
+    sentinel(2000000001L).unionByName(sentinel(2000000002L))
+      .write.mode("append").parquet(s"$dir/in")
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).filter(col("event_type") =!= "zz_sentinel")
   }
 
   /** Run the streaming agg over the parquet events of `sfDir` synchronously

@@ -31,6 +31,31 @@ class StreamJoinSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("left-outer interval join: unmatched impressions flush on watermark advance") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val streamed = EventStream
+      .runIntervalJoinOuterOnce(spark, TestSpark.sf001, 600L)
+      .as[(Long, Long, String, Long)].collect().toSet
+    val e = spark.read.parquet(s"${TestSpark.sf001}/events.parquet")
+    val i = e.filter(col("event_id") % 2 === 0).select(
+      col("event_id").as("imp_id"), col("event_type").as("k"),
+      col("ts").cast("timestamp").as("its"))
+    val c = e.filter(col("event_id") % 2 === 1).select(
+      col("event_id").as("clk_id"), col("event_type").as("ck"),
+      col("ts").cast("timestamp").as("cts"))
+    val batch = i.join(c, i("k") === c("ck") && c("cts") > i("its") &&
+        c("cts") <= i("its") + expr("INTERVAL 600 seconds"), "left_outer")
+      .select(col("imp_id"), coalesce(col("clk_id"), lit(-1L)).as("clk_id"),
+        col("k"),
+        coalesce(unix_micros(col("cts")) - unix_micros(col("its")), lit(-1L))
+          .as("delay_us"))
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(streamed === batch)
+    // the outer join must produce BOTH matched and unmatched rows
+    assert(streamed.exists(_._2 >= 0) && streamed.exists(_._2 == -1L))
+  }
+
   test("pairs split across micro-batches still join (state carries the open side)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
