@@ -34,7 +34,8 @@ object Bench {
     "q_transitions", "q_robots", "q_retention", "q_funnel", "q_kcore",
     "q_crawl_depth", "q_clustering", "q_trustrank",
     "q_boilerplate", "q_ccnet_bucket", "q_phash_dedup", "q_vocab_drift",
-    "q_hll_union", "q_idw", "q_areal_interp", "q_dbscan", "q_stream_join")
+    "q_hll_union", "q_idw", "q_areal_interp", "q_dbscan", "q_stream_join",
+    "q_hotspot")
 
   def makeSession(cpus: String): SparkSession = SparkSession.builder()
     .master(s"local[$cpus]")

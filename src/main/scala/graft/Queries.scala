@@ -3443,6 +3443,40 @@ object Queries {
                 WHERE id NOT IN (SELECT id FROM lab) AND id NOT IN (SELECT id FROM brd)
               ORDER BY id""")),
 
+    // Getis-Ord Gi* hotspot z-scores over 5-unit cell counts of the same
+    // md5-synthesized geotags (occupied-cell frame, 3x3 binary weights
+    // incl. self). One corpus-sized count shuffle; everything after is
+    // cell-cardinality work from exact integer aggregates. Oracle replays
+    // the identical donate-to-9-neighbors rollup + z-score arithmetic.
+    "q_hotspot" -> Q(
+      (s, d) => {
+        val id = col("event_id")
+        val cells = t(s, d, "events").select(
+          floor(graft.text.TextFns.hash48(concat(lit("x:"), id.cast("string")))
+            % 10000 / lit(100.0) / lit(5.0)).cast("long").as("cx"),
+          floor(graft.text.TextFns.hash48(concat(lit("y:"), id.cast("string")))
+            % 10000 / lit(100.0) / lit(5.0)).cast("long").as("cy"))
+        graft.spatial.Hotspot.giStar(cells).orderBy("cx", "cy")
+      },
+      Some("""WITH cnt AS MATERIALIZED (SELECT
+                cast(floor((('0x' || substr(md5('x:' || CAST(event_id AS VARCHAR)), 1, 12))::BIGINT % 10000)/100.0/5.0) AS BIGINT) AS cx,
+                cast(floor((('0x' || substr(md5('y:' || CAST(event_id AS VARCHAR)), 1, 12))::BIGINT % 10000)/100.0/5.0) AS BIGINT) AS cy,
+                count(*) AS n
+                FROM events GROUP BY 1, 2),
+              g AS MATERIALIZED (SELECT CAST(sum(n) AS DOUBLE)/count(*) AS mu,
+                sqrt(CAST(sum(n*n) AS DOUBLE)/count(*)
+                  - (CAST(sum(n) AS DOUBLE)/count(*))*(CAST(sum(n) AS DOUBLE)/count(*))) AS s,
+                count(*) AS nc FROM cnt),
+              o(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)),
+              w AS MATERIALIZED (SELECT c.cx + o.dx AS cx, c.cy + o.dy AS cy,
+                sum(c.n) AS wsum, count(*) AS k
+                FROM cnt c CROSS JOIN o GROUP BY 1, 2)
+              SELECT c.cx, c.cy, c.n, w.k, w.wsum,
+                round((w.wsum - g.mu * w.k) /
+                  (g.s * sqrt((g.nc * w.k - w.k * w.k) / (g.nc - 1.0))), 6) AS gi
+              FROM cnt c JOIN w ON c.cx = w.cx AND c.cy = w.cy CROSS JOIN g
+              ORDER BY 1, 2""")),
+
     // first-order Markov transition matrix over per-user event streams
     // (Temporal.transitionMatrix): lead over the sessionize exchange/sort,
     // then a |states|²-bounded rollup (sketch-sized wire). Oracle = the

@@ -1,0 +1,52 @@
+package graft.spatial
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Getis–Ord Gi* hotspot detection (Getis & Ord 1992) over cell counts —
+  * the standard spatial-autocorrelation z-score for "where do geotagged
+  * pages clump beyond chance". Completes the engine's spatial-statistics
+  * family (IDW resampling, areal reaggregation, DBSCAN clustering; this is
+  * the significance-scored density surface).
+  *
+  * Frame contract (documented, the oracle replays it): the study frame is
+  * the OCCUPIED cells; the neighborhood is the 3×3 window restricted to
+  * occupied cells (binary weights, self included — the Gi* convention).
+  *
+  * Plan shape at 10^12 points: ONE groupBy(cell) count with map-side
+  * combine reduces the corpus to cell rows; global stats are a 1-row
+  * aggregate broadcast back; the neighborhood sum is a constant-9×
+  * literal-offset explode + cell equi-join — everything downstream of the
+  * first count is cell-cardinality work, never corpus-sized. All
+  * aggregates are exact 64-bit integers; the z-score's fp math runs once
+  * per cell from exact integer inputs (cross-engine bit-stable).
+  */
+object Hotspot {
+
+  /** @param cells one row per point: (cx: long, cy: long)
+    * @return (cx, cy, n, k, wsum, gi) per occupied cell, gi rounded to 6. */
+  def giStar(cells: DataFrame): DataFrame = {
+    val cnt = graft.CacheBin.persist(
+      cells.groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("n")))
+    val g = cnt.agg(sum(col("n")).as("tot"), count(lit(1)).as("nc"),
+      sum(col("n") * col("n")).as("totsq"))
+    val offsets = array((for (dx <- -1 to 1; dy <- -1 to 1)
+      yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
+    // each occupied cell donates its count to its 9 neighbor positions;
+    // the inner join back to cnt keeps the occupied frame, so k counts
+    // occupied neighbors only
+    val w = cnt.select(col("cx").as("scx"), col("cy").as("scy"), col("n"),
+        explode(offsets).as("o"))
+      .groupBy((col("scx") + col("o.dx")).as("cx"),
+        (col("scy") + col("o.dy")).as("cy"))
+      .agg(sum(col("n")).as("wsum"), count(lit(1)).as("k"))
+    val mu = col("tot").cast("double") / col("nc")
+    val s = sqrt(col("totsq").cast("double") / col("nc") - mu * mu)
+    cnt.join(w, Seq("cx", "cy"))
+      .crossJoin(broadcast(g))
+      .select(col("cx"), col("cy"), col("n"), col("k"), col("wsum"),
+        round((col("wsum") - mu * col("k")) /
+          (s * sqrt((col("nc") * col("k") - col("k") * col("k")) /
+            (col("nc") - lit(1.0)))), 6).as("gi"))
+  }
+}

@@ -1,0 +1,38 @@
+package graft.spatial
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Getis–Ord Gi* on a hand-computed fixture: occupied frame = 3 cells
+  * (counts 4, 1, 1), mean 2, variance 2. The adjacent pair shares a
+  * neighborhood (wsum 5, k 2); the isolated cell is self-only (wsum 1,
+  * k 1). Closed forms: gi(adjacent) = 1/√2, gi(isolated) = −1/√2. */
+class HotspotSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("hand-computed Gi* values on a 3-cell frame") {
+    import spark.implicits._
+    val cells = (Seq.fill(4)((0L, 0L)) ++ Seq((1L, 0L), (5L, 5L)))
+      .toDF("cx", "cy")
+    val out = Hotspot.giStar(cells)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    graft.CacheBin.drain()
+    assert(out((0L, 0L)) === ((4L, 2L, 5L, 0.707107)))
+    assert(out((1L, 0L)) === ((1L, 2L, 5L, 0.707107)))
+    assert(out((5L, 5L)) === ((1L, 1L, 1L, -0.707107)))
+  }
+
+  test("result is invariant to input partitioning") {
+    import spark.implicits._
+    val pts = (0L until 500L).map(i => (i % 7, (i * 3) % 5)).toDF("cx", "cy")
+    val a = Hotspot.giStar(pts.repartition(1))
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    graft.CacheBin.drain()
+    val b = Hotspot.giStar(pts.repartition(13))
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    graft.CacheBin.drain()
+    assert(a === b)
+    assert(a.size === 35) // full 7×5 occupied frame
+  }
+}
