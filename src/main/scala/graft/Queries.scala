@@ -3477,6 +3477,42 @@ object Queries {
               FROM cnt c JOIN w ON c.cx = w.cx AND c.cy = w.cy CROSS JOIN g
               ORDER BY 1, 2""")),
 
+    // global Moran's I over the same cell frame (binary queen weights,
+    // self excluded): the fp-unstable pair cross-product is expanded so
+    // every aggregate is an exact integer and the fp math is ONE closed
+    // form — partitioning-stable by construction. Oracle replays the
+    // expansion.
+    "q_moran" -> Q(
+      (s, d) => {
+        val id = col("event_id")
+        val cells = t(s, d, "events").select(
+          floor(graft.text.TextFns.hash48(concat(lit("x:"), id.cast("string")))
+            % 10000 / lit(100.0) / lit(5.0)).cast("long").as("cx"),
+          floor(graft.text.TextFns.hash48(concat(lit("y:"), id.cast("string")))
+            % 10000 / lit(100.0) / lit(5.0)).cast("long").as("cy"))
+        graft.spatial.Hotspot.moranI(cells)
+      },
+      Some("""WITH cnt AS MATERIALIZED (SELECT
+                cast(floor((('0x' || substr(md5('x:' || CAST(event_id AS VARCHAR)), 1, 12))::BIGINT % 10000)/100.0/5.0) AS BIGINT) AS cx,
+                cast(floor((('0x' || substr(md5('y:' || CAST(event_id AS VARCHAR)), 1, 12))::BIGINT % 10000)/100.0/5.0) AS BIGINT) AS cy,
+                count(*) AS n
+                FROM events GROUP BY 1, 2),
+              o(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)),
+              pr AS MATERIALIZED (SELECT sum(a.n * b.n) AS p,
+                sum(a.n + b.n) AS sp, count(*) AS w
+                FROM cnt a CROSS JOIN o
+                JOIN cnt b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy),
+              g AS MATERIALIZED (SELECT sum(n) AS t, count(*) AS nc,
+                sum(n*n) AS q FROM cnt)
+              SELECT g.nc, pr.w AS w_pairs,
+                round((g.nc / (pr.w * 1.0)) *
+                  (pr.p - (CAST(g.t AS DOUBLE)/g.nc) * pr.sp
+                    + (CAST(g.t AS DOUBLE)/g.nc) * (CAST(g.t AS DOUBLE)/g.nc) * pr.w) /
+                  (g.q - 2.0 * (CAST(g.t AS DOUBLE)/g.nc) * g.t
+                    + g.nc * (CAST(g.t AS DOUBLE)/g.nc) * (CAST(g.t AS DOUBLE)/g.nc)), 6)
+                  AS moran_i
+              FROM pr CROSS JOIN g""")),
+
     // first-order Markov transition matrix over per-user event streams
     // (Temporal.transitionMatrix): lead over the sessionize exchange/sort,
     // then a |states|²-bounded rollup (sketch-sized wire). Oracle = the

@@ -49,4 +49,37 @@ object Hotspot {
           (s * sqrt((col("nc") * col("k") - col("k") * col("k")) /
             (col("nc") - lit(1.0)))), 6).as("gi"))
   }
+
+  /** Global Moran's I (Moran 1950) over the same occupied-cell frame,
+    * binary queen weights (8 neighbors, self EXCLUDED). The textbook form
+    * sums fp cross-products Σ z_i z_j — a partitioning-dependent fp
+    * reduction. Expanded algebraically instead:
+    *   Σ_adj (n_i−μ)(n_j−μ) = P − μ·S + μ²·W,  Σ(n−μ)² = Q − 2μ·T + nc·μ²
+    * where P = Σ_adj n_i n_j, S = Σ_adj (n_i+n_j), W = ordered adjacent
+    * pair count, Q = Σ n², T = Σ n — ALL exact 64-bit integer aggregates
+    * (order-independent at any partitioning); the fp math is ONE closed
+    * form evaluated once. Returns one row (nc, w_pairs, moran_i). */
+  def moranI(cells: DataFrame): DataFrame = {
+    val cnt = graft.CacheBin.persist(
+      cells.groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("n")))
+    val offsets = array((for (dx <- -1 to 1; dy <- -1 to 1
+                              if dx != 0 || dy != 0)
+      yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
+    val pairs = cnt.select(col("cx").as("scx"), col("cy").as("scy"),
+        col("n").as("ni"), explode(offsets).as("o"))
+      .select((col("scx") + col("o.dx")).as("cx"),
+        (col("scy") + col("o.dy")).as("cy"), col("ni"))
+      .join(cnt, Seq("cx", "cy")) // keeps occupied neighbors; n = n_j
+      .agg(sum(col("ni") * col("n")).as("p"),
+        sum(col("ni") + col("n")).as("sp"), count(lit(1)).as("w"))
+    val g = cnt.agg(sum(col("n")).as("t"), count(lit(1)).as("nc"),
+      sum(col("n") * col("n")).as("q"))
+    val mu = col("t").cast("double") / col("nc")
+    pairs.crossJoin(g)
+      .select(col("nc"), col("w").as("w_pairs"),
+        round((col("nc") / (col("w") * lit(1.0))) *
+          (col("p") - mu * col("sp") + mu * mu * col("w")) /
+          (col("q") - lit(2.0) * mu * col("t") + col("nc") * mu * mu), 6)
+          .as("moran_i"))
+  }
 }

@@ -23,6 +23,17 @@ class HotspotSpec extends AnyFunSuite {
     assert(out((5L, 5L)) === ((1L, 1L, 1L, -0.707107)))
   }
 
+  test("Moran's I closed form: adjacent high/low pair on a 3-cell frame = -1") {
+    import spark.implicits._
+    // counts 4,1,1; adjacency only (0,0)<->(1,0): W=2, P=8, S=10, T=6,
+    // nc=3, Q=18, mu=2 -> I = (3/2)*(8-20+8)/(18-24+12) = -1.0
+    val cells = (Seq.fill(4)((0L, 0L)) ++ Seq((1L, 0L), (5L, 5L)))
+      .toDF("cx", "cy")
+    val out = Hotspot.moranI(cells).as[(Long, Long, Double)].collect()
+    graft.CacheBin.drain()
+    assert(out.toSeq === Seq((3L, 2L, -1.0)))
+  }
+
   test("result is invariant to input partitioning") {
     import spark.implicits._
     val pts = (0L until 500L).map(i => (i % 7, (i * 3) % 5)).toDF("cx", "cy")
