@@ -3513,6 +3513,46 @@ object Queries {
                   AS moran_i
               FROM pr CROSS JOIN g""")),
 
+    // LISA local Moran's I per cell (Anselin quadrants): neighbor sums are
+    // the 8-offset donate join; quadrant signs are integer-exact
+    // (sign(n*nc - T), sign(wsum*nc - k*T)) so HH/LL/HL/LH/NS labels can't
+    // fp-diverge between engines. Oracle replays the expansion.
+    "q_lisa" -> Q(
+      (s, d) => {
+        val id = col("event_id")
+        val cells = t(s, d, "events").select(
+          floor(graft.text.TextFns.hash48(concat(lit("x:"), id.cast("string")))
+            % 10000 / lit(100.0) / lit(5.0)).cast("long").as("cx"),
+          floor(graft.text.TextFns.hash48(concat(lit("y:"), id.cast("string")))
+            % 10000 / lit(100.0) / lit(5.0)).cast("long").as("cy"))
+        graft.spatial.Hotspot.lisa(cells).orderBy("cx", "cy")
+      },
+      Some("""WITH cnt AS MATERIALIZED (SELECT
+                cast(floor((('0x' || substr(md5('x:' || CAST(event_id AS VARCHAR)), 1, 12))::BIGINT % 10000)/100.0/5.0) AS BIGINT) AS cx,
+                cast(floor((('0x' || substr(md5('y:' || CAST(event_id AS VARCHAR)), 1, 12))::BIGINT % 10000)/100.0/5.0) AS BIGINT) AS cy,
+                count(*) AS n
+                FROM events GROUP BY 1, 2),
+              o(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)),
+              w AS MATERIALIZED (SELECT c.cx + o.dx AS cx, c.cy + o.dy AS cy,
+                sum(c.n) AS wsum, count(*) AS k
+                FROM cnt c CROSS JOIN o GROUP BY 1, 2),
+              g AS MATERIALIZED (SELECT sum(n) AS t, count(*) AS nc,
+                sum(n*n) AS q FROM cnt)
+              SELECT c.cx, c.cy, c.n,
+                coalesce(w.k, 0) AS k, coalesce(w.wsum, 0) AS wsum,
+                round((c.n - CAST(g.t AS DOUBLE)/g.nc)
+                  * (coalesce(w.wsum, 0) - coalesce(w.k, 0) * (CAST(g.t AS DOUBLE)/g.nc))
+                  / ((g.q - 2.0 * (CAST(g.t AS DOUBLE)/g.nc) * g.t
+                      + g.nc * (CAST(g.t AS DOUBLE)/g.nc) * (CAST(g.t AS DOUBLE)/g.nc)) / g.nc),
+                  6) AS lisa,
+                CASE WHEN c.n * g.nc - g.t > 0 AND coalesce(w.wsum, 0) * g.nc - coalesce(w.k, 0) * g.t > 0 THEN 'HH'
+                     WHEN c.n * g.nc - g.t < 0 AND coalesce(w.wsum, 0) * g.nc - coalesce(w.k, 0) * g.t < 0 THEN 'LL'
+                     WHEN c.n * g.nc - g.t > 0 AND coalesce(w.wsum, 0) * g.nc - coalesce(w.k, 0) * g.t < 0 THEN 'HL'
+                     WHEN c.n * g.nc - g.t < 0 AND coalesce(w.wsum, 0) * g.nc - coalesce(w.k, 0) * g.t > 0 THEN 'LH'
+                     ELSE 'NS' END AS quad
+              FROM cnt c LEFT JOIN w ON c.cx = w.cx AND c.cy = w.cy
+              CROSS JOIN g ORDER BY 1, 2""")),
+
     // first-order Markov transition matrix over per-user event streams
     // (Temporal.transitionMatrix): lead over the sessionize exchange/sort,
     // then a |states|²-bounded rollup (sketch-sized wire). Oracle = the

@@ -82,4 +82,45 @@ object Hotspot {
           (col("q") - lit(2.0) * mu * col("t") + col("nc") * mu * mu), 6)
           .as("moran_i"))
   }
+
+  /** LISA — Anselin's LOCAL Moran's I (Anselin 1995) per occupied cell,
+    * binary queen weights (8 neighbors, self excluded):
+    *   I_i = (n_i − μ) · Σ_{j∈N(i)} (n_j − μ) / m2,   m2 = Σ(n−μ)²/nc
+    * The neighbor sum expands to wsum_i − k_i·μ (wsum/k exact integer
+    * aggregates from the same 8-offset donate join as [[giStar]]); m2
+    * expands as in [[moranI]]. Quadrant classification (HH/LL/HL/LH hot,
+    * cold, high-outlier, low-outlier) uses the INTEGER-EXACT signs
+    * sign(n·nc − T) and sign(wsum·nc − k·T) — no fp comparison crosses the
+    * engine boundary; an isolated cell (k = 0) or an on-the-mean value
+    * classifies 'NS'. Same corpus→cell cardinality collapse as giStar. */
+  def lisa(cells: DataFrame): DataFrame = {
+    val cnt = graft.CacheBin.persist(
+      cells.groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("n")))
+    val g = cnt.agg(sum(col("n")).as("t"), count(lit(1)).as("nc"),
+      sum(col("n") * col("n")).as("q"))
+    val offsets = array((for (dx <- -1 to 1; dy <- -1 to 1
+                              if dx != 0 || dy != 0)
+      yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
+    val w = cnt.select(col("cx").as("scx"), col("cy").as("scy"), col("n"),
+        explode(offsets).as("o"))
+      .groupBy((col("scx") + col("o.dx")).as("cx"),
+        (col("scy") + col("o.dy")).as("cy"))
+      .agg(sum(col("n")).as("wsum0"), count(lit(1)).as("k0"))
+    val mu = col("t").cast("double") / col("nc")
+    val m2 = (col("q") - lit(2.0) * mu * col("t") + col("nc") * mu * mu) /
+      col("nc")
+    val zs = col("n") * col("nc") - col("t")
+    val ls = col("wsum") * col("nc") - col("k") * col("t")
+    cnt.join(w, Seq("cx", "cy"), "left")
+      .select(col("cx"), col("cy"), col("n"),
+        coalesce(col("k0"), lit(0L)).as("k"),
+        coalesce(col("wsum0"), lit(0L)).as("wsum"))
+      .crossJoin(broadcast(g))
+      .select(col("cx"), col("cy"), col("n"), col("k"), col("wsum"),
+        round((col("n") - mu) * (col("wsum") - col("k") * mu) / m2, 6)
+          .as("lisa"),
+        when(zs > 0 && ls > 0, "HH").when(zs < 0 && ls < 0, "LL")
+          .when(zs > 0 && ls < 0, "HL").when(zs < 0 && ls > 0, "LH")
+          .otherwise("NS").as("quad"))
+  }
 }

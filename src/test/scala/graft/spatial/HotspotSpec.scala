@@ -34,6 +34,22 @@ class HotspotSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((3L, 2L, -1.0)))
   }
 
+  test("LISA closed form: HL/LH pair + isolated NS on the 3-cell frame") {
+    import spark.implicits._
+    // counts 4,1,1; mu=2, m2=2. (0,0): z=2, lag-sum=1-2=-1 -> lisa=-1, HL;
+    // (1,0): z=-1, lag-sum=4-2=2 -> lisa=-1, LH; (5,5): isolated -> 0, NS.
+    val cells = (Seq.fill(4)((0L, 0L)) ++ Seq((1L, 0L), (5L, 5L)))
+      .toDF("cx", "cy")
+    val out = Hotspot.lisa(cells)
+      .as[(Long, Long, Long, Long, Long, Double, String)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    graft.CacheBin.drain()
+    assert(out((0L, 0L)) === ((0L, 0L, 4L, 1L, 1L, -1.0, "HL")))
+    assert(out((1L, 0L)) === ((1L, 0L, 1L, 1L, 4L, -1.0, "LH")))
+    val iso = out((5L, 5L))
+    assert(iso._4 === 0L && iso._5 === 0L && iso._6 == 0.0 && iso._7 === "NS")
+  }
+
   test("result is invariant to input partitioning") {
     import spark.implicits._
     val pts = (0L until 500L).map(i => (i % 7, (i * 3) % 5)).toDF("cx", "cy")
