@@ -3443,6 +3443,49 @@ object Queries {
                 WHERE id NOT IN (SELECT id FROM lab) AND id NOT IN (SELECT id FROM brd)
               ORDER BY id""")),
 
+    // dense-cell contraction DBSCAN (Gan-Tao grid observation): cells of
+    // side eps/1.5 with >= minPts points are all-core supernodes — no
+    // intra-cell pair volume, degree agg over sparse probes only, component
+    // graph one vertex per dense cell. EXACT rewrite: gated on the SAME
+    // recursive min-label oracle as q_dbscan, same input.
+    "q_dbscan_dense" -> Q(
+      (s, d) => {
+        val id = col("event_id")
+        val pts = t(s, d, "events").select(id.as("id"),
+          (graft.text.TextFns.hash48(concat(lit("x:"), id.cast("string")))
+            % 10000 / lit(100.0)).as("x"),
+          (graft.text.TextFns.hash48(concat(lit("y:"), id.cast("string")))
+            % 10000 / lit(100.0)).as("y"))
+        graft.spatial.Dbscan.dbscanDense(pts, eps = 0.7, minPts = 4)
+          .orderBy("id")
+      },
+      Some("""WITH RECURSIVE pts AS MATERIALIZED (SELECT event_id AS id,
+                (('0x' || substr(md5('x:' || CAST(event_id AS VARCHAR)), 1, 12))::BIGINT % 10000)/100.0 AS x,
+                (('0x' || substr(md5('y:' || CAST(event_id AS VARCHAR)), 1, 12))::BIGINT % 10000)/100.0 AS y
+                FROM events),
+              cel AS MATERIALIZED (SELECT id, x, y,
+                cast(floor(x/0.7) AS BIGINT) cx, cast(floor(y/0.7) AS BIGINT) cy FROM pts),
+              prs AS MATERIALIZED (SELECT a.id ia, b.id ib FROM cel a JOIN cel b
+                ON b.cx BETWEEN a.cx-1 AND a.cx+1 AND b.cy BETWEEN a.cy-1 AND a.cy+1
+                AND a.id <> b.id
+                AND (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) <= 0.7*0.7),
+              deg AS MATERIALIZED (SELECT ia AS id, count(*) AS nn FROM prs GROUP BY ia),
+              core AS MATERIALIZED (SELECT p.id FROM pts p LEFT JOIN deg d ON p.id = d.id
+                WHERE coalesce(d.nn, 0) + 1 >= 4),
+              ce AS MATERIALIZED (SELECT ia, ib FROM prs
+                WHERE ia IN (SELECT id FROM core) AND ib IN (SELECT id FROM core)),
+              r AS (SELECT id, id AS m FROM core
+                UNION SELECT ce.ia, r.m FROM ce JOIN r ON r.id = ce.ib),
+              lab AS MATERIALIZED (SELECT id, min(m) AS cluster FROM r GROUP BY id),
+              brd AS MATERIALIZED (SELECT p.ia AS id, min(l.cluster) AS cluster
+                FROM prs p JOIN lab l ON p.ib = l.id
+                WHERE p.ia NOT IN (SELECT id FROM core) GROUP BY p.ia)
+              SELECT id, 'core' AS role, cluster FROM lab
+              UNION ALL SELECT id, 'border' AS role, cluster FROM brd
+              UNION ALL SELECT id, 'noise' AS role, CAST(-1 AS BIGINT) AS cluster FROM pts
+                WHERE id NOT IN (SELECT id FROM lab) AND id NOT IN (SELECT id FROM brd)
+              ORDER BY id""")),
+
     // Getis-Ord Gi* hotspot z-scores over 5-unit cell counts of the same
     // md5-synthesized geotags (occupied-cell frame, 3x3 binary weights
     // incl. self). One corpus-sized count shuffle; everything after is

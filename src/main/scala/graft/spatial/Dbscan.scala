@@ -89,4 +89,114 @@ object Dbscan {
       .select(col("id"), lit("noise").as("role"), lit(-1L).as("cluster"))
     assigned.unionByName(noise)
   }
+
+  /** EXACT dense-cell contraction DBSCAN (the Gan–Tao grid observation,
+    * PODS'15): on a grid of side s = ε/1.5, any two same-cell points are
+    * within s·√2 ≈ 0.94ε < ε of each other (strict, so no fp-boundary
+    * hazard), hence a cell holding ≥ minPts points is ALL CORE with no
+    * intra-cell distance checks, and the whole cell contracts to ONE
+    * supernode (id = min point id in the cell — which is the cell's min
+    * core id, preserving [[dbscan]]'s min-core-id labels exactly).
+    *
+    * What that buys at city-hotspot skew (the regime geotagged pages live
+    * in): the O(d²)-per-cell intra-cell pair volume — the dominant term
+    * when most points sit in dense cells — is never materialized; the
+    * degree aggregation runs over SPARSE-probe pairs only; and the
+    * pointer-jump component graph has one vertex per dense cell instead of
+    * one per point, collapsing both the per-round shuffle volume and
+    * (via the contracted graph's smaller diameter) the round count.
+    *
+    * Exactness: the candidate window is Chebyshev ≤ 2 in the s-grid
+    * (25 literal offsets; ε = 1.5s so an axis gap > 2 cells means
+    * distance > 2s = 1.33ε) — every ε-pair appears exactly once per
+    * direction (the home cell is unique). Output is row-identical to
+    * [[dbscan]]: same roles, same min-core-id clusters, same min-label
+    * border rule (q_dbscan_dense is gated on the SAME oracle replay).
+    */
+  def dbscanDense(points: DataFrame, eps: Double, minPts: Int): DataFrame = {
+    val eps2 = eps * eps
+    val s = eps / 1.5
+    val cellStats0 = points
+      .groupBy(floor(col("x") / lit(s)).cast("long").as("cx"),
+        floor(col("y") / lit(s)).cast("long").as("cy"))
+      .agg(count(lit(1)).as("m"), min(col("id")).as("snid"))
+      .select(col("cx"), col("cy"),
+        (col("m") >= lit(minPts.toLong)).as("dense"), col("snid"))
+    val tagged = graft.CacheBin.persist(points
+      .select(col("id"), col("x"), col("y"),
+        floor(col("x") / lit(s)).cast("long").as("cx"),
+        floor(col("y") / lit(s)).cast("long").as("cy"))
+      .join(cellStats0, Seq("cx", "cy")))
+    val offsets = array((for (dx <- -2 to 2; dy <- -2 to 2)
+      yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
+    val dist2 = (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+      (col("ay") - col("by")) * (col("ay") - col("by"))
+    val build = tagged.select(col("id").as("ib"), col("x").as("bx"),
+      col("y").as("by"), col("cx"), col("cy"), col("dense").as("bdense"),
+      col("snid").as("bsnid"))
+    // A) sparse-probe pairs: the ONLY per-point pair stream — probe side
+    // holds sparse-cell points alone, so hotspot mass never fans out
+    val spairs = graft.CacheBin.persist(tagged.where(!col("dense"))
+      .select(col("id").as("ia"), col("x").as("ax"), col("y").as("ay"),
+        col("cx").as("hx"), col("cy").as("hy"), explode(offsets).as("o"))
+      .select(col("ia"), col("ax"), col("ay"),
+        (col("hx") + col("o.dx")).as("cx"), (col("hy") + col("o.dy")).as("cy"))
+      .join(build, Seq("cx", "cy"))
+      .where(col("ia") =!= col("ib") && dist2 <= lit(eps2))
+      .select(col("ia"), col("ib"), col("bdense"), col("bsnid")))
+    val sparseCore = graft.CacheBin.persist(spairs
+      .groupBy(col("ia")).agg(count(lit(1)).as("nn"))
+      .where(col("nn") + lit(1L) >= lit(minPts.toLong))
+      .select(col("ia").as("id")))
+    // B) dense↔dense supernode witness edges: dense probe into the window,
+    // intra-cell pairs excluded BY CONSTRUCTION (home != build cell),
+    // collapsed to one edge per supernode pair before anything shuffles on
+    val dd = tagged.where(col("dense"))
+      .select(col("x").as("ax"), col("y").as("ay"), col("snid").as("asnid"),
+        col("cx").as("hx"), col("cy").as("hy"), explode(offsets).as("o"))
+      .where(col("o.dx") =!= 0L || col("o.dy") =!= 0L)
+      .select(col("ax"), col("ay"), col("asnid"),
+        (col("hx") + col("o.dx")).as("cx"), (col("hy") + col("o.dy")).as("cy"))
+      .join(build.where(col("bdense")), Seq("cx", "cy"))
+      .where(col("asnid") < col("bsnid") && dist2 <= lit(eps2))
+      .groupBy(col("asnid").as("a"), col("bsnid").as("b")).agg(count(lit(1)))
+      .select(col("a"), col("b"))
+    // sparse-core ↔ sparse-core / ↔ dense-supernode edges from stream A
+    val sFrom = spairs.join(sparseCore.withColumnRenamed("id", "ia"),
+      Seq("ia"), "left_semi")
+    val ss = sFrom.where(!col("bdense") && col("ia") < col("ib"))
+      .join(sparseCore.withColumnRenamed("id", "ib"), Seq("ib"), "left_semi")
+      .select(col("ia").as("a"), col("ib").as("b"))
+    val sd = sFrom.where(col("bdense"))
+      .groupBy(col("ia").as("a"), col("bsnid").as("b")).agg(count(lit(1)))
+      .select(col("a"), col("b"))
+    val verts = tagged.where(col("dense"))
+      .select(col("snid").as("bid")).distinct()
+      .unionByName(sparseCore.select(col("id").as("bid")))
+    val labels = graft.CacheBin.persist(graft.ops.Adjacency.connectedComponents(
+      verts, dd.unionByName(ss).unionByName(sd)))
+    // expand supernode labels back onto dense-cell points; sparse cores
+    // carry their own vertex label
+    val coreOut = tagged.where(col("dense"))
+      .join(labels.select(col("bid").as("snid"), col("comp")), Seq("snid"))
+      .select(col("id"), lit("core").as("role"), col("comp").as("cluster"))
+      .unionByName(labels.join(
+          sparseCore.withColumnRenamed("id", "bid"), Seq("bid"), "left_semi")
+        .select(col("bid").as("id"), lit("core").as("role"),
+          col("comp").as("cluster")))
+    // border: sparse non-core with >= 1 core neighbor -> min neighbor label
+    val borderOut = spairs
+      .join(sparseCore.withColumnRenamed("id", "ia"), Seq("ia"), "left_anti")
+      .select(col("ia"),
+        when(col("bdense"), col("bsnid")).otherwise(col("ib")).as("bid"),
+        col("bdense"))
+      .join(labels.select(col("bid"), col("comp")), Seq("bid"))
+      .groupBy(col("ia").as("id")).agg(min(col("comp")).as("cluster"))
+      .select(col("id"), lit("border").as("role"), col("cluster"))
+    val assigned = coreOut.unionByName(borderOut)
+    val noise = tagged.select(col("id"))
+      .join(assigned.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), lit("noise").as("role"), lit(-1L).as("cluster"))
+    assigned.unionByName(noise)
+  }
 }

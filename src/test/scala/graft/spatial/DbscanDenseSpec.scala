@@ -1,0 +1,88 @@
+package graft.spatial
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Dense-cell contraction DBSCAN must be ROW-IDENTICAL to the baseline
+  * grid-bucketed dbscan — the contraction is an exact plan rewrite, not an
+  * approximation. Checked on the hand fixture, a hotspot-skewed cloud (the
+  * regime the contraction exists for), a uniform supercritical cloud, and
+  * across partitionings. */
+class DbscanDenseSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def both(pts: org.apache.spark.sql.DataFrame, eps: Double,
+      minPts: Int): (Set[(Long, String, Long)], Set[(Long, String, Long)]) = {
+    import spark.implicits._
+    val a = Dbscan.dbscan(pts, eps, minPts)
+      .as[(Long, String, Long)].collect().toSet
+    graft.CacheBin.drain()
+    val b = Dbscan.dbscanDense(pts, eps, minPts)
+      .as[(Long, String, Long)].collect().toSet
+    graft.CacheBin.drain()
+    (a, b)
+  }
+
+  test("identical to dbscan on the hand fixture (roles + labels)") {
+    import spark.implicits._
+    val pts = Seq(
+      (1L, 0.0, 0.0), (2L, 0.5, 0.0), (3L, 0.0, 0.5),
+      (4L, 1.4, 0.0),
+      (5L, 10.0, 10.0), (6L, 10.5, 10.0),
+      (7L, 20.0, 20.0)).toDF("id", "x", "y")
+    val (a, b) = both(pts, eps = 1.0, minPts = 3)
+    assert(b === a)
+    assert(b === Set(
+      (1L, "core", 1L), (2L, "core", 1L), (3L, "core", 1L),
+      (4L, "border", 1L),
+      (5L, "noise", -1L), (6L, "noise", -1L), (7L, "noise", -1L)))
+  }
+
+  test("identical on a hotspot-skewed cloud (dense supernodes + sparse fringe)") {
+    import spark.implicits._
+    // 3 city hotspots of 60 points inside one s-cell each, a thin bridge
+    // of sparse points linking hotspots 1-2, isolated fringe + noise
+    val hot = for {
+      (hx, hy, base) <- Seq((0.0, 0.0, 100L), (3.0, 0.0, 300L), (50.0, 50.0, 500L))
+      i <- 0 until 60
+    } yield (base + i, hx + (i % 8) * 0.02, hy + (i / 8) * 0.02)
+    val bridge = (0 until 10).map(i => (900L + i, 0.3 + i * 0.27, 0.07))
+    val fringe = Seq((980L, 70.0, 70.0), (981L, 70.4, 70.0), (990L, 90.0, 90.0))
+    val pts = (hot ++ bridge ++ fringe).toDF("id", "x", "y")
+    val (a, b) = both(pts, eps = 0.5, minPts = 5)
+    assert(b === a)
+    // sanity: bridge points have |N|=3 < minPts so the hotspots stay three
+    // separate clusters; bridge ends within eps of a hotspot become border
+    val labels = a.filter(_._2 == "core").map(_._3)
+    assert(labels === Set(100L, 300L, 500L))
+    assert(a.contains((902L, "border", 100L)) && a.contains((908L, "border", 300L)))
+  }
+
+  test("identical on a uniform supercritical cloud, invariant to partitioning") {
+    import spark.implicits._
+    val pts = spark.range(0L, 3000L, 1L, 4).select(
+      col("id"),
+      (pmod(xxhash64(col("id")), lit(100000L)) / 2000.0).as("x"),
+      (pmod(xxhash64(col("id"), lit(1L)), lit(100000L)) / 2000.0).as("y"))
+    val (a, b) = both(pts, eps = 0.7, minPts = 4)
+    assert(b === a)
+    import spark.implicits._
+    val c = Dbscan.dbscanDense(pts.repartition(13), eps = 0.7, minPts = 4)
+      .as[(Long, String, Long)].collect().toSet
+    graft.CacheBin.drain()
+    assert(c === b)
+    assert(a.exists(_._2 == "core") && a.exists(_._2 == "noise"))
+  }
+
+  test("cell-boundary pairs at Chebyshev distance 2 in the s-grid are found") {
+    import spark.implicits._
+    // eps=1.0, s=2/3: points 0.99 apart on one axis land 2 s-cells apart
+    // (x=0.655 -> cell 0, x=1.645 -> cell 2); a third makes them core
+    val pts = Seq((1L, 0.655, 0.0), (2L, 1.645, 0.0), (3L, 1.15, 0.05))
+      .toDF("id", "x", "y")
+    val (a, b) = both(pts, eps = 1.0, minPts = 3)
+    assert(b === a)
+    assert(b === Set((1L, "core", 1L), (2L, "core", 1L), (3L, "core", 1L)))
+  }
+}
