@@ -3596,6 +3596,56 @@ object Queries {
               FROM cnt c LEFT JOIN w ON c.cx = w.cx AND c.cy = w.cy
               CROSS JOIN g ORDER BY 1, 2""")),
 
+    // exact duplicate-span detection (Lee et al. 2022 substring dedup as a
+    // k-gram frequency join): positions covered by a k-gram occurring >= 2x
+    // in the corpus, merged into maximal per-doc spans. Oracle rebuilds the
+    // gram stream with DuckDB list comprehension + the md5-48 gram hash and
+    // replays the gaps-and-islands merge.
+    "q_dup_spans" -> Q(
+      (s, d) => graft.dedup.SpanDedup.dupSpans(t(s, d, "documents"), k = 8)
+        .orderBy("doc_id", "span_start"),
+      Some("""WITH toks AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              g AS MATERIALIZED (SELECT doc_id, unnest([struct_pack(pos := i,
+                  h := ('0x' || substr(md5(array_to_string(w[i+1:i+8], ' ')), 1, 12))::BIGINT)
+                  for i in range(len(w) - 7)]) AS s FROM toks),
+              gp AS MATERIALIZED (SELECT doc_id, s.pos AS pos, s.h AS h FROM g),
+              dup AS MATERIALIZED (SELECT h FROM gp GROUP BY h HAVING count(*) >= 2),
+              m AS MATERIALIZED (SELECT doc_id, pos FROM gp WHERE h IN (SELECT h FROM dup)),
+              brk AS MATERIALIZED (SELECT doc_id, pos,
+                CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+                  THEN 0 ELSE 1 END AS b FROM m),
+              isl AS MATERIALIZED (SELECT doc_id, pos,
+                sum(b) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
+                FROM brk)
+              SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+                max(pos) + 7 - min(pos) + 1 AS n_tokens
+              FROM isl GROUP BY doc_id, g ORDER BY doc_id, span_start""")),
+
+    // per-document duplication profile (span count / removable token mass /
+    // longest span) — the corpus-health rollup over the same span stream
+    "q_dup_profile" -> Q(
+      (s, d) => graft.dedup.SpanDedup.dupProfile(t(s, d, "documents"), k = 8)
+        .orderBy("doc_id"),
+      Some("""WITH toks AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              g AS MATERIALIZED (SELECT doc_id, unnest([struct_pack(pos := i,
+                  h := ('0x' || substr(md5(array_to_string(w[i+1:i+8], ' ')), 1, 12))::BIGINT)
+                  for i in range(len(w) - 7)]) AS s FROM toks),
+              gp AS MATERIALIZED (SELECT doc_id, s.pos AS pos, s.h AS h FROM g),
+              dup AS MATERIALIZED (SELECT h FROM gp GROUP BY h HAVING count(*) >= 2),
+              m AS MATERIALIZED (SELECT doc_id, pos FROM gp WHERE h IN (SELECT h FROM dup)),
+              brk AS MATERIALIZED (SELECT doc_id, pos,
+                CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+                  THEN 0 ELSE 1 END AS b FROM m),
+              isl AS MATERIALIZED (SELECT doc_id, pos,
+                sum(b) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
+                FROM brk),
+              sp AS MATERIALIZED (SELECT doc_id,
+                max(pos) + 7 - min(pos) + 1 AS n_tokens
+                FROM isl GROUP BY doc_id, g)
+              SELECT doc_id, count(*) AS n_spans, sum(n_tokens) AS dup_tokens,
+                max(n_tokens) AS longest_span
+              FROM sp GROUP BY doc_id ORDER BY doc_id""")),
+
     // first-order Markov transition matrix over per-user event streams
     // (Temporal.transitionMatrix): lead over the sessionize exchange/sort,
     // then a |states|²-bounded rollup (sketch-sized wire). Oracle = the

@@ -11,6 +11,12 @@ import org.apache.spark.sql.functions._
   * under parallelism is broken, not slow. Density is set supercritical
   * (E[ε-neighbors] ≈ 3) so a giant component exists and the pointer-jump
   * rounds do real per-round volume, the regime the O(log d) bound is for.
+  *
+  * SPARK_GRAFT_DBSCAN_MODE=compare instead races the baseline against the
+  * dense-cell contraction ([[graft.spatial.Dbscan.dbscanDense]]) on BOTH a
+  * uniform cloud and a city-hotspot-skewed cloud (80% of points in ~2000
+  * tight hotspots — the regime the contraction exists for), requiring the
+  * two variants' invariants to be identical at full scale.
   */
 object ScaleDbscan {
 
@@ -20,13 +26,35 @@ object ScaleDbscan {
       (pmod(xxhash64(col("id")), lit(1000000L)) / 1000.0).as("x"),
       (pmod(xxhash64(col("id"), lit(1L)), lit(1000000L)) / 1000.0).as("y"))
 
+  /** 80% of points in nHot tight (0.4-unit) hotspots, 20% uniform noise —
+    * pure column math, bit-identical at any parallelism. */
+  def hotspotDf(spark: org.apache.spark.sql.SparkSession, n: Long, parts: Int,
+      nHot: Long = 2000L) = {
+    val cid = pmod(xxhash64(col("id"), lit(2L)), lit(nHot))
+    val hx = pmod(xxhash64(cid), lit(999000L)) / 1000.0
+    val hy = pmod(xxhash64(cid, lit(1L)), lit(999000L)) / 1000.0
+    val inHot = pmod(xxhash64(col("id"), lit(9L)), lit(10L)) < 8L
+    spark.range(0L, n, 1L, parts).select(
+      col("id"),
+      when(inHot, hx + pmod(xxhash64(col("id"), lit(3L)), lit(400L)) / 1000.0)
+        .otherwise(pmod(xxhash64(col("id"), lit(5L)), lit(1000000L)) / 1000.0)
+        .as("x"),
+      when(inHot, hy + pmod(xxhash64(col("id"), lit(4L)), lit(400L)) / 1000.0)
+        .otherwise(pmod(xxhash64(col("id"), lit(6L)), lit(1000000L)) / 1000.0)
+        .as("y"))
+  }
+
   final case class Run(sec: Double, nCore: Long, nBorder: Long, nNoise: Long,
       checksum: Long)
 
-  def timed(cores: Int, n: Long, eps: Double, minPts: Int): Run = {
+  def timed(cores: Int, n: Long, eps: Double, minPts: Int,
+      dense: Boolean = false, hotspot: Boolean = false): Run = {
     val spark = Scale.makeSession(cores)
     val t0 = System.nanoTime()
-    val out = graft.spatial.Dbscan.dbscan(pointsDf(spark, n, cores * 2), eps, minPts)
+    val pts = if (hotspot) hotspotDf(spark, n, cores * 2)
+      else pointsDf(spark, n, cores * 2)
+    val out = if (dense) graft.spatial.Dbscan.dbscanDense(pts, eps, minPts)
+      else graft.spatial.Dbscan.dbscan(pts, eps, minPts)
     val row = out.agg(
       sum(when(col("role") === "core", 1L).otherwise(0L)),
       sum(when(col("role") === "border", 1L).otherwise(0L)),
@@ -42,6 +70,30 @@ object ScaleDbscan {
     val n = sys.env.getOrElse("SPARK_GRAFT_DBSCAN_N", "2000000").toLong
     val eps = 0.7
     val minPts = 4
+    if (sys.env.get("SPARK_GRAFT_DBSCAN_MODE").contains("compare")) {
+      val cores = sys.env.getOrElse("SPARK_GRAFT_DBSCAN_CORES", "32").toInt
+      timed(cores, n / 8, eps, minPts) // warmup
+      val out = Seq(false, true).flatMap { hot =>
+        val runs = Seq(false, true).map { dense =>
+          (if (dense) "dense" else "baseline") ->
+            Seq.fill(2)(timed(cores, n, eps, minPts, dense, hot)).minBy(_.sec)
+        }
+        val inv = runs.map(_._2)
+          .map(r => (r.nCore, r.nBorder, r.nNoise, r.checksum)).distinct
+        require(inv.size == 1,
+          s"variant invariants diverged (hotspot=$hot): $inv")
+        val cloud = if (hot) "hotspot" else "uniform"
+        val i = runs.head._2
+        runs.map { case (v, r) =>
+          f""""${cloud}_$v":{"sec":${r.sec}%.2f,""" +
+            s""""n_core":${i.nCore},"n_border":${i.nBorder},""" +
+            s""""n_noise":${i.nNoise},"checksum":${i.checksum}}"""
+        }
+      }
+      println(s"""{"job":"dbscan_variants","n":$n,"cores":$cores,""" +
+        s""""eps":$eps,"min_pts":$minPts,${out.mkString(",")}}""")
+      return
+    }
     val pair = sys.env.getOrElse("SPARK_GRAFT_PAIR", "8,32")
       .split(",").map(_.trim.toInt).toSeq
     timed(pair.head, n / 8, eps, minPts) // warmup
