@@ -3596,6 +3596,43 @@ object Queries {
               FROM cnt c LEFT JOIN w ON c.cx = w.cx AND c.cy = w.cy
               CROSS JOIN g ORDER BY 1, 2""")),
 
+    // Ripley's K/L point-pattern functions over the md5-synthesized
+    // geotags: one r_max-cell candidate join feeds the whole radius ladder
+    // (per-radius counts are conditional sums in a single aggregate).
+    // Exact integer pair counts; K/L normalization replayed closed-form.
+    "q_ripley" -> Q(
+      (s, d) => {
+        val id = col("event_id")
+        val pts = t(s, d, "events").select(id.as("id"),
+          (graft.text.TextFns.hash48(concat(lit("x:"), id.cast("string")))
+            % 10000 / lit(100.0)).as("x"),
+          (graft.text.TextFns.hash48(concat(lit("y:"), id.cast("string")))
+            % 10000 / lit(100.0)).as("y"))
+        graft.spatial.PointPattern.ripleyK(pts, Seq(0.5, 1.0, 2.0),
+          area = 10000.0).orderBy("r")
+      },
+      Some("""WITH pts AS MATERIALIZED (SELECT event_id AS id,
+                (('0x' || substr(md5('x:' || CAST(event_id AS VARCHAR)), 1, 12))::BIGINT % 10000)/100.0 AS x,
+                (('0x' || substr(md5('y:' || CAST(event_id AS VARCHAR)), 1, 12))::BIGINT % 10000)/100.0 AS y
+                FROM events),
+              cel AS MATERIALIZED (SELECT id, x, y,
+                cast(floor(x/2.0) AS BIGINT) cx, cast(floor(y/2.0) AS BIGINT) cy FROM pts),
+              c AS MATERIALIZED (SELECT
+                CAST(sum(CASE WHEN (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) <= 0.25 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+                CAST(sum(CASE WHEN (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) <= 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                CAST(sum(CASE WHEN (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) <= 4.0 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+                FROM cel a JOIN cel b
+                ON b.cx BETWEEN a.cx-1 AND a.cx+1 AND b.cy BETWEEN a.cy-1 AND a.cy+1
+                AND a.id <> b.id),
+              g AS (SELECT count(*) AS n FROM pts),
+              v AS (SELECT CAST(0.5 AS DOUBLE) AS r, c0 AS pairs FROM c
+                UNION ALL SELECT CAST(1.0 AS DOUBLE), c1 FROM c
+                UNION ALL SELECT CAST(2.0 AS DOUBLE), c2 FROM c)
+              SELECT v.r, v.pairs, g.n,
+                round(10000.0 * v.pairs / (g.n * (g.n - 1.0)), 6) AS k,
+                round(sqrt((10000.0 * v.pairs / (g.n * (g.n - 1.0))) / pi()), 6) AS l
+              FROM v CROSS JOIN g ORDER BY r""")),
+
     // exact duplicate-span detection (Lee et al. 2022 substring dedup as a
     // k-gram frequency join): positions covered by a k-gram occurring >= 2x
     // in the corpus, merged into maximal per-doc spans. Oracle rebuilds the
