@@ -35,8 +35,8 @@ object Bench {
     "q_crawl_depth", "q_clustering", "q_trustrank",
     "q_boilerplate", "q_ccnet_bucket", "q_phash_dedup", "q_vocab_drift",
     "q_hll_union", "q_idw", "q_areal_interp", "q_dbscan", "q_stream_join",
-    "q_hotspot", "q_moran", "q_lisa", "q_dbscan_dense", "q_dup_spans",
-    "q_ripley")
+    "q_hotspot", "q_moran", "q_lisa", "q_dbscan_dense",
+    "q_ripley", "q_zrange", "q_scc")
 
   def makeSession(cpus: String): SparkSession = SparkSession.builder()
     .master(s"local[$cpus]")

@@ -229,6 +229,35 @@ object Queries {
             FROM l GROUP BY 1, 2 ORDER BY level, cell"""
       }),
 
+    // Z-order RANGE SCAN: an axis-aligned bbox query decomposed into a
+    // bounded list of Morton-key intervals (spatial.ZRange quadtree
+    // descent — the Tropf-Herzog BIGMIN family). On a Layout-clustered
+    // table the intervals are plain pushed comparisons on the stored key
+    // → parquet row-group pruning; the exact per-axis refinement makes
+    // budget false-positives harmless, and the ORACLE (the bare bbox
+    // predicate) proves the cover loses no rows. Geotags are the same
+    // 14-bit integer residues q_cell_rollup encodes.
+    "q_zrange" -> Q(
+      (s, d) => {
+        val (x0, x1, y0, y1) = (1200L, 3800L, 2500L, 6100L)
+        val ranges = graft.spatial.ZRange.bboxRanges(x0, x1, y0, y1, bits = 14, maxRanges = 64)
+        t(s, d, "events")
+          .select(col("event_id").as("id"),
+            (col("event_id") * lit(7919L) % lit(10000L)).as("ix"),
+            (col("event_id") * lit(104729L) % lit(10000L)).as("iy"))
+          .withColumn("m", graft.spatial.Morton.mortonCol(col("ix"), col("iy")))
+          .where(graft.spatial.ZRange.rangesPredicate(col("m"), ranges))
+          .where(col("ix").between(x0, x1) && col("iy").between(y0, y1))
+          .select("id", "ix", "iy")
+          .orderBy("id")
+      },
+      Some("""SELECT event_id AS id, (event_id*7919)%10000 AS ix,
+                (event_id*104729)%10000 AS iy
+              FROM events
+              WHERE (event_id*7919)%10000 BETWEEN 1200 AND 3800
+                AND (event_id*104729)%10000 BETWEEN 2500 AND 6100
+              ORDER BY id""")),
+
     // TRUE spherical S2-style encode (cube-face gnomonic + quad Morton) of
     // page geotags at level 13, rolled up to level-6 parents — the literal
     // "per-page geotags are H3/S2-encoded" operator from the north star.
@@ -1369,6 +1398,48 @@ object Queries {
                 SELECT e.s, r.m FROM e JOIN r ON r.id = e.d)
               SELECT id AS host_id, min(m) AS comp
               FROM r GROUP BY id ORDER BY host_id""")),
+
+    // STRONGLY connected components (WebGraph.scc, Orzan-style
+    // trim+color+settle with pointer-jumped label propagation) over a
+    // synthetic DIRECTED link graph: 50-vertex ring+chord blocks (each
+    // block one SCC) plus one-way cross links out of block 0 (a DAG
+    // between blocks, so blocks stay maximal). The oracle computes SCCs
+    // from scratch: recursive-CTE transitive closure → mutual-reachability
+    // pairs → min-id label per vertex.
+    "q_scc" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val n = docs.count()
+        val block = expr("doc_id div 50") * lit(50L)
+        val ring = docs.select(col("doc_id").as("src"),
+          (block + (col("doc_id") % 50 + 1) % 50).as("dst"))
+        val chord = docs.select(col("doc_id").as("src"),
+          (block + (col("doc_id") % 50 + 7) % 50).as("dst"))
+        val cross = docs.filter(col("doc_id") < 50)
+          .select(col("doc_id").as("src"), (col("doc_id") * 131 % lit(n)).as("dst"))
+        graft.ops.WebGraph.scc(ring.unionByName(chord).unionByName(cross))
+          .orderBy("v")
+      },
+      Some("""WITH RECURSIVE
+              nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+              eraw AS (
+                SELECT doc_id AS src,
+                  (doc_id // 50)*50 + ((doc_id % 50)+1) % 50 AS dst FROM documents
+                UNION
+                SELECT doc_id, (doc_id // 50)*50 + ((doc_id % 50)+7) % 50 FROM documents
+                UNION
+                SELECT doc_id, (doc_id*131) % n FROM documents, nn WHERE doc_id < 50),
+              e AS (SELECT src, dst FROM eraw WHERE src <> dst),
+              r(a, b) AS (
+                SELECT src, dst FROM e
+                UNION
+                SELECT r.a, e.dst FROM r JOIN e ON e.src = r.b),
+              verts AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+              mut AS (SELECT r1.b AS v, r1.a AS u FROM r r1
+                      JOIN r r2 ON r1.a = r2.b AND r1.b = r2.a)
+              SELECT v.v AS v, least(v.v, coalesce(min(m.u), v.v)) AS scc_id
+              FROM verts v LEFT JOIN mut m ON m.v = v.v
+              GROUP BY v.v ORDER BY v""")),
 
     // HyperLogLog registers (ops/Stats.hllRegisters): the mergeable
     // count-distinct sketch state per lang, 64 buckets — one groupBy

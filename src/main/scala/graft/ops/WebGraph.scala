@@ -508,4 +508,140 @@ object WebGraph {
     require(exhausted, s"bfsDepth frontier still live after $maxRounds rounds")
     dist
   }
+
+  /** Strongly connected components over DIRECTED (src, dst) edges:
+    * (v, scc_id) for every vertex in the edge list, scc_id = min vertex id
+    * of the component. The web-graph spam-ring / link-exchange detector —
+    * k-core finds DENSE subgraphs, SCC finds CLOSED ones (every member
+    * both links to and is linked from the rest of its component).
+    *
+    * Coloring-family algorithm (Orzan 2004's FW-BW-coloring shape), all
+    * label propagation — no per-vertex BFS:
+    *
+    *  1. TRIM: vertices with no in- or no out-edges in the active subgraph
+    *     cannot sit on a cycle → settle as singletons, iterate. This alone
+    *     resolves the acyclic bulk (tendrils) of a web graph.
+    *  2. COLOR: c(v) = min vertex that can reach v, by min-label
+    *     propagation WITH POINTER JUMPING — each iteration takes one edge
+    *     hop (min over in-neighbors' labels) and one label jump
+    *     (c(v) <- c(c(v)): c(v) reaches v and c(c(v)) reaches c(v), so the
+    *     composition is sound) — fixpoint in O(log diameter) iterations,
+    *     same discipline as [[UrlOps.resolveRedirects]].
+    *  3. SETTLE: within each color class {v : c(v) = p} the label p is the
+    *     class minimum and its own pivot (c(p) = p). t(v) = min vertex v
+    *     REACHES through same-class vertices, by the same hop+jump
+    *     propagation over the class-restricted edge subset. Every vertex
+    *     on a v→p path inside class p has color exactly p (a smaller
+    *     ancestor of the path would be a smaller ancestor of p itself), so
+    *     t(v) = p  ⟺  v reaches p in-class  ⟺  p and v are mutually
+    *     reachable  ⟺  v ∈ SCC(p). Settle those, drop them, repeat.
+    *
+    * Outer rounds are bounded by the chain depth of the SCC DAG after
+    * trimming — small on web graphs (one giant core + shallow cyclic
+    * satellites, Broder et al. 2000). Every class settles at least its
+    * pivot each round, so progress is guaranteed; `maxRounds`/`maxIters`
+    * fail LOUDLY rather than returning partial labels.
+    *
+    * 100 TB shape: every step is an equi-join / aggregate on 8-byte keys
+    * (no windows, no sorts); per-iteration state is one long per vertex;
+    * lineage is cut per iteration with localCheckpoint. */
+  def scc(rawEdges: DataFrame, maxRounds: Int = 30, maxIters: Int = 64): DataFrame = {
+    val spark = rawEdges.sparkSession
+    import spark.implicits._
+    // localCheckpoint alone PRESERVES the child plan's sizeInBytes stats,
+    // and an iterative loop that joins the label table 3× per iteration
+    // multiplies them into a planner-killing BigInteger (the failure
+    // Adjacency.ckFresh documents) — rebuild each checkpoint from its RDD
+    // so every iteration starts from the conservative default estimate.
+    def ck(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint()
+      spark.createDataFrame(c.rdd, c.schema)
+    }
+    var edges = ck(rawEdges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct())
+    // vertex set from the RAW edges (a self-loop-only vertex is a valid
+    // singleton SCC and must still be labeled)
+    var verts = ck(rawEdges.select(col("src").cast("long").as("v"))
+      .unionByName(rawEdges.select(col("dst").cast("long").as("v")))
+      .distinct())
+    var settled = spark.range(0).select(col("id").as("v"), col("id").as("scc_id"))
+    var outer = 0
+    while (outer < maxRounds && !verts.isEmpty) {
+      outer += 1
+      // ---- (1) trim acyclic fringe to fixpoint ----
+      var trimming = true
+      var trims = 0
+      while (trimming) {
+        trims += 1
+        require(trims <= maxIters, s"scc trim still peeling after $maxIters rounds")
+        val cyclicCand = edges.select(col("src").as("v")).distinct()
+          .join(edges.select(col("dst").as("v")).distinct(), Seq("v"))
+        val trivial = ck(verts.join(cyclicCand, Seq("v"), "left_anti"))
+        if (trivial.isEmpty) trimming = false
+        else {
+          settled = ck(settled
+            .unionByName(trivial.select(col("v"), col("v").as("scc_id"))))
+          verts = ck(verts.join(trivial, Seq("v"), "left_anti"))
+          edges = ck(edges
+            .join(trivial.select(col("v").as("src")), Seq("src"), "left_anti")
+            .join(trivial.select(col("v").as("dst")), Seq("dst"), "left_anti"))
+        }
+      }
+      if (!verts.isEmpty) {
+        // ---- (2) color: min ancestor via hop + pointer jump ----
+        // convergence rides the checkpoint's own materialization job as an
+        // accumulator side effect (no separate probe action per iteration;
+        // task retries can only inflate a NONZERO count, never fake a zero)
+        def minPropagate(hopEdges: DataFrame, tag: String): DataFrame = {
+          var lbl = ck(verts.select(col("v"), col("v").as("c")))
+          var fixed = false
+          var iters = 0
+          while (!fixed) {
+            iters += 1
+            require(iters <= maxIters, s"scc propagation still moving after $maxIters iterations")
+            val hop = hopEdges
+              .join(lbl.select(col("v").as("src"), col("c").as("cs")), Seq("src"))
+              .groupBy(col("dst").as("v")).agg(min(col("cs")).as("hopc"))
+            val jump = lbl
+              .join(lbl.select(col("v").as("c"), col("c").as("jc")), Seq("c"))
+              .select(col("v"), col("jc"))
+            val changed = spark.sparkContext.longAccumulator(s"scc_${tag}_${outer}_$iters")
+            val next = ck(lbl.withColumnRenamed("c", "c0")
+              .join(hop, Seq("v"), "left")
+              .join(jump, Seq("v"), "left")
+              .select(col("v"), col("c0"), least(col("c0"),
+                coalesce(col("hopc"), col("c0")),
+                coalesce(col("jc"), col("c0"))).as("c"))
+              .as[(Long, Long, Long)]
+              .map { r => if (r._2 != r._3) changed.add(1L); (r._1, r._3) }
+              .toDF("v", "c"))
+            fixed = changed.value == 0L
+            lbl = next
+          }
+          lbl
+        }
+        val color = minPropagate(edges, "color")
+        // ---- (3) settle each pivot's SCC: min in-class DESCENDANT ----
+        val classEdges = ck(edges
+          .join(color.select(col("v").as("src"), col("c").as("csrc")), Seq("src"))
+          .join(color.select(col("v").as("dst"), col("c").as("cdst")), Seq("dst"))
+          .filter(col("csrc") === col("cdst"))
+          // t propagates from dst back to src: reverse the class edges so
+          // the same minPropagate kernel walks the OUT direction
+          .select(col("dst").as("src"), col("src").as("dst")))
+        val reach = minPropagate(classEdges, "reach").withColumnRenamed("c", "t")
+        val comp = ck(reach.join(color, Seq("v"))
+          .filter(col("t") === col("c"))
+          .select(col("v"), col("c").as("scc_id")))
+        settled = ck(settled.unionByName(comp))
+        verts = ck(verts.join(comp, Seq("v"), "left_anti"))
+        edges = ck(edges
+          .join(comp.select(col("v").as("src")), Seq("src"), "left_anti")
+          .join(comp.select(col("v").as("dst")), Seq("dst"), "left_anti"))
+      }
+    }
+    require(verts.isEmpty, s"scc did not settle all vertices within $maxRounds outer rounds")
+    settled
+  }
 }
