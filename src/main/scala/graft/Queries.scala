@@ -1373,8 +1373,8 @@ object Queries {
               ORDER BY u.doc_id""")),
 
     // connected components over a synthetic host graph (4 path
-    // components of 30 hosts each — depth exercises the pointer-jump
-    // O(log d) rounds): the same distributed min-label operator the
+    // components of 30 hosts each — path depth exercises the round
+    // behavior): the same distributed alternating-star operator the
     // building-adjacency queries use (Adjacency.connectedComponents),
     // replayed by the oracle as a recursive-CTE closure.
     "q_host_components" -> Q(
@@ -3025,7 +3025,7 @@ object Queries {
     // clusters (iters=0 md5-sampled centroids, the q_ann_ivf replay),
     // within-cluster cosine pairs, min-id survivor per component; output =
     // the REMOVED docs with their cluster. Pair work is n²/nlist, the
-    // cluster join is an equi-join, components are pointer-jump rounds
+    // cluster join is an equi-join, components are alternating-star rounds
     "q_semdedup" -> Q(
       (s, d) => Similarity.semDeDup(t(s, d, "embeddings"), "vec_id", "embedding",
           threshold = 0.35, nlist = 16, iters = 0,
@@ -3472,7 +3472,7 @@ object Queries {
     // grid-bucketed DBSCAN over md5-synthesized page geotags: candidate
     // pairs from ONE ε-cell equi-join (3×3 literal-offset explode on the
     // probe side — each ordered pair exactly once), map-side-combined
-    // degree agg, pointer-jump components over CORE points only, border =
+    // degree agg, alternating-star components over CORE points only, border =
     // min core-neighbor label (deterministic refinement of the textbook's
     // scan-order rule). Oracle replays the same ε-graph + recursive
     // min-label closure in DuckDB.

@@ -76,54 +76,79 @@ object Adjacency {
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
 
-  /** Min-label propagation with POINTER JUMPING: each round does one
-    * neighbor-min hop (c1 = min(comp, neighbors' comp)) and then one path
-    * shortcut (comp' = c1's own c1). The shortcut more than doubles the
-    * label's reach per round — on a path graph the distance-to-minimum
-    * after round k is 2^(k+1) − 2 — so rounds drop from O(diameter) to
-    * O(log diameter), the property the spec pins. Returns (labels, rounds
-    * incl. the final no-change detection round). */
+  /** Connected components via the ALTERNATING-STAR algorithm (the
+    * two-phase scheme of Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14): each round rewrites the EDGE SET —
+    * large-star re-attaches every node's larger neighbors to the minimum
+    * of its closed neighborhood, small-star re-attaches its smaller
+    * neighbors (and itself) likewise — until the set stops changing, at
+    * which point the edges form stars rooted at each component's minimum
+    * id.
+    *
+    * Why not min-label propagation: a label (even with pointer-jump
+    * shortcuts) moves one EDGE HOP per round, so a high-diameter graph —
+    * an ε-proximity percolation snake at DBSCAN bench scale, a long chain
+    * of wall-sharing buildings — needs Θ(diameter) rounds, and a fixed
+    * round cap then SILENTLY returns unconverged labels (observed: the
+    * 100k-point ε-graph still merging clusters past round 40). The star
+    * operations restructure the graph itself, which converges in
+    * O(log² n) rounds REGARDLESS of diameter (single digits in practice:
+    * 7 rounds on that same ε-graph), and the loud `require` below can
+    * therefore always be enforced.
+    *
+    *   large-star(u): m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u
+    *   small-star(u): over N⁻(u) = smaller neighbors (edges oriented
+    *     hi→lo): m = min(N⁻(u)); emit (v, m) for v ∈ N⁻(u) ∪ {u}, v ≠ m
+    *
+    * Both steps preserve connectivity exactly (every emitted edge joins
+    * two already-connected nodes; every dropped edge is re-implied via m),
+    * and labels are min-ids — deterministic at any parallelism. Each round
+    * is a handful of fixed-width (16-byte) shuffles on ≤ |E| rows; |E|
+    * contracts toward one edge per non-root vertex so late rounds are
+    * cheap; lineage is cut and Catalyst stats reset per round (ckFresh).
+    * Convergence = consecutive edge sets equal (count probe, then one
+    * anti-join only when counts match). Returns (labels, rounds). */
   def connectedComponentsWithRounds(
       vertices: DataFrame, edges: DataFrame, maxIter: Int = 30): (DataFrame, Int) = {
-    val spark = vertices.sparkSession
-    import spark.implicits._
-    // localCheckpoint (eager) per round truncates the lineage — without it
-    // every convergence check replays all previous rounds, turning an
-    // O(log d) loop into O(log² d) plan growth
-    var labels = ckFresh(vertices.select(col("bid"), col("bid").as("comp")))
-    val sym = ckFresh(edges.select(col("a"), col("b"))
-      .union(edges.select(col("b").as("a"), col("a").as("b"))))
-    var converged = false
+    var e = ckFresh(edges
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .where(col("u") =!= col("v")).distinct())
+    var prevCnt = e.count()
     var it = 0
-    while (!converged && it < maxIter) {
-      val nbrMin = sym.join(labels, sym("b") === labels("bid"))
-        .groupBy(sym("a").as("bid")).agg(min("comp").as("nbr_comp"))
-      val hop = labels.join(nbrMin, Seq("bid"), "left")
-        .select(col("bid"), col("comp").as("old"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("c1"))
-      // pointer jump: comp = c1(c1(bid)). Labels are always vertex ids of
-      // the same component (hop adopts a neighbor's label, the jump adopts
-      // that vertex's label), so the shortcut never crosses components.
-      // The hop subplan feeds both sides of this self-join; its aggregate
-      // exchange is reused (ReusedExchange), not recomputed.
-      val jump = hop.select(col("bid").as("jbid"), col("c1").as("jc"))
-      // the convergence signal rides the checkpoint's own materialization
-      // job as an accumulator side effect — no separate probe action per
-      // round. Task retries can only inflate a NONZERO count, never turn a
-      // converged (zero) round nonzero, so the zero-test stays exact.
-      val changedAcc = spark.sparkContext.longAccumulator(s"cc_changed_$it")
-      // ckFresh's inner localCheckpoint is the eager materialization the
-      // accumulator rides; the stats reset happens after it
-      val next = ckFresh(hop.join(jump, hop("c1") === jump("jbid"), "left")
-        .select(col("bid"), col("old"),
-          least(col("c1"), coalesce(col("jc"), col("c1"))).as("comp"))
-        .as[(Long, Long, Long)]
-        .map { r => if (r._2 != r._3) changedAcc.add(1L); (r._1, r._3) }
-        .toDF("bid", "comp"))
-      labels = next
-      converged = changedAcc.value == 0L
+    var stable = prevCnt == 0L
+    while (!stable && it < maxIter) {
       it += 1
+      // large-star over the symmetric view
+      val sym = e.select(col("u").as("a"), col("v").as("b"))
+        .union(e.select(col("v").as("a"), col("u").as("b")))
+      val mL = sym.groupBy(col("a")).agg(least(min(col("b")), first(col("a"))).as("m"))
+      val e1 = ckFresh(sym.where(col("b") > col("a"))
+        .join(mL, Seq("a"))
+        .select(col("b").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct())
+      // small-star over the hi→lo orientation (every neighbor here < u,
+      // so m = min(N⁻(u)) and u itself re-attaches to m)
+      val mS = e1.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val withM = e1.join(mS, Seq("u"))
+      val e2 = ckFresh(withM
+        .select(col("v").as("n"), col("m"))
+        .union(withM.select(col("u").as("n"), col("m")))
+        .where(col("n") =!= col("m"))
+        .select(greatest(col("n"), col("m")).as("u"), least(col("n"), col("m")).as("v"))
+        .distinct())
+      val cnt = e2.count()
+      stable = cnt == prevCnt &&
+        e2.join(e, Seq("u", "v"), "left_anti").isEmpty
+      prevCnt = cnt
+      e = e2
     }
+    require(stable, s"connectedComponents still churning after $maxIter alternating-star rounds")
+    // at the fixpoint every non-root vertex carries exactly one (u, root)
+    // edge; the min() is belt-and-braces for the labels contract
+    val roots = e.groupBy(col("u").as("bid")).agg(min(col("v")).as("root"))
+    val labels = vertices.select(col("bid"))
+      .join(roots, Seq("bid"), "left")
+      .select(col("bid"), coalesce(col("root"), col("bid")).as("comp"))
     (labels, it)
   }
 

@@ -19,10 +19,11 @@ import org.apache.spark.sql.functions._
   *    per-cell width is density-bounded, constant at fixed point density.
   *  - neighbor counts are one map-side-combined groupBy on the pair stream.
   *  - core flags never leave the executors; the ε-graph restricted to core
-  *    points feeds the pointer-jumping min-label components
-  *    ([[graft.ops.Adjacency.connectedComponentsWithRounds]], O(log d)
-  *    rounds), so cluster ids are min-core-id — deterministic at any
-  *    parallelism.
+  *    points feeds the alternating-star components
+  *    ([[graft.ops.Adjacency.connectedComponentsWithRounds]], O(log² n)
+  *    rounds INDEPENDENT of graph diameter — an ε-percolation cluster is
+  *    exactly the high-diameter snake that defeats label propagation), so
+  *    cluster ids are min-core-id — deterministic at any parallelism.
   *  - border points take the MIN cluster among their core neighbors (the
   *    textbook algorithm is first-toucher-wins, i.e. scan-order-dependent;
   *    min is the deterministic refinement a reproducible pipeline needs).
@@ -102,7 +103,7 @@ object Dbscan {
     * in): the O(d²)-per-cell intra-cell pair volume — the dominant term
     * when most points sit in dense cells — is never materialized; the
     * degree aggregation runs over SPARSE-probe pairs only; and the
-    * pointer-jump component graph has one vertex per dense cell instead of
+    * component graph has one vertex per dense cell instead of
     * one per point, collapsing both the per-round shuffle volume and
     * (via the contracted graph's smaller diameter) the round count.
     *

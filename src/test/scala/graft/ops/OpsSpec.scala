@@ -39,11 +39,11 @@ class AdjacencySpec extends AnyFunSuite {
     assert(comps === Map(5L -> 5L, 6L -> 5L, 7L -> 5L, 9L -> 9L))
   }
 
-  test("pointer jumping: path graph converges in O(log diameter) rounds") {
+  test("alternating star: path graph converges in O(log diameter) rounds") {
     import spark.implicits._
-    // path 0-1-...-63 (diameter 63): hop-only propagation needs 63 rounds;
-    // hop+jump reaches distance 2^(k+1)-2 after k rounds, so labels settle
-    // by round 6 and round 7 detects no change — assert <= ceil(log2(63))+2
+    // path 0-1-...-63 (diameter 63): label propagation needs 63 rounds;
+    // each alternating-star round roughly halves the path (large-star
+    // rewires every node past its predecessor) — assert <= ceil(log2(63))+2
     val n = 64
     val vertices = (0L until n.toLong).toDF("bid")
     val edges = (0L until n.toLong - 1).map(i => (i, i + 1)).toDF("a", "b")
