@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
   * invariants: role census (core/border/noise counts) and a cluster-label
   * checksum must be IDENTICAL at both levels — a clustering that changes
   * under parallelism is broken, not slow. Density is set supercritical
-  * (E[ε-neighbors] ≈ 3) so a giant component exists and the pointer-jump
-  * rounds do real per-round volume, the regime the O(log d) bound is for.
+  * (E[ε-neighbors] ≈ 3) so a giant component exists and the
+  * alternating-star rounds do real per-round volume — the giant
+  * ε-percolation component is exactly the high-diameter regime the
+  * diameter-independent contraction exists for.
   *
   * SPARK_GRAFT_DBSCAN_MODE=compare instead races the baseline against the
   * dense-cell contraction ([[graft.spatial.Dbscan.dbscanDense]]) on BOTH a

@@ -32,14 +32,14 @@ object Dedup {
     * representative per duplicate cluster — the minimum id, deterministic
     * at any parallelism — plus every unpaired document. Near-duplication
     * is not transitive, so the selection closes the pairs into connected
-    * components first (the same O(log diameter) pointer-jumping
-    * propagation as the geometry adjacency groups; duplicate clusters have
-    * tiny diameters, so this is 2–3 rounds of plain shuffles).
+    * components first (the same diameter-independent alternating-star
+    * contraction as the geometry adjacency groups; duplicate clusters are
+    * tiny, so this is 2–3 rounds of plain shuffles).
     *
     * The component vertex set is the PAIR ENDPOINTS only, never the
     * corpus: a doc outside every pair keeps comp == id and can never
-    * lose, so propagating labels over all docs would make every
-    * pointer-jump round corpus-sized for an identical answer (the
+    * lose, so running the components over all docs would make every
+    * contraction round corpus-sized for an identical answer (the
     * near-dup graph is typically orders of magnitude smaller than the
     * corpus). The corpus pays exactly ONE join — a left_anti against the
     * (tiny) non-representative endpoint set. Output: one (idCol) row per

@@ -459,8 +459,8 @@ object Similarity {
     * step is an equi-join on `list` (AQE skew-split absorbs dense
     * clusters), verification is one pre-normed [[dot]] per pair — the
     * identical kernel as [[embedNearDups]], so thresholds behave the
-    * same — and survivor selection is the pointer-jump component
-    * propagation. Driver state is the centroid matrix only. */
+    * same — and survivor selection is the alternating-star component
+    * contraction. Driver state is the centroid matrix only. */
   def semDeDup(emb: DataFrame, idCol: String, vecCol: String,
                threshold: Double, nlist: Int = 16, iters: Int = 0,
                seedHash: Long => Long = mixSeedHash): DataFrame = {
@@ -485,8 +485,8 @@ object Similarity {
       .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
       .select("id_a", "id_b"))
     // vertices = pair endpoints only: docs outside any pair keep comp ==
-    // id and can never be removed, so propagating labels over the full
-    // corpus would make every pointer-jump round corpus-sized for an
+    // id and can never be removed, so running the components over the full
+    // corpus would make every contraction round corpus-sized for an
     // identical result — the component graph is the (tiny) near-dup graph
     val comps = graft.ops.Adjacency.connectedComponents(
       pairs.select(explode(array(col("id_a"), col("id_b"))).as("bid")).distinct(),
