@@ -70,7 +70,10 @@ object ScaleDbscan {
 
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_DBSCAN_N", "2000000").toLong
-    val eps = 0.7
+    // default eps keeps E[ε-neighbors] ≈ 3 at the default n; pass both to
+    // scale n at CONSTANT per-point density (eps ∝ 1/√n), the regime where
+    // per-round volume, not round latency, dominates
+    val eps = sys.env.getOrElse("SPARK_GRAFT_DBSCAN_EPS", "0.7").toDouble
     val minPts = 4
     if (sys.env.get("SPARK_GRAFT_DBSCAN_MODE").contains("compare")) {
       val cores = sys.env.getOrElse("SPARK_GRAFT_DBSCAN_CORES", "32").toInt
