@@ -106,14 +106,44 @@ object Adjacency {
     * is a handful of fixed-width (16-byte) shuffles on ≤ |E| rows; |E|
     * contracts toward one edge per non-root vertex so late rounds are
     * cheap; lineage is cut and Catalyst stats reset per round (ckFresh).
-    * Convergence = consecutive edge sets equal (count probe, then one
-    * anti-join only when counts match). Returns (labels, rounds). */
+    * Convergence = consecutive edge sets equal. The per-round edge count
+    * rides the checkpoint materialization as an accumulator (ONE job per
+    * round, no separate count action); when consecutive counts match, an
+    * exact full-outer set-equality probe decides convergence — the
+    * accumulator is only a gate, so inflated counts from task retries can
+    * cost an extra probe but never a wrong answer. Returns
+    * (labels, rounds). */
   def connectedComponentsWithRounds(
       vertices: DataFrame, edges: DataFrame, maxIter: Int = 30): (DataFrame, Int) = {
-    var e = ckFresh(edges
-      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
-      .where(col("u") =!= col("v")).distinct())
-    var prevCnt = e.count()
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    // checkpoint + edge count riding the SAME materialization job (no
+    // separate count action per round). Task retries can only INFLATE the
+    // accumulator, never shrink it, and a zero count is exact (retried
+    // empty tasks add zero) — so the count is the probe GATE only;
+    // convergence itself is always decided by the exact set-equality job
+    // below. The typed map costs one encode pass over ≤|E| 16-byte rows.
+    def ckCount(df: DataFrame, tag: String): (DataFrame, Long) = {
+      val acc = spark.sparkContext.longAccumulator(s"cc_edges_$tag")
+      val ck = ckFresh(df.as[(Long, Long)]
+        .map { r => acc.add(1L); r }.toDF("u", "v"))
+      (ck, acc.value)
+    }
+    // exact undirected-set equality: one full-outer join aggregation —
+    // zero rows unmatched on either side ⟺ identical edge sets (both
+    // inputs are distinct sets by construction)
+    def sameEdgeSet(x: DataFrame, y: DataFrame): Boolean = {
+      val mism = x.withColumn("l", lit(1))
+        .join(y.withColumn("r", lit(1)), Seq("u", "v"), "full_outer")
+        .agg(coalesce(sum(when(col("l").isNull || col("r").isNull, 1L)
+          .otherwise(0L)), lit(0L)))
+        .head.getLong(0)
+      mism == 0L
+    }
+    var (e, prevCnt) = ckCount(edges
+      .select(greatest(col("a").cast("long"), col("b").cast("long")).as("u"),
+        least(col("a").cast("long"), col("b").cast("long")).as("v"))
+      .where(col("u") =!= col("v")).distinct(), "init")
     var it = 0
     var stable = prevCnt == 0L
     while (!stable && it < maxIter) {
@@ -122,23 +152,25 @@ object Adjacency {
       val sym = e.select(col("u").as("a"), col("v").as("b"))
         .union(e.select(col("v").as("a"), col("u").as("b")))
       val mL = sym.groupBy(col("a")).agg(least(min(col("b")), first(col("a"))).as("m"))
-      val e1 = ckFresh(sym.where(col("b") > col("a"))
+      // NOT checkpointed: e1 feeds both small-star consumers below, and
+      // its distinct's exchange is shared between them (ReusedExchange,
+      // spec-pinned) — plan depth stays bounded because e is checkpointed
+      // every round
+      val e1 = sym.where(col("b") > col("a"))
         .join(mL, Seq("a"))
         .select(col("b").as("u"), col("m").as("v"))
-        .where(col("u") =!= col("v")).distinct())
+        .where(col("u") =!= col("v")).distinct()
       // small-star over the hi→lo orientation (every neighbor here < u,
       // so m = min(N⁻(u)) and u itself re-attaches to m)
       val mS = e1.groupBy(col("u")).agg(min(col("v")).as("m"))
       val withM = e1.join(mS, Seq("u"))
-      val e2 = ckFresh(withM
+      val (e2, cnt) = ckCount(withM
         .select(col("v").as("n"), col("m"))
         .union(withM.select(col("u").as("n"), col("m")))
         .where(col("n") =!= col("m"))
         .select(greatest(col("n"), col("m")).as("u"), least(col("n"), col("m")).as("v"))
-        .distinct())
-      val cnt = e2.count()
-      stable = cnt == prevCnt &&
-        e2.join(e, Seq("u", "v"), "left_anti").isEmpty
+        .distinct(), it.toString)
+      stable = cnt == prevCnt && sameEdgeSet(e2, e)
       prevCnt = cnt
       e = e2
     }
