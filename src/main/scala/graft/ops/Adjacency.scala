@@ -184,6 +184,53 @@ object Adjacency {
     (labels, it)
   }
 
+  /** Incremental component maintenance for edge DELTAS — the crawl-ingest
+    * pattern where yesterday's corpus is already labeled and today's batch
+    * adds edges (and possibly new vertices). The labeled corpus is NEVER
+    * re-solved: each delta edge contracts to its endpoints' current
+    * component roots (two equi-joins against `labels`), intra-component
+    * edges drop out, and the alternating-star contraction runs on the
+    * CONTRACTED graph only — vertices = roots the delta touches, edges =
+    * cross-component delta edges — so the iterative work is bounded by
+    * the DELTA, not the corpus. Relabeling is one equi-join on comp
+    * against the root-rewrite map (delta-bounded, so AQE broadcasts it).
+    * Endpoints unseen in `labels` enter as their own singleton components
+    * first, so deltas may introduce new vertices.
+    *
+    * Because full labels are min-vertex ids and the contracted labels are
+    * min-of-mins, the result is BIT-IDENTICAL to a full recompute over
+    * E_base ∪ E_delta — the invariant the spec pins against union-find.
+    *
+    * `labels`: (bid, comp) from a prior [[connectedComponents]] run;
+    * `newEdges`: (a, b). Returns (bid, comp) over all old + new vertices. */
+  def incrementalComponents(
+      labels: DataFrame, newEdges: DataFrame, maxIter: Int = 30): DataFrame = {
+    val norm = newEdges.select(
+      col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+    // new vertices (any delta endpoint not yet labeled) become singletons;
+    // a self-loop-only new endpoint is a valid singleton and stays
+    val endpoints = norm
+      .select(explode(array(col("a"), col("b"))).as("bid")).distinct()
+    val fresh = endpoints.join(labels, Seq("bid"), "left_anti")
+      .select(col("bid"), col("bid").as("comp"))
+    // read 3× (two contraction joins + the final relabel) — persist once
+    val la = graft.CacheBin.persist(labels
+      .select(col("bid").cast("long").as("bid"), col("comp").cast("long").as("comp"))
+      .unionByName(fresh))
+    val contracted = norm
+      .join(la.select(col("bid").as("a"), col("comp").as("ca")), Seq("a"))
+      .join(la.select(col("bid").as("b"), col("comp").as("cb")), Seq("b"))
+      .select(col("ca").as("a"), col("cb").as("b"))
+      .where(col("a") =!= col("b"))
+    val roots = connectedComponentsWithRounds(
+      contracted.select(explode(array(col("a"), col("b"))).as("bid")).distinct(),
+      contracted, maxIter)._1
+    val rewrite = roots.filter(col("bid") =!= col("comp"))
+      .select(col("bid").as("comp"), col("comp").as("newComp"))
+    la.join(rewrite, Seq("comp"), "left")
+      .select(col("bid"), coalesce(col("newComp"), col("comp")).as("comp"))
+  }
+
   def components(bs: Dataset[Building]): DataFrame = {
     import bs.sparkSession.implicits._
     connectedComponents(

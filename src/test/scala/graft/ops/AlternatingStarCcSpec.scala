@@ -76,6 +76,44 @@ class AlternatingStarCcSpec extends AnyFunSuite {
     assert(rounds == 0)
   }
 
+  test("incremental delta == full recompute (merges, new vertices, no-ops)") {
+    val n = 200L
+    val all = (0L until n).flatMap { i =>
+      Seq((i, (i * 17 + 3) % n), (i % 23, (i * 31 + 5) % n))
+    }
+    // deterministic split: delta gets every 3rd edge PLUS edges to brand-new
+    // vertices 300.. (unseen in the base labels)
+    val base = all.zipWithIndex.collect { case (e, ix) if ix % 3 != 0 => e }
+    val delta = all.zipWithIndex.collect { case (e, ix) if ix % 3 == 0 => e } ++
+      (0L until 10L).map(i => (i * 19 % n, 300L + i)) ++
+      Seq((399L, 399L)) // self-loop-only new vertex stays a singleton
+    val labels0 = Adjacency.connectedComponents(
+      (0L until n).toDF("bid"), base.toDF("a", "b"))
+    val got = Adjacency.incrementalComponents(labels0, delta.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    val fullVerts = (0L until n) ++ (300L until 310L) :+ 399L
+    val want = {
+      val parent = scala.collection.mutable.Map(fullVerts.map(i => i -> i): _*)
+      def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+      (base ++ delta).foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      fullVerts.map(i => i -> find(i)).toMap
+    }
+    assert(got == want)
+    assert(got(399L) == 399L)
+  }
+
+  test("empty delta returns the labels unchanged") {
+    val labels0 = Adjacency.connectedComponents(
+      (0L until 12L).toDF("bid"), Seq((0L, 1L), (5L, 6L)).toDF("a", "b"))
+    val got = Adjacency.incrementalComponents(
+      labels0, Seq.empty[(Long, Long)].toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == labels0.as[(Long, Long)].collect().toMap)
+  }
+
   test("round guard fails loudly instead of returning partial labels") {
     val n = 400L
     val edges = (0L until n - 1).map(i => (i, i + 1))
