@@ -1399,6 +1399,212 @@ object Queries {
               SELECT id AS host_id, min(m) AS comp
               FROM r GROUP BY id ORDER BY host_id""")),
 
+    // incremental component maintenance under edge DELTAS
+    // (Adjacency.incrementalComponents): the crawl-ingest pattern —
+    // yesterday's labels stand, today's delta edges contract onto the
+    // current component roots and only the contracted (delta-bounded)
+    // graph is re-solved. Labels are min-vertex ids, so the result is
+    // bit-identical to a full recompute over base ∪ delta, which is
+    // exactly what the oracle's recursive closure computes. The delta
+    // includes brand-new vertices (200..) and self-loop-prone edges.
+    "q_cc_incr" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val verts = docs.select((col("doc_id") % 150).as("bid")).distinct()
+        val baseE = docs
+          .select((col("doc_id") % 150).as("a"), (col("doc_id") % 150 + 5).as("b"))
+          .filter(col("b") < 150).distinct()
+        val labels0 = graft.ops.Adjacency.connectedComponents(verts, baseE)
+        val deltaE = docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") % 150).as("a"),
+            (col("doc_id") * 13 % 150).as("b")).distinct()
+          .unionByName(docs.filter(col("doc_id") % 37 === 0)
+            .select((col("doc_id") % 150).as("a"),
+              (col("doc_id") % 23 + 200).as("b")).distinct())
+        graft.ops.Adjacency.incrementalComponents(labels0, deltaE)
+          .select(col("bid").as("host_id"), col("comp"))
+          .orderBy("host_id")
+      },
+      Some("""WITH RECURSIVE
+              b0 AS (SELECT DISTINCT doc_id % 150 AS a, doc_id % 150 + 5 AS b
+                     FROM documents WHERE doc_id % 150 + 5 < 150),
+              d0 AS (SELECT DISTINCT doc_id % 150 AS a, doc_id * 13 % 150 AS b
+                     FROM documents WHERE doc_id % 11 = 0
+                     UNION
+                     SELECT DISTINCT doc_id % 150, doc_id % 23 + 200
+                     FROM documents WHERE doc_id % 37 = 0),
+              allv AS (SELECT DISTINCT doc_id % 150 AS id FROM documents
+                       UNION SELECT a FROM d0 UNION SELECT b FROM d0),
+              e0 AS (SELECT a, b FROM b0 UNION SELECT a, b FROM d0),
+              e AS (SELECT a AS s, b AS d FROM e0 WHERE a <> b
+                    UNION ALL SELECT b, a FROM e0 WHERE a <> b),
+              r(id, m) AS (
+                SELECT id, id FROM allv
+                UNION
+                SELECT e.s, r.m FROM e JOIN r ON r.id = e.d)
+              SELECT id AS host_id, min(m) AS comp
+              FROM r GROUP BY id ORDER BY host_id""")),
+
+    // deterministic random walks (WebGraph.randomWalks — the DeepWalk
+    // corpus-generation primitive): 4-step walks from every 10th vertex
+    // of a synthetic 400-vertex link graph, each hop picked by
+    // md5-48(start:v:step) % outdeg among dst-ordered neighbors. The
+    // oracle replays the identical hash arithmetic in a recursive CTE,
+    // so paths (incl. dead-end truncation) are bit-exact cross-engine.
+    "q_walk_sample" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val e = docs.select((col("doc_id") % 400).as("src"),
+            ((col("doc_id") * 7 + 1) % 400).as("dst"))
+          .unionByName(docs.select((col("doc_id") % 400).as("src"),
+            ((col("doc_id") * 13 + 5) % 400).as("dst")))
+        val starts = docs.select((col("doc_id") % 400).as("v"))
+          .distinct().filter(col("v") % 10 === 0)
+        graft.ops.WebGraph.randomWalks(e, starts, walkLen = 4)
+          .orderBy("start", "step")
+      },
+      Some("""WITH RECURSIVE
+              e0 AS (SELECT DISTINCT doc_id % 400 AS src, (doc_id*7+1) % 400 AS dst
+                     FROM documents
+                     UNION
+                     SELECT DISTINCT doc_id % 400, (doc_id*13+5) % 400 FROM documents),
+              e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+              nb AS (SELECT src, dst,
+                       row_number() OVER (PARTITION BY src ORDER BY dst) AS rn,
+                       count(*) OVER (PARTITION BY src) AS outdeg FROM e),
+              walk(start, step, v) AS (
+                SELECT v, 0, v FROM (SELECT DISTINCT doc_id % 400 AS v
+                                     FROM documents WHERE doc_id % 400 % 10 = 0)
+                UNION ALL
+                SELECT w.start, w.step + 1, nb.dst
+                FROM walk w JOIN nb ON nb.src = w.v
+                  AND nb.rn = ('0x' || substr(md5(CAST(w.start AS VARCHAR) || ':' ||
+                    CAST(w.v AS VARCHAR) || ':' || CAST(w.step + 1 AS VARCHAR)),
+                    1, 12))::BIGINT % nb.outdeg + 1
+                WHERE w.step < 4)
+              SELECT start, step, v FROM walk ORDER BY start, step""")),
+
+    // GraphSAGE-style 2-hop neighborhood aggregation
+    // (WebGraph.neighborhoodAgg): per vertex, sum+count of out-neighbor
+    // features (hop 1) and of the neighbors' hop-1 aggregates (hop 2 =
+    // length-2 path sums — the decomposition that never materializes
+    // 2-hop pairs). Integer features keep the sums exact at any
+    // parallelism; the oracle replays the two join+agg rounds.
+    "q_nbr_agg" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val e = docs.select((col("doc_id") % 300).as("src"),
+            ((col("doc_id") * 11 + 2) % 300).as("dst"))
+          .unionByName(docs.select((col("doc_id") % 300).as("src"),
+            ((col("doc_id") * 17 + 5) % 300).as("dst")))
+          .distinct()
+        val f = docs.select((col("doc_id") % 300).as("v")).distinct()
+          .select(col("v"), (col("v") * col("v") % 97).as("f"))
+        graft.ops.WebGraph.neighborhoodAgg(e, f).orderBy("v")
+      },
+      Some("""WITH e AS (SELECT DISTINCT src, dst FROM (
+                SELECT doc_id % 300 AS src, (doc_id*11+2) % 300 AS dst FROM documents
+                UNION ALL
+                SELECT doc_id % 300, (doc_id*17+5) % 300 FROM documents)),
+              f AS (SELECT v, v*v % 97 AS f
+                    FROM (SELECT DISTINCT doc_id % 300 AS v FROM documents)),
+              h1 AS (SELECT e.src AS v, sum(f.f) AS h1_sum, count(*) AS h1_cnt
+                     FROM e JOIN f ON f.v = e.dst GROUP BY e.src),
+              h2 AS (SELECT e.src AS v, sum(h1.h1_sum) AS h2_sum,
+                       sum(h1.h1_cnt) AS h2_cnt
+                     FROM e JOIN h1 ON h1.v = e.dst GROUP BY e.src)
+              SELECT f.v, coalesce(h1.h1_sum, 0) AS h1_sum,
+                coalesce(h1.h1_cnt, 0) AS h1_cnt,
+                coalesce(h2.h2_sum, 0) AS h2_sum,
+                coalesce(h2.h2_cnt, 0) AS h2_cnt
+              FROM f LEFT JOIN h1 ON h1.v = f.v LEFT JOIN h2 ON h2.v = f.v
+              ORDER BY f.v""")),
+
+    // skip-gram training-pair counts (text/SkipGram.pairCounts): all
+    // (center, context) pairs within ±2 tokens, counted corpus-wide —
+    // built inside ONE codegen projection (2-arg transform + flatten +
+    // single explode), so the only shuffle is the vocabulary-bounded
+    // final groupBy. The oracle replays the window arithmetic with
+    // lateral ranges over the split token list.
+    "q_skipgram" -> Q(
+      (s, d) => graft.text.SkipGram
+        .pairCounts(t(s, d, "documents"), col("text"), window = 2)
+        .orderBy("center", "context"),
+      Some("""WITH toks AS (SELECT list_filter(string_split(text, ' '),
+                  x -> x <> '') AS l FROM documents),
+              pos AS (SELECT l, unnest(range(len(l))) AS i FROM toks),
+              ctx AS (SELECT l, i, l[i+1] AS center,
+                        unnest(range(greatest(i-2, 0),
+                          least(i+2, len(l)-1) + 1)) AS j
+                      FROM pos),
+              p2 AS (SELECT center, l[j+1] AS context FROM ctx WHERE j <> i)
+              SELECT center, context, count(*) AS n
+              FROM p2 GROUP BY center, context
+              ORDER BY center, context""")),
+
+    // common-neighbor link-prediction features (WebGraph.linkPredict):
+    // candidate pairs scored with shared-neighbor counts + degrees over
+    // the undirected simple graph — candidate-driven (two equi-joins
+    // against adjacency), never the deg²-per-hub all-wedge enumeration.
+    // Integer features only; the oracle replays the joins.
+    "q_link_predict" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val e = docs.select((col("doc_id") % 200).as("src"),
+            ((col("doc_id") * 7 + 3) % 200).as("dst"))
+          .unionByName(docs.select((col("doc_id") % 200).as("src"),
+            ((col("doc_id") * 11 + 9) % 200).as("dst")))
+        val cand = docs.select((col("doc_id") % 200).as("a"),
+          ((col("doc_id") * 13 + 1) % 200).as("b"))
+        graft.ops.WebGraph.linkPredict(e, cand).orderBy("a", "b")
+      },
+      Some("""WITH e0 AS (SELECT doc_id % 200 AS src, (doc_id*7+3) % 200 AS dst
+                FROM documents
+                UNION ALL SELECT doc_id % 200, (doc_id*11+9) % 200 FROM documents),
+              und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                      FROM e0 WHERE src <> dst),
+              adj AS (SELECT a AS v, b AS nbr FROM und
+                      UNION ALL SELECT b, a FROM und),
+              deg AS (SELECT v, count(*) AS deg FROM adj GROUP BY v),
+              cand AS (SELECT DISTINCT least(a0, b0) AS a, greatest(a0, b0) AS b
+                       FROM (SELECT doc_id % 200 AS a0, (doc_id*13+1) % 200 AS b0
+                             FROM documents) WHERE a0 <> b0),
+              cm AS (SELECT c.a, c.b, count(*) AS common
+                     FROM cand c JOIN adj x ON x.v = c.a
+                       JOIN adj y ON y.v = c.b AND y.nbr = x.nbr
+                     GROUP BY c.a, c.b)
+              SELECT c.a, c.b, coalesce(cm.common, 0) AS common,
+                coalesce(da.deg, 0) AS deg_a, coalesce(db.deg, 0) AS deg_b
+              FROM cand c LEFT JOIN cm ON cm.a = c.a AND cm.b = c.b
+              LEFT JOIN deg da ON da.v = c.a
+              LEFT JOIN deg db ON db.v = c.b
+              ORDER BY c.a, c.b""")),
+
+    // deterministic word2vec negative sampling (SkipGram.negatives):
+    // k=3 negatives per vocab word, drawn at frequency rank
+    // md5-48(center:j) % V — every table vocabulary-sized, the one
+    // corpus pass is the map-side-combined word count. The oracle
+    // rebuilds the identical rank table and hash draw.
+    "q_skipgram_neg" -> Q(
+      (s, d) => graft.text.SkipGram
+        .negatives(t(s, d, "documents"), col("text"), k = 3)
+        .select(col("center"), col("j").cast("long").as("j"), col("neg"))
+        .orderBy("center", "j"),
+      Some("""WITH words AS (SELECT w, count(*) AS n FROM
+                (SELECT unnest(list_filter(string_split(text, ' '),
+                   x -> x <> '')) AS w FROM documents) GROUP BY w),
+              ranked AS (SELECT w, row_number() OVER (ORDER BY n DESC, w) AS rank
+                         FROM words),
+              v AS (SELECT count(*) AS vs FROM words),
+              cj AS (SELECT r.w AS center, unnest(range(3)) AS j FROM ranked r),
+              pick AS (SELECT center, j,
+                         ('0x' || substr(md5(center || ':' ||
+                           CAST(j AS VARCHAR)), 1, 12))::BIGINT % vs + 1 AS rk
+                       FROM cj, v)
+              SELECT p.center, p.j, r.w AS neg
+              FROM pick p JOIN ranked r ON r.rank = p.rk
+              ORDER BY p.center, p.j""")),
+
     // STRONGLY connected components (WebGraph.scc, Orzan-style
     // trim+color+settle with pointer-jumped label propagation) over a
     // synthetic DIRECTED link graph: 50-vertex ring+chord blocks (each

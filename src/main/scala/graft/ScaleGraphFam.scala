@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** N→4N scaling evidence for the round-5 graph family — triangle counting
-  * (degree-ordered orientation), k-core (iterative peel) and multi-source
-  * BFS (frontier rounds) — run end-to-end on ONE multi-million-edge
+  * (degree-ordered orientation), k-core (iterative peel), multi-source
+  * BFS (frontier rounds) and deterministic random walks (per-step
+  * frontier joins) — run end-to-end on ONE multi-million-edge
   * synthetic graph at two core counts (strong scaling: identical input,
   * the brief's two-cluster-size criterion). The graph is the oracle-gated
   * rule at corpus scale: power edges (id·131+7j mod n, 1–4 per node) + a
@@ -28,8 +29,8 @@ object ScaleGraphFam {
   }
 
   final case class Run(sec: Double, triSec: Double, coreSec: Double,
-      bfsSec: Double, tri: Long, coreVerts: Long, coreDegSum: Long,
-      bfsChecksum: Long)
+      bfsSec: Double, walkSec: Double, tri: Long, coreVerts: Long,
+      coreDegSum: Long, bfsChecksum: Long, walkRows: Long, walkChecksum: Long)
 
   def timed(cores: Int, n: Long): Run = {
     val spark = Scale.makeSession(cores)
@@ -47,9 +48,17 @@ object ScaleGraphFam {
     val (bfs, bfsSec) = clock(graft.ops.WebGraph.bfsDepth(e, seeds)
       .agg(sum(col("depth") * col("v") % 1000003L)).head().getLong(0))
     CacheBin.drain()
+    // deterministic random walks from the same seeds: 8 md5-picked hops;
+    // the (rows, Σ start·step·v mod p) checksum pins bit-identical paths
+    // across core counts
+    val (walk, walkSec) = clock(graft.ops.WebGraph.randomWalks(e, seeds, 8)
+      .agg(count(lit(1)),
+        sum(col("start") * col("step") * col("v") % 1000003L)).head())
+    CacheBin.drain()
     spark.stop()
-    Run(triSec + coreSec + bfsSec, triSec, coreSec, bfsSec,
-      tri, core.getLong(0), core.getLong(1), bfs)
+    Run(triSec + coreSec + bfsSec + walkSec, triSec, coreSec, bfsSec, walkSec,
+      tri, core.getLong(0), core.getLong(1), bfs,
+      walk.getLong(0), walk.getLong(1))
   }
 
   def main(args: Array[String]): Unit = {
@@ -62,7 +71,8 @@ object ScaleGraphFam {
       (c, r)
     }
     val checks = runs.map(_._2)
-      .map(r => (r.tri, r.coreVerts, r.coreDegSum, r.bfsChecksum)).distinct
+      .map(r => (r.tri, r.coreVerts, r.coreDegSum, r.bfsChecksum,
+        r.walkRows, r.walkChecksum)).distinct
     require(checks.size == 1,
       s"graph-family invariants diverged across core counts: $checks")
     // exact Σ(id%4+1) + 2n ring edges — the tail term matters when the
@@ -74,12 +84,14 @@ object ScaleGraphFam {
     val pts = runs.map { case (c, r) =>
       f""""local$c":{"sec":${r.sec}%.2f,"tri_sec":${r.triSec}%.2f,""" +
         f""""kcore_sec":${r.coreSec}%.2f,"bfs_sec":${r.bfsSec}%.2f,""" +
+        f""""walk_sec":${r.walkSec}%.2f,""" +
         f""""edges_per_sec":${(nEdges / r.sec).round}}"""
     }.mkString("{", ",", "}")
     val inv = runs.head._2
     println(s"""{"job":"graph_family_scale","nodes":$n,"edges":$nEdges,""" +
       s""""triangles":${inv.tri},"core7_verts":${inv.coreVerts},""" +
       s""""core7_degsum":${inv.coreDegSum},"bfs_checksum":${inv.bfsChecksum},""" +
+      s""""walk_rows":${inv.walkRows},"walk_checksum":${inv.walkChecksum},""" +
       s""""points":$pts,"eff_${pair.head}_to_${pair.last}":${f"$eff%.3f"}}""")
   }
 }

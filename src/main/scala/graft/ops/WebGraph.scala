@@ -644,4 +644,117 @@ object WebGraph {
     require(verts.isEmpty, s"scc did not settle all vertices within $maxRounds outer rounds")
     settled
   }
+
+  /** Common-neighbor link-prediction scoring (the integer-exact core of
+    * Liben-Nowell & Kleinberg 2003): for each CANDIDATE pair, the number
+    * of shared neighbors in the undirected simple graph plus both
+    * degrees — the features a ranker (or a Jaccard/Adamic-Adar variant)
+    * consumes. Candidate-driven on purpose: scoring a given pair set is
+    * two equi-joins against the adjacency table (candidates × deg(a)
+    * intermediate, bounded by the candidate batch) — enumerating ALL
+    * wedges would be deg² at every hub, which no trick removes for open
+    * wedges. All outputs are integers, so results are bit-exact at any
+    * parallelism.
+    *
+    * `candidates`: (a, b); pairs are canonicalized a<b and deduped.
+    * Returns (a, b, common, deg_a, deg_b) — Jaccard is
+    * common/(deg_a+deg_b-common) for the caller. */
+  def linkPredict(rawEdges: DataFrame, candidates: DataFrame): DataFrame = {
+    val und = graft.CacheBin.persist(simpleSupport(rawEdges))
+    // adjacency both ways: (v, nbr)
+    val adj = und.select(col("a").as("v"), col("b").as("nbr"))
+      .unionByName(und.select(col("b").as("v"), col("a").as("nbr")))
+    val deg = supportDegrees(und)
+    val cand = candidates.filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).cast("long").as("a"),
+        greatest(col("a"), col("b")).cast("long").as("b"))
+      .distinct()
+    val common = cand
+      .join(adj.select(col("v").as("a"), col("nbr")), Seq("a"))
+      .join(adj.select(col("v").as("b"), col("nbr")), Seq("b", "nbr"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+    cand.join(common, Seq("a", "b"), "left")
+      .join(deg.select(col("v").as("a"), col("deg").as("deg_a")), Seq("a"), "left")
+      .join(deg.select(col("v").as("b"), col("deg").as("deg_b")), Seq("b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("common"), lit(0L)).as("common"),
+        coalesce(col("deg_a"), lit(0L)).as("deg_a"),
+        coalesce(col("deg_b"), lit(0L)).as("deg_b"))
+  }
+
+  /** GraphSAGE-style neighborhood feature aggregation (Hamilton et al.
+    * 2017), 2 hops, path-sum semantics: hop-1 aggregates each vertex's
+    * out-neighbor features (sum + count); hop-2 aggregates the
+    * NEIGHBORS' hop-1 aggregates — i.e. sums over length-2 paths —
+    * which is the decomposition that never materializes 2-hop pairs.
+    * Each hop is ONE equi-join of the edge table on its 8-byte key plus
+    * one map-side-combined aggregate; at 10^12 edges the edge table can
+    * be pre-partitioned on src and reused across hops, and a
+    * mega-in-degree hub is a plain AQE-splittable aggregate group.
+    * Integer features → exact sums at any parallelism.
+    *
+    * `edges`: (src, dst) directed; `feats`: (v, f) integer feature.
+    * Returns (v, h1_sum, h1_cnt, h2_sum, h2_cnt), zeros where a hop is
+    * empty, one row per feature-table vertex. */
+  def neighborhoodAgg(edges: DataFrame, feats: DataFrame): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+    val f = feats.select(col("v").cast("long").as("v"), col("f").cast("long").as("f"))
+    val h1 = e.join(f.withColumnRenamed("v", "dst"), Seq("dst"))
+      .groupBy(col("src").as("v"))
+      .agg(sum("f").as("h1_sum"), count(lit(1)).as("h1_cnt"))
+    val h2 = e.join(h1.withColumnRenamed("v", "dst"), Seq("dst"))
+      .groupBy(col("src").as("v"))
+      .agg(sum("h1_sum").as("h2_sum"), sum("h1_cnt").as("h2_cnt"))
+    f.select("v").join(h1, Seq("v"), "left").join(h2, Seq("v"), "left")
+      .select(col("v"),
+        coalesce(col("h1_sum"), lit(0L)).as("h1_sum"),
+        coalesce(col("h1_cnt"), lit(0L)).as("h1_cnt"),
+        coalesce(col("h2_sum"), lit(0L)).as("h2_sum"),
+        coalesce(col("h2_cnt"), lit(0L)).as("h2_cnt"))
+  }
+
+  /** Deterministic random walks (the DeepWalk/node2vec corpus-generation
+    * primitive, Perozzi et al. 2014): one `walkLen`-step walk per start
+    * vertex, where the hop out of vertex v at step t of start s's walk
+    * picks neighbor index md5-48(s:v:t) % outdeg(v) among v's
+    * out-neighbors ordered by dst id. "Random" is a pure column hash of
+    * (start, position, step) — the walk set is a function of the graph
+    * alone, so reruns, cluster sizes, and engines agree bit-exactly, and
+    * DuckDB replays it with the same md5-48 idiom ([[graft.text.TextFns.hash48]]).
+    *
+    * 100 TB shape: the neighbor table (src → rn, outdeg) costs ONE
+    * shuffle (window partitioned by src) and is persisted; each step is
+    * then ONE equi-join of the frontier on src — walkLen joins total, no
+    * driver state, frontier rows only (walks at dead-end vertices simply
+    * stop). At 10^12 edges this is the standard embedding-input job:
+    * per-step traffic is |frontier| 24-byte rows against the
+    * pre-partitioned neighbor table.
+    *
+    * `rawEdges`: (src, dst) directed, self-loops dropped, multi-edges
+    * collapsed. `starts`: (v). Returns (start, step, v) with step 0 = the
+    * start vertex itself. */
+  def randomWalks(rawEdges: DataFrame, starts: DataFrame, walkLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = rawEdges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+    val bySrc = Window.partitionBy("src")
+    val nbrs = graft.CacheBin.persist(edges.select(
+      col("src"), col("dst"),
+      row_number().over(bySrc.orderBy("dst")).as("rn"),
+      count(lit(1)).over(bySrc).as("outdeg")))
+    val step0 = starts.select(
+      col("v").cast("long").as("start"), lit(0).as("step"), col("v").cast("long").as("v"))
+    var walks = step0
+    var frontier = step0
+    for (t <- 1 to walkLen) {
+      val pick = graft.text.TextFns.hash48(concat_ws(":",
+        col("start").cast("string"), col("v").cast("string"), lit(t.toString)))
+      frontier = frontier.join(nbrs, frontier("v") === nbrs("src"))
+        .where(col("rn") === pick % col("outdeg") + 1)
+        .select(col("start"), lit(t).as("step"), col("dst").as("v"))
+      walks = walks.unionByName(frontier)
+    }
+    walks
+  }
 }
