@@ -1605,6 +1605,28 @@ object Queries {
               FROM pick p JOIN ranked r ON r.rank = p.rk
               ORDER BY p.center, p.j""")),
 
+    // stride-overlapped context chunking (text/Chunking.chunk): 8-token
+    // windows every 4 tokens, ragged tail kept — the retrieval/eval
+    // splitter (seqPack's within-doc complement). Pure array-HOF
+    // projection + one posexplode; zero shuffle before the final sort.
+    // The oracle replays the start lattice with list slicing.
+    "q_chunk" -> Q(
+      (s, d) => graft.text.Chunking
+        .chunk(t(s, d, "documents").select(col("doc_id"), col("text")),
+          col("text"), size = 8, stride = 4)
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("chunk_text"), col("n_tokens").cast("long").as("n_tokens"))
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH toks AS (SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS l
+                FROM documents),
+              st AS (SELECT doc_id, l, unnest(range(0, len(l), 4)) AS s
+                     FROM toks WHERE len(l) > 0)
+              SELECT doc_id, s // 4 AS chunk_idx,
+                array_to_string(l[s+1 : least(s+8, len(l))], ' ') AS chunk_text,
+                least(s+8, len(l)) - s AS n_tokens
+              FROM st ORDER BY doc_id, chunk_idx""")),
+
     // STRONGLY connected components (WebGraph.scc, Orzan-style
     // trim+color+settle with pointer-jumped label propagation) over a
     // synthetic DIRECTED link graph: 50-vertex ring+chord blocks (each

@@ -745,14 +745,19 @@ object WebGraph {
       count(lit(1)).over(bySrc).as("outdeg")))
     val step0 = starts.select(
       col("v").cast("long").as("start"), lit(0).as("step"), col("v").cast("long").as("v"))
+    // each frontier is persisted so step t+1 (and the final union) read a
+    // materialized table instead of replaying the whole join chain — the
+    // same lineage-cut discipline as pageRank; without it the union's plan
+    // is O(L²) joins and the recomputation OOMs long before 10^12 edges
     var walks = step0
     var frontier = step0
     for (t <- 1 to walkLen) {
       val pick = graft.text.TextFns.hash48(concat_ws(":",
         col("start").cast("string"), col("v").cast("string"), lit(t.toString)))
-      frontier = frontier.join(nbrs, frontier("v") === nbrs("src"))
-        .where(col("rn") === pick % col("outdeg") + 1)
-        .select(col("start"), lit(t).as("step"), col("dst").as("v"))
+      frontier = graft.CacheBin.persist(
+        frontier.join(nbrs, frontier("v") === nbrs("src"))
+          .where(col("rn") === pick % col("outdeg") + 1)
+          .select(col("start"), lit(t).as("step"), col("dst").as("v")))
       walks = walks.unionByName(frontier)
     }
     walks
