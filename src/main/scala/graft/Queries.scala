@@ -1627,6 +1627,33 @@ object Queries {
                 least(s+8, len(l)) - s AS n_tokens
               FROM st ORDER BY doc_id, chunk_idx""")),
 
+    // co-citation projection (WebGraph.coCitation): target pairs cited
+    // by the same source docs, weight = distinct citing sources; sources
+    // with fanout > 4 (directory pages) are dropped by the documented
+    // cap — the oracle applies the identical rule. Fanout varies 1..6
+    // per doc so the cap path is exercised.
+    "q_cocitation" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val links = docs.select(col("doc_id").as("src"),
+            explode(sequence(lit(0L), col("doc_id") % 6)).as("j"))
+          .select(col("src"), ((col("src") * 7 + col("j") * 13 + 2) % 50).as("dst"))
+        graft.ops.WebGraph.coCitation(links, maxFanout = 4, minWeight = 2L)
+          .orderBy("a", "b")
+      },
+      Some("""WITH l AS (SELECT DISTINCT doc_id AS src,
+                  (doc_id*7 + j*13 + 2) % 50 AS dst
+                FROM (SELECT doc_id, unnest(range(0, doc_id % 6 + 1)) AS j
+                      FROM documents)),
+              fan AS (SELECT src, count(*) AS f FROM l GROUP BY src),
+              ok AS (SELECT l.src, l.dst FROM l
+                     JOIN fan ON fan.src = l.src AND fan.f <= 4)
+              SELECT x.dst AS a, y.dst AS b, count(*) AS w
+              FROM ok x JOIN ok y ON x.src = y.src AND x.dst < y.dst
+              GROUP BY x.dst, y.dst
+              HAVING count(*) >= 2
+              ORDER BY a, b""")),
+
     // STRONGLY connected components (WebGraph.scc, Orzan-style
     // trim+color+settle with pointer-jumped label propagation) over a
     // synthetic DIRECTED link graph: 50-vertex ring+chord blocks (each

@@ -645,6 +645,36 @@ object WebGraph {
     settled
   }
 
+  /** Co-citation projection (Small 1973, the structural mirror-detection
+    * complement to [[mirrorHosts]]'s content keys): pairs of link TARGETS
+    * endorsed by the same sources, weighted by how many distinct sources
+    * cite both. The classic "related pages" / host-similarity signal.
+    *
+    * Skew discipline — the mirrorHosts/maxBucket rule applied to link
+    * fanout: sources citing more than `maxFanout` targets are directory
+    * pages/link farms whose C(fan,2) pair explosion would dominate the
+    * join, so they are dropped by a left_anti against the over-cap source
+    * set (an aggregate-derived table, never driver state; lossy and
+    * DOCUMENTED — the oracle applies the same rule). Under the cap the
+    * per-source pair fanout is ≤ C(maxFanout, 2), so the self-join output
+    * is linear in sources; the pair rollup map-side combines.
+    *
+    * `links`: (src, dst); duplicates collapse first so weights count
+    * distinct sources. Returns (a, b, w) with a < b and w >= minWeight. */
+  def coCitation(links: DataFrame, maxFanout: Int, minWeight: Long): DataFrame = {
+    val l = links
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .distinct()
+    val hot = l.groupBy("src").agg(count(lit(1)).as("fan"))
+      .filter(col("fan") > maxFanout).select("src")
+    val ok = graft.CacheBin.persist(l.join(hot, Seq("src"), "left_anti"))
+    ok.as("x").join(ok.as("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .groupBy(col("x.dst").as("a"), col("y.dst").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minWeight)
+  }
+
   /** Common-neighbor link-prediction scoring (the integer-exact core of
     * Liben-Nowell & Kleinberg 2003): for each CANDIDATE pair, the number
     * of shared neighbors in the undirected simple graph plus both
