@@ -3572,6 +3572,30 @@ object Queries {
               count(*) AS n, round(sum(value), 2) AS sum_value
               FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""")),
 
+    // burst detection (Temporal.bursts): a 5-min event window bursts
+    // when its count beats 1.5x the mean of its key's 3 previous
+    // non-empty windows — integer cross-multiplied (n*3*2 > trail*3),
+    // so both engines decide identically. One count exchange + one
+    // per-key lag-frame window.
+    "q_burst" -> Q(
+      (s, d) => graft.ops.Temporal.bursts(
+          t(s, d, "events"), "event_type",
+          expr("unix_micros(cast(ts as timestamp)) div 300000000"),
+          baseline = 3, num = 3L, den = 2L)
+        .orderBy("event_type", "win"),
+      Some("""WITH c AS (SELECT event_type, epoch_us(ts)//300000000 AS win,
+                  count(*) AS n
+                FROM events GROUP BY 1, 2)
+              SELECT event_type, win, n,
+                coalesce(sum(n) OVER t, 0) AS trail,
+                count(n) OVER t AS trail_w,
+                count(n) OVER t = 3 AND
+                  n*3*2 > coalesce(sum(n) OVER t, 0)*3 AS burst
+              FROM c
+              WINDOW t AS (PARTITION BY event_type ORDER BY win
+                           ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+              ORDER BY event_type, win""")),
+
     // ================= temporal join family (ops.Temporal) ==============
     // as-of join: "which crawl revision was live at time t" over the
     // input_hint's (url, warc_ts) history — the temporal twin of

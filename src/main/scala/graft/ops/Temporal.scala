@@ -167,6 +167,36 @@ object Temporal {
     * the final rollup first collapses to DISTINCT (user, cohort, age) —
     * map-side — so the count-distinct never ships raw events. Output is
     * bounded by cohorts × max-age, never corpus-sized. */
+  /** Burst detection over keyed event-count windows (the integer-exact
+    * core of Kleinberg 2002's bursty-stream model, as a threshold rule):
+    * window w of key k bursts when its count exceeds num/den × the mean
+    * of the key's `baseline` previous NON-EMPTY windows — the
+    * trending-topic / crawl-anomaly signal. The comparison is the integer
+    * cross-multiplication n·baseline·den > trail·num, so engines cannot
+    * disagree on a division grid; windows without a full trailing history
+    * never burst (warm-up is explicit, not NULL-dependent).
+    *
+    * Shape: one map-side-combined count exchange to (key, window) rows —
+    * the value DOMAIN, not the corpus — then lag-frame sums over the
+    * per-key window order ([[sessionize]]'s one-exchange-one-sort
+    * discipline; per-key cost = that key's own window count, and a hot
+    * key's windows are bounded by the time range, not the event volume).
+    *
+    * Returns (key, win, n, trail, trail_w, burst). */
+  def bursts(events: DataFrame, key: String, win: Column,
+      baseline: Int, num: Long, den: Long): DataFrame = {
+    val counts = events.groupBy(col(key), win.as("win"))
+      .agg(count(lit(1)).as("n"))
+    val frame = Window.partitionBy(key).orderBy("win")
+      .rowsBetween(-baseline, -1)
+    counts
+      .withColumn("trail", coalesce(sum("n").over(frame), lit(0L)))
+      .withColumn("trail_w", count(lit(1)).over(frame))
+      .withColumn("burst",
+        col("trail_w") === baseline &&
+          col("n") * baseline * den > col("trail") * num)
+  }
+
   def retentionCohorts(events: DataFrame, key: String,
       bucket: org.apache.spark.sql.Column): DataFrame = {
     val acts = events.select(col(key).as("u"), bucket.as("b"))
