@@ -3543,6 +3543,31 @@ object Queries {
       Some("""SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS fp_group
               FROM documents ORDER BY doc_id""")),
 
+    // winnowing fingerprints (text/Winnow.fingerprints): min-hash-per-
+    // window k-gram selection (the MOSS rule), k=4, w=5 — packed-BIGINT
+    // rightmost-min ties, 40-bit md5 gram hashes, all in-row HOF math.
+    // The oracle replays the identical packing with a window frame.
+    "q_winnow" -> Q(
+      (s, d) => graft.text.Winnow.fingerprints(
+          t(s, d, "documents"), col("doc_id"), col("text"), k = 4, w = 5)
+        .orderBy("id", "pos"),
+      Some("""WITH toks AS (SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS l
+                FROM documents),
+              g AS (SELECT doc_id, i,
+                      ('0x' || substr(md5(array_to_string(l[i+1 : i+4], ' ')),
+                        1, 12))::BIGINT % 1099511627776 * 32768
+                        + (32767 - i) AS pk
+                    FROM (SELECT doc_id, l, unnest(range(len(l) - 3)) AS i
+                          FROM toks WHERE len(l) >= 4)),
+              sel AS (SELECT DISTINCT doc_id,
+                        min(pk) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS s
+                      FROM g)
+              SELECT doc_id AS id, 32767 - s % 32768 AS pos,
+                s // 32768 AS gram_hash
+              FROM sel ORDER BY id, pos""")),
+
     // STREAMING flagship: the cell-join + native-PIP tile assignment run as
     // a Structured Streaming query (stream-static broadcast join + tumbling
     // window counts, memory sink) — gated by the same closed-form diamond
