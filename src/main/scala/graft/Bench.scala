@@ -28,7 +28,7 @@ object Bench {
     "q_hits", "q_tfidf", "q_importance", "q_bpe_merges",
     "q_asof_join", "q_range_join", "q_sessionize",
     "q_bloom_probe", "q_mirror_hosts", "q_crawl_diff", "q_cmsketch", "q_hll_registers",
-    "q_politeness", "q_host_components", "q_cc_incr", "q_walk_sample", "q_nbr_agg", "q_skipgram", "q_skipgram_neg", "q_link_predict", "q_chunk", "q_cocitation", "q_burst", "q_winnow",
+    "q_politeness", "q_host_components", "q_cc_incr", "q_walk_sample", "q_nbr_agg", "q_skipgram", "q_skipgram_neg", "q_link_predict", "q_chunk", "q_cocitation", "q_burst", "q_winnow", "q_winnow_pairs",
     "q_edit_dedup", "q_bm25", "q_degree_dist",
     "q_containment", "q_redirects", "q_triangles", "q_weighted_sample",
     "q_transitions", "q_robots", "q_retention", "q_funnel", "q_kcore",

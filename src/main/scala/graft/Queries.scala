@@ -3568,6 +3568,52 @@ object Queries {
                 s // 32768 AS gram_hash
               FROM sel ORDER BY id, pos""")),
 
+    // winnow near-dup pairs (Winnow.nearDupPairs — the MOSS matching
+    // step): a derived corpus where each group of 3 docs shares its
+    // anchor's 30-token prefix, so intra-group pairs MUST share selected
+    // hashes; hashes in >10 docs are boilerplate-capped. The oracle
+    // rebuilds the derived corpus and replays the whole selection+join.
+    "q_winnow_pairs" -> Q(
+      (s, d) => {
+        val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val anchors = base.select(col("doc_id").as("aid"), col("text").as("atext"))
+        val derived = base.withColumn("aid", expr("doc_id div 3 * 3"))
+          .join(anchors, "aid")
+          .select(col("doc_id"), concat_ws(" ",
+            array_join(slice(filter(split(col("atext"), " "),
+              t => length(t) > lit(0)), 1, 30), " "),
+            col("text")).as("text"))
+        graft.text.Winnow.nearDupPairs(derived, col("doc_id"), col("text"),
+            k = 4, w = 5, minShared = 2L, maxHashDocs = 10L)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH base AS (SELECT doc_id, text FROM documents),
+              der AS (SELECT b.doc_id,
+                        array_to_string(list_filter(string_split(a.text, ' '),
+                          x -> x <> '')[1:30], ' ') || ' ' || b.text AS text
+                      FROM base b JOIN base a ON a.doc_id = b.doc_id // 3 * 3),
+              toks AS (SELECT doc_id,
+                         list_filter(string_split(text, ' '), x -> x <> '') AS l
+                       FROM der),
+              g AS (SELECT doc_id, i,
+                      ('0x' || substr(md5(array_to_string(l[i+1 : i+4], ' ')),
+                        1, 12))::BIGINT % 1099511627776 * 32768
+                        + (32767 - i) AS pk
+                    FROM (SELECT doc_id, l, unnest(range(len(l) - 3)) AS i
+                          FROM toks WHERE len(l) >= 4)),
+              sel AS (SELECT DISTINCT doc_id,
+                        min(pk) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS s
+                      FROM g),
+              fp AS (SELECT DISTINCT doc_id AS id, s // 32768 AS h FROM sel),
+              hot AS (SELECT h FROM fp GROUP BY h HAVING count(*) > 10),
+              ok AS (SELECT id, h FROM fp WHERE h NOT IN (SELECT h FROM hot))
+              SELECT x.id AS id_a, y.id AS id_b, count(*) AS shared
+              FROM ok x JOIN ok y ON x.h = y.h AND x.id < y.id
+              GROUP BY x.id, y.id
+              HAVING count(*) >= 2
+              ORDER BY id_a, id_b""")),
+
     // STREAMING flagship: the cell-join + native-PIP tile assignment run as
     // a Structured Streaming query (stream-static broadcast join + tumbling
     // window counts, memory sink) — gated by the same closed-form diamond

@@ -59,6 +59,23 @@ class WinnowSpec extends AnyFunSuite {
     assert((h10 & h20).nonEmpty)
   }
 
+  test("near-dup pairs find planted shared prefixes and honor the cap") {
+    val shared = (0 until 20).map(i => s"sh$i").mkString(" ")
+    val boiler = (0 until 20).map(i => s"bp$i").mkString(" ")
+    // docs 1-3 share a 20-token run; docs 4-5 are unrelated; ALL docs
+    // carry the same boilerplate run, which the cap must neutralize
+    val docs = Seq(
+      1L -> s"$boiler $shared a1 a2 a3",
+      2L -> s"b1 $boiler $shared b2",
+      3L -> s"c1 c2 $shared $boiler",
+      4L -> s"$boiler d1 d2 d3 d4 d5 d6 d7 d8",
+      5L -> s"e1 e2 e3 e4 e5 e6 e7 e8 $boiler")
+    val got = Winnow.nearDupPairs(docs.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), 4, 5, minShared = 2L, maxHashDocs = 4L)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("every w-window of gram positions contains a selection") {
     val text = (0 until 60).map(i => s"t${i % 17}").mkString(" ")
     val sel = Winnow.fingerprints(Seq(5L -> text).toDF("doc_id", "text"),
