@@ -46,11 +46,19 @@ object Winnow {
     val hMod = 1099511627776L // 2^40
     val packed = transform(grams,
       (g, i) => TextFns.hash48(g) % hMod * 32768L + (lit(32767L) - i))
+    // empty docs: the end-position sequence must be guarded (Spark's
+    // sequence(0, -1) runs DESCENDING, yielding null minima) — the guard
+    // lives inside the generator expression so `_pk` stays a single
+    // bound reference (a separate Filter would inline and re-evaluate
+    // the whole packed expression); explode of the empty array then
+    // drops the row by itself
     docs
       .select(idCol.as("id"), packed.as("_pk"))
-      .where(arraySize(col("_pk")) > 0)
       .select(col("id"), explode(array_distinct(
-        transform(sequence(lit(0), arraySize(col("_pk")) - 1),
+        transform(
+          when(arraySize(col("_pk")) > 0,
+            sequence(lit(0), arraySize(col("_pk")) - 1))
+            .otherwise(array().cast("array<int>")),
           p => array_min(slice(col("_pk"), greatest(p - w + 2, lit(1)),
             least(lit(w), p + 1)))))).as("_sel"))
       .select(col("id"),
