@@ -37,8 +37,10 @@ object Queries {
         S2Grid.coverDiamond(clat, clon, r, level).map(c => (c, k, clat, clon, r))
       }).toDF("cell", "region_id", "clat", "clon", "rr")
 
+  // Spread.scan repairs the single-task scan of the sandbox's one-file
+  // tables (guide §2.5) — identity at production split counts
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    graft.sources.Spread.scan(s.read.parquet(s"$dir/$name.parquet"))
 
   // ---- shared synthetic-geo SQL fragments -------------------------------
   private val ptsCte = s"WITH pts AS (${SynthGeo.pointsSql})"
@@ -300,17 +302,20 @@ object Queries {
     // admin-boundary join -> per-(region, lang) rollup. One codegen'd
     // scan feeds the broadcast cell join; the ONLY corpus exchange is the
     // final partial-agg pair on (region_id, lang). The oracle composes
-    // the url CTE chain with the trig-free region algebra.
+    // the url CTE chain with the trig-free region algebra. r06: the only
+    // consumer of the canonical url here is the host test, so the filter
+    // runs UrlOps.hostOfRaw (one regex, documented ≡ hostOf∘normalize)
+    // and the unused canonicalization chain drops out of the scan.
     "q_geo_pipeline" -> Q(
       (s, d) => {
         val docs = t(s, d, "documents").select(
           col("doc_id"), col("lang"), col("n_chars"),
-          graft.ops.UrlOps.normalize(graft.ops.UrlOps.messyUrl(
-            expr("doc_id div 4"), col("doc_id"))).as("url_norm"),
+          graft.ops.UrlOps.messyUrl(
+            expr("doc_id div 4"), col("doc_id")).as("url"),
           SynthGeo.latColOf(col("doc_id")).as("lat"),
           SynthGeo.lonColOf(col("doc_id")).as("lon"))
         docs
-          .filter(!graft.ops.UrlOps.hostOf(col("url_norm"))
+          .filter(!graft.ops.UrlOps.hostOfRaw(col("url"))
             .isin(graft.ops.UrlOps.BlockedHosts: _*))
           .withColumn("cell", S2Grid.cellCol(col("lat"), col("lon"), 6))
           .join(broadcast(geoRegionSide(s, 6)), "cell")
@@ -346,12 +351,16 @@ object Queries {
     // equals-batch theorem, checked by DuckDB.
     "q_geo_incr" -> Q(
       (s, d) => {
+        // blocklist test on the RAW url (hostOfRaw ≡ hostOf∘normalize, one
+        // regex) so blocked rows never pay the canonicalization chain
         val pages = t(s, d, "documents").select(
           col("doc_id"), col("lang"), col("n_chars"),
-          graft.ops.UrlOps.normalize(graft.ops.UrlOps.messyUrl(
-            expr("doc_id div 4"), col("doc_id"))).as("url_norm"))
-          .filter(!graft.ops.UrlOps.hostOf(col("url_norm"))
+          graft.ops.UrlOps.messyUrl(
+            expr("doc_id div 4"), col("doc_id")).as("u"))
+          .filter(!graft.ops.UrlOps.hostOfRaw(col("u"))
             .isin(graft.ops.UrlOps.BlockedHosts: _*))
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            graft.ops.UrlOps.normalize(col("u")).as("url_norm"))
         val base = pages.filter(col("doc_id") % 7 =!= 3)
         val batch = pages.filter(col("doc_id") % 7 === 3)
         // the stored state tables (at scale: url-bucketed parquet stages)

@@ -2,6 +2,7 @@ package graft.ops
 
 import scala.collection.mutable
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.geom.{Geom, Pt}
 import graft.layers.Building
@@ -103,9 +104,12 @@ object Adjacency {
     * Both steps preserve connectivity exactly (every emitted edge joins
     * two already-connected nodes; every dropped edge is re-implied via m),
     * and labels are min-ids — deterministic at any parallelism. Each round
-    * is a handful of fixed-width (16-byte) shuffles on ≤ |E| rows; |E|
-    * contracts toward one edge per non-root vertex so late rounds are
-    * cheap; lineage is cut and Catalyst stats reset per round (ckFresh).
+    * is exactly THREE fixed-width (16-byte) exchanges on ≤ 2|E| rows (one
+    * hash-partition per star phase whose neighborhood min is an unordered
+    * in-partition window — the phase's aggregate and re-attachment share
+    * the one exchange — plus the canonical distinct); |E| contracts toward
+    * one edge per non-root vertex so late rounds are cheap; lineage is cut
+    * and Catalyst stats reset per round (ckFresh).
     * Convergence = consecutive edge sets equal. The per-round edge count
     * rides the checkpoint materialization as an accumulator (ONE job per
     * round, no separate count action); when consecutive counts match, an
@@ -148,25 +152,32 @@ object Adjacency {
     var stable = prevCnt == 0L
     while (!stable && it < maxIter) {
       it += 1
-      // large-star over the symmetric view
+      // Each star phase is ONE exchange: the neighborhood minimum is an
+      // unordered window over the partitioning the phase needs anyway, so
+      // the aggregate+re-attach join of the textbook formulation (two
+      // extra exchanges and an intermediate distinct per phase) collapses
+      // into a single hash-partition + in-partition min (guide §2.4 —
+      // operations keyed the same way share one exchange).
       val sym = e.select(col("u").as("a"), col("v").as("b"))
         .union(e.select(col("v").as("a"), col("u").as("b")))
-      val mL = sym.groupBy(col("a")).agg(least(min(col("b")), first(col("a"))).as("m"))
-      // NOT checkpointed: e1 feeds both small-star consumers below, and
-      // its distinct's exchange is shared between them (ReusedExchange,
-      // spec-pinned) — plan depth stays bounded because e is checkpointed
-      // every round
-      val e1 = sym.where(col("b") > col("a"))
-        .join(mL, Seq("a"))
+      // large-star: m = min(closed neighborhood of a); larger neighbors
+      // re-attach to m. Duplicate (u, v) rows (two a's sharing both m and
+      // a larger neighbor) are harmless — min() below ignores them and
+      // the canonical distinct collapses them before the count.
+      val e1 = sym
+        .withColumn("m", least(col("a"),
+          min(col("b")).over(Window.partitionBy("a"))))
+        .where(col("b") > col("a"))
         .select(col("b").as("u"), col("m").as("v"))
-        .where(col("u") =!= col("v")).distinct()
+        .where(col("u") =!= col("v"))
       // small-star over the hi→lo orientation (every neighbor here < u,
-      // so m = min(N⁻(u)) and u itself re-attaches to m)
-      val mS = e1.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val withM = e1.join(mS, Seq("u"))
-      val (e2, cnt) = ckCount(withM
-        .select(col("v").as("n"), col("m"))
-        .union(withM.select(col("u").as("n"), col("m")))
+      // so m = min(N⁻(u)); the smaller neighbors and u itself re-attach)
+      val (e2, cnt) = ckCount(e1
+        .withColumn("m", min(col("v")).over(Window.partitionBy("u")))
+        .select(explode(array(
+          struct(col("v").as("n"), col("m").as("m")),
+          struct(col("u").as("n"), col("m").as("m")))).as("s"))
+        .select(col("s.n").as("n"), col("s.m").as("m"))
         .where(col("n") =!= col("m"))
         .select(greatest(col("n"), col("m")).as("u"), least(col("n"), col("m")).as("v"))
         .distinct(), it.toString)

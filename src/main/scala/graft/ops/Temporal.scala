@@ -167,6 +167,17 @@ object Temporal {
     * the final rollup first collapses to DISTINCT (user, cohort, age) —
     * map-side — so the count-distinct never ships raw events. Output is
     * bounded by cohorts × max-age, never corpus-sized. */
+  def retentionCohorts(events: DataFrame, key: String,
+      bucket: org.apache.spark.sql.Column): DataFrame = {
+    val acts = events.select(col(key).as("u"), bucket.as("b"))
+    val first = acts.groupBy("u").agg(min("b").as("cohort"))
+    acts.join(first, "u")
+      .select(col("u"), col("cohort"), (col("b") - col("cohort")).as("age"))
+      .distinct()
+      .groupBy("cohort", "age")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Burst detection over keyed event-count windows (the integer-exact
     * core of Kleinberg 2002's bursty-stream model, as a threshold rule):
     * window w of key k bursts when its count exceeds num/den × the mean
@@ -195,17 +206,6 @@ object Temporal {
       .withColumn("burst",
         col("trail_w") === baseline &&
           col("n") * baseline * den > col("trail") * num)
-  }
-
-  def retentionCohorts(events: DataFrame, key: String,
-      bucket: org.apache.spark.sql.Column): DataFrame = {
-    val acts = events.select(col(key).as("u"), bucket.as("b"))
-    val first = acts.groupBy("u").agg(min("b").as("cohort"))
-    acts.join(first, "u")
-      .select(col("u"), col("cohort"), (col("b") - col("cohort")).as("age"))
-      .distinct()
-      .groupBy("cohort", "age")
-      .agg(count(lit(1)).as("n_users"))
   }
 
   /** Ordered k-step funnel: how many users reach each stage of

@@ -106,6 +106,19 @@ object UrlOps {
   def hostOf(urlNorm: Column): Column =
     regexp_extract(urlNorm, "^[a-z]+://([^/:?#]*)", 1)
 
+  /** Host of a RAW (not yet normalized) URL — equal to
+    * hostOf(normalize(u)) for EVERY input string: of normalize's steps,
+    * only the authority lowercasing touches characters inside the host
+    * capture (fragment stripping, :443 removal and tracking-param
+    * filtering all act at or after a delimiter — '/', ':', '?', '#' —
+    * that the capture class excludes, and a string with no scheme yields
+    * "" on both paths), so extract-then-lowercase commutes with
+    * normalize-then-extract. A blocklist filter that does not otherwise
+    * need the canonical url runs as ONE regex per row instead of the
+    * full canonicalization chain (guide §1.2: per-task work). */
+  def hostOfRaw(u: Column): Column =
+    lower(regexp_extract(u, "^[A-Za-z]+://([^/:?#]*)", 1))
+
   /** Blocklist filter + canonical-URL collapse: drop pages on blocked
     * hosts (broadcast anti join — the blocklist is the small side by
     * construction), then keep one survivor per canonical URL (groupBy on

@@ -281,8 +281,11 @@ object WebGraph {
     val spark = edges.sparkSession
     val bySrc = graft.CacheBin.persist(
       edges.repartition(col("src")).sortWithinPartitions("src"))
+    // byDst derives FROM the persisted bySrc, not from `edges`: the edge
+    // synthesis upstream (html scan + href regex extraction) runs once,
+    // and the second layout pays only its own exchange
     val byDst = graft.CacheBin.persist(
-      edges.repartition(col("dst")).sortWithinPartitions("dst"))
+      bySrc.repartition(col("dst")).sortWithinPartitions("dst"))
     val nodes = graft.CacheBin.persist(
       spark.range(n).select(col("id")).repartition(col("id"))
         .sortWithinPartitions("id"))
@@ -521,20 +524,21 @@ object WebGraph {
     *  1. TRIM: vertices with no in- or no out-edges in the active subgraph
     *     cannot sit on a cycle → settle as singletons, iterate. This alone
     *     resolves the acyclic bulk (tendrils) of a web graph.
-    *  2. COLOR: c(v) = min vertex that can reach v, by min-label
-    *     propagation WITH POINTER JUMPING — each iteration takes one edge
-    *     hop (min over in-neighbors' labels) and one label jump
-    *     (c(v) <- c(c(v)): c(v) reaches v and c(c(v)) reaches c(v), so the
-    *     composition is sound) — fixpoint in O(log diameter) iterations,
-    *     same discipline as [[UrlOps.resolveRedirects]].
-    *  3. SETTLE: within each color class {v : c(v) = p} the label p is the
-    *     class minimum and its own pivot (c(p) = p). t(v) = min vertex v
-    *     REACHES through same-class vertices, by the same hop+jump
-    *     propagation over the class-restricted edge subset. Every vertex
-    *     on a v→p path inside class p has color exactly p (a smaller
-    *     ancestor of the path would be a smaller ancestor of p itself), so
-    *     t(v) = p  ⟺  v reaches p in-class  ⟺  p and v are mutually
-    *     reachable  ⟺  v ∈ SCC(p). Settle those, drop them, repeat.
+    *  2. FW/BW: fw(v) = min vertex that can reach v, bw(v) = min vertex v
+    *     can reach (min-label propagation WITH POINTER JUMPING — each
+    *     iteration takes one edge hop and one label jump c(v) <- c(c(v)),
+    *     fixpoint in O(log diameter) iterations, same discipline as
+    *     [[UrlOps.resolveRedirects]]; bw runs the same kernel on the
+    *     reversed edges). The two propagations are INDEPENDENT, so they
+    *     run as concurrent jobs (guide §2.6 — the second propagation
+    *     back-fills the first's stragglers instead of waiting).
+    *  3. SETTLE: v settles with scc_id m iff fw(v) = bw(v) = m. Soundness:
+    *     m reaches v and v reaches m, so v ∈ SCC(m). Completeness per
+    *     SCC: ancestors and descendants are SCC-invariant sets, so fw and
+    *     bw are constant across an SCC — either a whole SCC settles or
+    *     none of it does, and the settled m is that SCC's minimum id. The
+    *     SCC holding the remaining graph's global minimum always has
+    *     fw = bw = that minimum, so every round settles at least one SCC.
     *
     * Outer rounds are bounded by the chain depth of the SCC DAG after
     * trimming — small on web graphs (one giant core + shallow cyclic
@@ -544,7 +548,14 @@ object WebGraph {
     *
     * 100 TB shape: every step is an equi-join / aggregate on 8-byte keys
     * (no windows, no sorts); per-iteration state is one long per vertex;
-    * lineage is cut per iteration with localCheckpoint. */
+    * lineage is cut per iteration with localCheckpoint. r06: settled SCCs
+    * accumulate in a buffer unioned once at the end (no per-round
+    * re-materialization of never-changing rows), trim candidates come
+    * from one endpoint-degree aggregate instead of two distincts + join,
+    * and every emptiness/convergence decision rides a checkpoint
+    * materialization as an accumulator count (a retried task can only
+    * inflate a count, never fake the zero the decisions read), so no
+    * separate probe actions run inside the loops. */
   def scc(rawEdges: DataFrame, maxRounds: Int = 30, maxIters: Int = 64): DataFrame = {
     val spark = rawEdges.sparkSession
     import spark.implicits._
@@ -557,42 +568,79 @@ object WebGraph {
       val c = df.localCheckpoint()
       spark.createDataFrame(c.rdd, c.schema)
     }
-    var edges = ck(rawEdges
+    // checkpoint + row count riding the SAME materialization (the
+    // alternating-star ckCount idiom): retries only inflate the count,
+    // zero is exact — so emptiness decisions cost no extra action
+    val ctr = new java.util.concurrent.atomic.AtomicLong
+    def ck2Count(df: DataFrame, tag: String): (DataFrame, Long) = {
+      val acc = spark.sparkContext.longAccumulator(s"scc_rows_${tag}_${ctr.incrementAndGet()}")
+      val c = ck(df.as[(Long, Long)].map { r => acc.add(1L); r }
+        .toDF(df.columns(0), df.columns(1)))
+      (c, acc.value)
+    }
+    def ck1Count(df: DataFrame, tag: String): (DataFrame, Long) = {
+      val acc = spark.sparkContext.longAccumulator(s"scc_rows_${tag}_${ctr.incrementAndGet()}")
+      val c = ck(df.as[Long].map { r => acc.add(1L); r }.toDF(df.columns(0)))
+      (c, acc.value)
+    }
+    var (edges, nEdges) = ck2Count(rawEdges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .filter(col("src") =!= col("dst")).distinct())
+      .filter(col("src") =!= col("dst")).distinct(), "edges")
     // vertex set from the RAW edges (a self-loop-only vertex is a valid
     // singleton SCC and must still be labeled)
-    var verts = ck(rawEdges.select(col("src").cast("long").as("v"))
+    var (verts, nVerts) = ck1Count(rawEdges.select(col("src").cast("long").as("v"))
       .unionByName(rawEdges.select(col("dst").cast("long").as("v")))
-      .distinct())
-    var settled = spark.range(0).select(col("id").as("v"), col("id").as("scc_id"))
+      .distinct(), "verts")
+    // settled SCCs accumulate as a buffer of already-checkpointed frames;
+    // the single union at the end reads each exactly once (re-checkpointing
+    // the union every round was one extra full-materialization job per
+    // round for data that never changes again)
+    val settled = scala.collection.mutable.ArrayBuffer
+      .empty[DataFrame]
     var outer = 0
-    while (outer < maxRounds && !verts.isEmpty) {
+    while (outer < maxRounds && nVerts > 0L) {
       outer += 1
       // ---- (1) trim acyclic fringe to fixpoint ----
+      // cyclic candidates via ONE degree-style aggregate over both edge
+      // endpoints (has in- AND out-edges) instead of two distincts + join
       var trimming = true
       var trims = 0
-      while (trimming) {
+      while (trimming && nVerts > 0L) {
         trims += 1
         require(trims <= maxIters, s"scc trim still peeling after $maxIters rounds")
-        val cyclicCand = edges.select(col("src").as("v")).distinct()
-          .join(edges.select(col("dst").as("v")).distinct(), Seq("v"))
-        val trivial = ck(verts.join(cyclicCand, Seq("v"), "left_anti"))
-        if (trivial.isEmpty) trimming = false
+        val cyclicCand = edges
+          .select(explode(array(
+            struct(col("src").as("v"), lit(1).as("o"), lit(0).as("i")),
+            struct(col("dst").as("v"), lit(0).as("o"), lit(1).as("i")))).as("s"))
+          .groupBy(col("s.v").as("v"))
+          .agg(max(col("s.o")).as("ho"), max(col("s.i")).as("hi"))
+          .where(col("ho") === 1 && col("hi") === 1)
+          .select("v")
+        val (trivial, nTrivial) = ck1Count(
+          verts.join(cyclicCand, Seq("v"), "left_anti"), s"trim$outer$trims")
+        if (nTrivial == 0L) trimming = false
         else {
-          settled = ck(settled
-            .unionByName(trivial.select(col("v"), col("v").as("scc_id"))))
-          verts = ck(verts.join(trivial, Seq("v"), "left_anti"))
-          edges = ck(edges
+          settled += trivial.select(col("v"), col("v").as("scc_id"))
+          val (v2, nv) = ck1Count(verts.join(trivial, Seq("v"), "left_anti"),
+            s"trimv$outer$trims")
+          verts = v2; nVerts = nv
+          val (e2, ne) = ck2Count(edges
             .join(trivial.select(col("v").as("src")), Seq("src"), "left_anti")
-            .join(trivial.select(col("v").as("dst")), Seq("dst"), "left_anti"))
+            .join(trivial.select(col("v").as("dst")), Seq("dst"), "left_anti"),
+            s"trime$outer$trims")
+          edges = e2; nEdges = ne
         }
       }
-      if (!verts.isEmpty) {
+      if (nVerts > 0L) {
         // ---- (2) color: min ancestor via hop + pointer jump ----
         // convergence rides the checkpoint's own materialization job as an
         // accumulator side effect (no separate probe action per iteration;
-        // task retries can only inflate a NONZERO count, never fake a zero)
+        // task retries can only inflate a NONZERO count, never fake a zero).
+        // The hop/jump attachments stay JOINS on purpose: the label table
+        // is node-sized, so AQE broadcasts it at bench scale (zero
+        // exchange) and splits it at corpus scale — a measured r06 attempt
+        // to fold them into one union-of-messages aggregate forced real
+        // shuffles where AQE had been broadcasting and ran 20% slower.
         def minPropagate(hopEdges: DataFrame, tag: String): DataFrame = {
           var lbl = ck(verts.select(col("v"), col("v").as("c")))
           var fixed = false
@@ -621,28 +669,37 @@ object WebGraph {
           }
           lbl
         }
-        val color = minPropagate(edges, "color")
-        // ---- (3) settle each pivot's SCC: min in-class DESCENDANT ----
-        val classEdges = ck(edges
-          .join(color.select(col("v").as("src"), col("c").as("csrc")), Seq("src"))
-          .join(color.select(col("v").as("dst"), col("c").as("cdst")), Seq("dst"))
-          .filter(col("csrc") === col("cdst"))
-          // t propagates from dst back to src: reverse the class edges so
-          // the same minPropagate kernel walks the OUT direction
-          .select(col("dst").as("src"), col("src").as("dst")))
-        val reach = minPropagate(classEdges, "reach").withColumnRenamed("c", "t")
-        val comp = ck(reach.join(color, Seq("v"))
+        // fw and bw share no state: run them as concurrent driver-thread
+        // jobs so the scheduler interleaves their (tiny, barrier-heavy)
+        // iteration stages instead of serializing two full propagations
+        val exec = java.util.concurrent.Executors.newFixedThreadPool(2)
+        val (fw, bw) = try {
+          val ec = scala.concurrent.ExecutionContext.fromExecutor(exec)
+          val fFw = scala.concurrent.Future(minPropagate(edges, "fw"))(ec)
+          val fBw = scala.concurrent.Future(minPropagate(
+            edges.select(col("dst").as("src"), col("src").as("dst")), "bw"))(ec)
+          (scala.concurrent.Await.result(fFw, scala.concurrent.duration.Duration.Inf),
+            scala.concurrent.Await.result(fBw, scala.concurrent.duration.Duration.Inf))
+        } finally exec.shutdown()
+        // ---- (3) settle where min-ancestor == min-descendant ----
+        val comp = ck(fw.join(bw.withColumnRenamed("c", "t"), Seq("v"))
           .filter(col("t") === col("c"))
           .select(col("v"), col("c").as("scc_id")))
-        settled = ck(settled.unionByName(comp))
-        verts = ck(verts.join(comp, Seq("v"), "left_anti"))
-        edges = ck(edges
+        settled += comp
+        val (v2, nv) = ck1Count(verts.join(comp, Seq("v"), "left_anti"),
+          s"settlev$outer")
+        verts = v2; nVerts = nv
+        val (e2, ne) = ck2Count(edges
           .join(comp.select(col("v").as("src")), Seq("src"), "left_anti")
-          .join(comp.select(col("v").as("dst")), Seq("dst"), "left_anti"))
+          .join(comp.select(col("v").as("dst")), Seq("dst"), "left_anti"),
+          s"settlee$outer")
+        edges = e2; nEdges = ne
       }
     }
-    require(verts.isEmpty, s"scc did not settle all vertices within $maxRounds outer rounds")
-    settled
+    require(nVerts == 0L, s"scc did not settle all vertices within $maxRounds outer rounds")
+    settled.foldLeft(
+      spark.range(0).select(col("id").as("v"), col("id").as("scc_id")))(
+      (acc, df) => acc.unionByName(df))
   }
 
   /** Co-citation projection (Small 1973, the structural mirror-detection

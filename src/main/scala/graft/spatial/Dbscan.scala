@@ -47,11 +47,23 @@ object Dbscan {
     // as the SimHash combination blocks)
     val offsets = array((for (dx <- -1 to 1; dy <- -1 to 1)
       yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
+    // window prune (r06): a probe row whose MINIMUM possible distance to
+    // the target cell's rectangle already exceeds ε cannot produce a pair
+    // — point-to-interval distance per axis is two subtractions, and for
+    // corner cells it drops ~a third of probe rows before the join
+    // (exactness: only provably-empty candidates are dropped)
     val probe = points
       .select(col("id").as("ia"), col("x").as("ax"), col("y").as("ay"),
         cx.as("pcx"), cy.as("pcy"), explode(offsets).as("o"))
       .select(col("ia"), col("ax"), col("ay"),
         (col("pcx") + col("o.dx")).as("cx"), (col("pcy") + col("o.dy")).as("cy"))
+      .where {
+        val dxm = greatest(lit(0.0), col("cx") * lit(eps) - col("ax"),
+          col("ax") - (col("cx") + 1) * lit(eps))
+        val dym = greatest(lit(0.0), col("cy") * lit(eps) - col("ay"),
+          col("ay") - (col("cy") + 1) * lit(eps))
+        dxm * dxm + dym * dym <= lit(eps2)
+      }
     val dist2 = (col("ax") - col("bx")) * (col("ax") - col("bx")) +
       (col("ay") - col("by")) * (col("ay") - col("by"))
     // ordered pairs (ia, ib), each exactly once; persisted — three
@@ -132,6 +144,16 @@ object Dbscan {
       yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
     val dist2 = (col("ax") - col("bx")) * (col("ax") - col("bx")) +
       (col("ay") - col("by")) * (col("ay") - col("by"))
+    // window prune (r06, same proof as dbscan's): drop probe rows whose
+    // point-to-cell-rectangle distance exceeds ε — on the Chebyshev-2
+    // 25-cell window roughly half the ring cells are provably out of
+    // reach for any given point position
+    def cellPrune(ax: org.apache.spark.sql.Column, ay: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column = {
+      val dxm = greatest(lit(0.0), col("cx") * lit(s) - ax, ax - (col("cx") + 1) * lit(s))
+      val dym = greatest(lit(0.0), col("cy") * lit(s) - ay, ay - (col("cy") + 1) * lit(s))
+      dxm * dxm + dym * dym <= lit(eps2)
+    }
     val build = tagged.select(col("id").as("ib"), col("x").as("bx"),
       col("y").as("by"), col("cx"), col("cy"), col("dense").as("bdense"),
       col("snid").as("bsnid"))
@@ -142,6 +164,7 @@ object Dbscan {
         col("cx").as("hx"), col("cy").as("hy"), explode(offsets).as("o"))
       .select(col("ia"), col("ax"), col("ay"),
         (col("hx") + col("o.dx")).as("cx"), (col("hy") + col("o.dy")).as("cy"))
+      .where(cellPrune(col("ax"), col("ay")))
       .join(build, Seq("cx", "cy"))
       .where(col("ia") =!= col("ib") && dist2 <= lit(eps2))
       .select(col("ia"), col("ib"), col("bdense"), col("bsnid")))
@@ -158,6 +181,7 @@ object Dbscan {
       .where(col("o.dx") =!= 0L || col("o.dy") =!= 0L)
       .select(col("ax"), col("ay"), col("asnid"),
         (col("hx") + col("o.dx")).as("cx"), (col("hy") + col("o.dy")).as("cy"))
+      .where(cellPrune(col("ax"), col("ay")))
       .join(build.where(col("bdense")), Seq("cx", "cy"))
       .where(col("asnid") < col("bsnid") && dist2 <= lit(eps2))
       .groupBy(col("asnid").as("a"), col("bsnid").as("b")).agg(count(lit(1)))

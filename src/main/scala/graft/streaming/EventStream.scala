@@ -13,6 +13,56 @@ import org.apache.spark.sql.types.StructType
   */
 object EventStream {
 
+  /** Scratch root for EPHEMERAL streaming state (the run-once harness
+    * drains a bounded backfill into a memory sink and discards the
+    * checkpoint). The default temp dir sits on a disk filesystem, and
+    * HDFS-backed state store commits fsync per partition per store per
+    * micro-batch — measured 430 s of task time at 10 s of task CPU on the
+    * interval join (guide §7.4 "blocked on I/O", §5). A RAM-backed tmpfs
+    * removes the sync stalls; durability is irrelevant by construction
+    * here (a crash restarts the whole bounded run). Production streams
+    * with real recovery contracts pass their own durable
+    * checkpointLocation — [[GeoPipeline.appendStream]] still does. */
+  def scratchDir(prefix: String): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val base =
+      if (java.nio.file.Files.isDirectory(shm) &&
+        java.nio.file.Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    java.nio.file.Files.createTempDirectory(base, prefix).toString
+  }
+
+  /** Start a query with checkpoint-file CHECKSUMMING off (Spark 4.1
+    * writes + awaits a checksum companion file for every state-store
+    * delta through a shared pool — thread dumps showed the interval
+    * join's tasks parked in ChecksumCheckpointFileManager.awaitResult
+    * for 97% of task time: 430 s task / 10 s CPU per run). Corruption
+    * detection on a checkpoint that is DISCARDED at the end of the
+    * bounded run protects nothing; durable streams
+    * ([[graft.pipeline.GeoPipeline.appendStream]]) keep the default. The
+    * conf is read at query start, so it is restored immediately after. */
+  private def startUnchecksummed(spark: SparkSession)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // second layer, same diagnosis: Hadoop's local FileContext wraps
+    // file:// in ChecksumFs, so every state-store delta commit renames
+    // TWO files and stats them through forked `stat` processes —
+    // RawLocalFs is the same local filesystem without the .crc companion
+    // machinery. Both confs are captured when the query starts and
+    // restored right after.
+    val keys = Seq(
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false",
+      "spark.hadoop.fs.AbstractFileSystem.file.impl" ->
+        "org.apache.hadoop.fs.local.RawLocalFs")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try start
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** Tumbling 5-minute windowed counts/sums, streaming flavor. */
   def windowedAgg(events: DataFrame): DataFrame =
     events
@@ -159,8 +209,9 @@ object EventStream {
     val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
       .filter(col("doc_id") % 2 === 0)
       .select("doc_id", "text")
-    val q = nearDupFilter(stream, corpus).writeStream
-      .outputMode("append").format("memory").queryName(queryName).start()
+    val q = startUnchecksummed(spark)(nearDupFilter(stream, corpus).writeStream
+      .option("checkpointLocation", scratchDir("graft_neardup_cp_"))
+      .outputMode("append").format("memory").queryName(queryName).start())
     q.processAllAvailable()
     q.stop()
     spark.table(queryName)
@@ -211,11 +262,12 @@ object EventStream {
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
     val name = s"zone_windows_${runSeq.incrementAndGet()}"
-    val q = zoneWindowCounts(stream, zones, grid).writeStream
+    val q = startUnchecksummed(spark)(zoneWindowCounts(stream, zones, grid).writeStream
+      .option("checkpointLocation", scratchDir("graft_zonewin_cp_"))
       .outputMode("complete")
       .format("memory")
       .queryName(name)
-      .start()
+      .start())
     q.processAllAvailable()
     q.stop()
     spark.table(name)
@@ -232,11 +284,12 @@ object EventStream {
     val keyed = stream
       .select(substring(col("text"), 1, 30).as("k"), col("doc_id"))
       .as[(String, Long)]
-    val q = streamingDedup(keyed).writeStream
+    val q = startUnchecksummed(spark)(streamingDedup(keyed).writeStream
+      .option("checkpointLocation", scratchDir("graft_dedup_cp_"))
       .outputMode("append")
       .format("memory")
       .queryName(queryName)
-      .start()
+      .start())
     q.processAllAvailable()
     q.stop()
     spark.table(queryName)
@@ -255,13 +308,13 @@ object EventStream {
       .option("pathGlobFilter", "documents.parquet")
       .parquet(sfDir)
     val name = s"host_windows_${runSeq.incrementAndGet()}"
-    val q = graft.ops.WebGraph
+    val q = startUnchecksummed(spark)(graft.ops.WebGraph
       .hostWindowCounts(graft.sources.Pages.linkedPagesFrom(stream, n))
       .writeStream
       .outputMode("complete")
       .format("memory")
       .queryName(name)
-      .start()
+      .start())
     q.processAllAvailable()
     q.stop()
     spark.table(name)
@@ -300,15 +353,16 @@ object EventStream {
   def runSessionWindowsOnce(spark: SparkSession, sfDir: String,
       gapSec: Long): DataFrame = {
     val batch = spark.read.parquet(s"$sfDir/events.parquet")
-    val dir = java.nio.file.Files.createTempDirectory("graft_sessions_").toString
+    val dir = scratchDir("graft_sessions_")
     batch.write.mode("overwrite").parquet(s"$dir/in")
     val stream = spark.readStream.schema(batch.schema).parquet(s"$dir/in")
     val name = s"session_windows_${runSeq.incrementAndGet()}"
-    val q = sessionWindowAgg(stream, gapSec).writeStream
+    val q = startUnchecksummed(spark)(sessionWindowAgg(stream, gapSec).writeStream
+      .option("checkpointLocation", scratchDir("graft_sess_cp_"))
       .outputMode("append")
       .format("memory")
       .queryName(name)
-      .start()
+      .start())
     q.processAllAvailable()
     val maxTs = batch
       .agg(max(expr("unix_micros(cast(ts as timestamp)) div 1000000")))
@@ -363,19 +417,31 @@ object EventStream {
     val i = imps
       .select(col("event_id").as("imp_id"), col(key).as("k"),
         col("ts").cast("timestamp").as("its"))
-      .withColumn("ib", (unix_micros(col("its")) / lit(maxDelaySec * 1000000L))
-        .cast("long"))
+      .withColumn("ius", unix_micros(col("its")))
+      .withColumn("ib", (col("ius") / lit(maxDelaySec * 1000000L)).cast("long"))
       .withWatermark("its", watermarkDelay)
     val c = clks
       .select(col("event_id").as("clk_id"), col(key).as("ck"),
         col("ts").cast("timestamp").as("cts"))
+      .withColumn("cus", unix_micros(col("cts")))
       .withColumn("cb", explode(array(
-        (unix_micros(col("cts")) / lit(maxDelaySec * 1000000L)).cast("long"),
-        (unix_micros(col("cts")) / lit(maxDelaySec * 1000000L)).cast("long")
-          - lit(1L))))
+        (col("cus") / lit(maxDelaySec * 1000000L)).cast("long"),
+        (col("cus") / lit(maxDelaySec * 1000000L)).cast("long") - lit(1L))))
       .withWatermark("cts", watermarkDelay)
+    // condition order matters: the symmetric hash join evaluates it
+    // INTERPRETED once per candidate row under a (key, bucket) state
+    // entry, and per-key candidate lists are horizon-dense. The first two
+    // conjuncts are plain 8-byte integer compares over the precomputed
+    // epoch-micro columns and short-circuit virtually all non-matches;
+    // the equivalent TIMESTAMP range conjuncts stay behind them because
+    // THEY are what the planner reads to derive watermark-based state
+    // eviction (state ∝ horizon) — semantically redundant, load-bearing
+    // for the unbounded-state contract.
     i.join(c,
-        i("k") === c("ck") && i("ib") === c("cb") && c("cts") > i("its") &&
+        i("k") === c("ck") && i("ib") === c("cb") &&
+          c("cus") > i("ius") &&
+          c("cus") <= i("ius") + lit(maxDelaySec * 1000000L) &&
+          c("cts") > i("its") &&
           c("cts") <= i("its") + expr(s"INTERVAL $maxDelaySec seconds"),
         joinType)
       .select(col("imp_id"),
@@ -399,8 +465,9 @@ object EventStream {
     val imps = src().filter(col("event_id") % 2 === 0)
     val clks = src().filter(col("event_id") % 2 === 1)
     val name = s"interval_join_${runSeq.incrementAndGet()}"
-    val q = intervalJoin(imps, clks, "event_type", maxDelaySec).writeStream
-      .outputMode("append").format("memory").queryName(name).start()
+    val q = startUnchecksummed(spark)(intervalJoin(imps, clks, "event_type", maxDelaySec).writeStream
+      .option("checkpointLocation", scratchDir("graft_ijoin_cp_"))
+      .outputMode("append").format("memory").queryName(name).start())
     q.processAllAvailable()
     q.stop()
     spark.table(name)
@@ -414,15 +481,16 @@ object EventStream {
   def runIntervalJoinOuterOnce(spark: SparkSession, sfDir: String,
       maxDelaySec: Long): DataFrame = {
     val batch = spark.read.parquet(s"$sfDir/events.parquet")
-    val dir = java.nio.file.Files.createTempDirectory("graft_ijoin_").toString
+    val dir = scratchDir("graft_ijoin_")
     batch.write.mode("overwrite").parquet(s"$dir/in")
     def src() = spark.readStream.schema(batch.schema).parquet(s"$dir/in")
     val imps = src().filter(col("event_id") % 2 === 0)
     val clks = src().filter(col("event_id") % 2 === 1)
     val name = s"interval_join_outer_${runSeq.incrementAndGet()}"
-    val q = intervalJoinOuter(imps, clks, "event_type", maxDelaySec,
+    val q = startUnchecksummed(spark)(intervalJoinOuter(imps, clks, "event_type", maxDelaySec,
         watermarkDelay = "0 seconds").writeStream
-      .outputMode("append").format("memory").queryName(name).start()
+      .option("checkpointLocation", scratchDir("graft_ijoino_cp_"))
+      .outputMode("append").format("memory").queryName(name).start())
     q.processAllAvailable()
     val maxUs = batch
       .agg(max(unix_micros(col("ts").cast("timestamp")))).head().getLong(0)
@@ -454,11 +522,12 @@ object EventStream {
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-    val q = windowedAgg(stream).writeStream
+    val q = startUnchecksummed(spark)(windowedAgg(stream).writeStream
+      .option("checkpointLocation", scratchDir("graft_win_cp_"))
       .outputMode("complete")
       .format("memory")
       .queryName(queryName)
-      .start()
+      .start())
     q.processAllAvailable()
     q.stop()
     spark.table(queryName)

@@ -44,7 +44,12 @@ object Winnow {
           i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
       .otherwise(array().cast("array<string>"))
     val hMod = 1099511627776L // 2^40
-    val packed = transform(grams,
+    // the packing's documented 2^15-gram bound is ENFORCED here: gram
+    // 32768 would make the position term negative and bleed into the
+    // adjacent hash value, silently corrupting fingerprints — a longer
+    // doc fingerprints its first 32768 grams (raise the shift / narrow
+    // the hash for a longer-doc corpus)
+    val packed = transform(slice(grams, 1, 32768),
       (g, i) => TextFns.hash48(g) % hMod * 32768L + (lit(32767L) - i))
     // empty docs: the end-position sequence must be guarded (Spark's
     // sequence(0, -1) runs DESCENDING, yielding null minima) — the guard
