@@ -121,17 +121,30 @@ object Adjacency {
       vertices: DataFrame, edges: DataFrame, maxIter: Int = 30): (DataFrame, Int) = {
     val spark = vertices.sparkSession
     import spark.implicits._
-    // checkpoint + edge count riding the SAME materialization job (no
-    // separate count action per round). Task retries can only INFLATE the
-    // accumulator, never shrink it, and a zero count is exact (retried
-    // empty tasks add zero) — so the count is the probe GATE only;
-    // convergence itself is always decided by the exact set-equality job
-    // below. The typed map costs one encode pass over ≤|E| 16-byte rows.
-    def ckCount(df: DataFrame, tag: String): (DataFrame, Long) = {
+    // checkpoint + edge count + an ORDER-INDEPENDENT content hash-sum
+    // riding the SAME materialization job (no separate count action per
+    // round). Task retries can only INFLATE the accumulator, never shrink
+    // it, and a zero count is exact (retried empty tasks add zero) — so
+    // count and hash-sum are the probe GATE only; convergence itself is
+    // always decided by the exact set-equality job below. The hash-sum
+    // gate matters on contraction plateaus (path graphs hold |E| constant
+    // for several rounds while the sets still churn): without it every
+    // plateau round paid the full-outer probe; with it the probe fires
+    // once, at actual convergence, up to a vanishing 2^-64-scale
+    // coincidence that would only cost one extra (exact) probe.
+    // The typed map costs one encode pass over ≤|E| 16-byte rows.
+    def ckCount(df: DataFrame, tag: String): (DataFrame, Long, Long) = {
       val acc = spark.sparkContext.longAccumulator(s"cc_edges_$tag")
+      val hacc = spark.sparkContext.longAccumulator(s"cc_hash_$tag")
       val ck = ckFresh(df.as[(Long, Long)]
-        .map { r => acc.add(1L); r }.toDF("u", "v"))
-      (ck, acc.value)
+        .map { r =>
+          acc.add(1L)
+          var z = r._1 * 0x9E3779B97F4A7C15L + r._2
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          hacc.add((z ^ (z >>> 27)) * 0x94D049BB133111EBL)
+          r
+        }.toDF("u", "v"))
+      (ck, acc.value, hacc.value)
     }
     // exact undirected-set equality: one full-outer join aggregation —
     // zero rows unmatched on either side ⟺ identical edge sets (both
@@ -144,7 +157,7 @@ object Adjacency {
         .head.getLong(0)
       mism == 0L
     }
-    var (e, prevCnt) = ckCount(edges
+    var (e, prevCnt, prevHash) = ckCount(edges
       .select(greatest(col("a").cast("long"), col("b").cast("long")).as("u"),
         least(col("a").cast("long"), col("b").cast("long")).as("v"))
       .where(col("u") =!= col("v")).distinct(), "init")
@@ -172,7 +185,7 @@ object Adjacency {
         .where(col("u") =!= col("v"))
       // small-star over the hi→lo orientation (every neighbor here < u,
       // so m = min(N⁻(u)); the smaller neighbors and u itself re-attach)
-      val (e2, cnt) = ckCount(e1
+      val (e2, cnt, h) = ckCount(e1
         .withColumn("m", min(col("v")).over(Window.partitionBy("u")))
         .select(explode(array(
           struct(col("v").as("n"), col("m").as("m")),
@@ -181,8 +194,9 @@ object Adjacency {
         .where(col("n") =!= col("m"))
         .select(greatest(col("n"), col("m")).as("u"), least(col("n"), col("m")).as("v"))
         .distinct(), it.toString)
-      stable = cnt == prevCnt && sameEdgeSet(e2, e)
+      stable = cnt == prevCnt && h == prevHash && sameEdgeSet(e2, e)
       prevCnt = cnt
+      prevHash = h
       e = e2
     }
     require(stable, s"connectedComponents still churning after $maxIter alternating-star rounds")

@@ -481,22 +481,36 @@ object WebGraph {
     * The settled table only ever APPENDS (union), so the per-round work
     * decays as the frontier burns out. */
   def bfsDepth(edges: DataFrame, seeds: DataFrame, maxRounds: Int = 30): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
     val e = edges.select(col("src"), col("dst"))
-    var dist = seeds.select(col("v"), lit(0L).as("depth")).distinct()
-      .localCheckpoint()
-    var frontier = dist
+    // settled depths accumulate as a buffer of checkpointed per-round
+    // frames (re-materializing the whole union every round re-paid a job
+    // for rows that never change); frontier emptiness rides the
+    // checkpoint materialization as an accumulator count (retries can
+    // only inflate it — a zero is exact), so no isEmpty probe per round
+    def ckCount(df: DataFrame, tag: String): (DataFrame, Long) = {
+      val acc = spark.sparkContext.longAccumulator(s"bfs_rows_$tag")
+      val c = df.as[(Long, Long)].map { r => acc.add(1L); r }
+        .toDF("v", "depth").localCheckpoint()
+      (c, acc.value)
+    }
+    val distBuf = scala.collection.mutable.ArrayBuffer(
+      seeds.select(col("v").cast("long").as("v"), lit(0L).as("depth"))
+        .distinct().localCheckpoint())
+    def dist = distBuf.reduceLeft(_ unionByName _)
+    var frontier = distBuf.head
     var round = 0
     var exhausted = false
     while (!exhausted && round < maxRounds) {
       round += 1
-      val next = frontier.join(e, frontier("v") === e("src"))
+      val (next, n) = ckCount(frontier.join(e, frontier("v") === e("src"))
         .select(e("dst").as("v"), lit(round.toLong).as("depth"))
         .distinct()
-        .join(dist, Seq("v"), "left_anti")
-        .localCheckpoint()
-      if (next.isEmpty) exhausted = true
+        .join(dist, Seq("v"), "left_anti"), round.toString)
+      if (n == 0L) exhausted = true
       else {
-        dist = dist.unionByName(next).localCheckpoint()
+        distBuf += next
         frontier = next
       }
     }

@@ -24,7 +24,15 @@ object Bucketed {
         org.apache.spark.sql.catalyst.TableIdentifier(table)))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    df.write.mode("overwrite").format("parquet")
+    // repartition on the bucket key FIRST: bucketBy writes one file per
+    // (task, bucket) pair, so an unaligned input fans out to
+    // partitions × buckets small files; hash-repartitioning to the bucket
+    // count uses the same murmur hash as the bucket-id assignment, so
+    // each task holds exactly its own bucket — `buckets` full-size files
+    // total (guide §6 output sizing), and the shuffle it costs IS the
+    // write-time shuffle the bucketed layout exists to pay once
+    df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+      .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
   }
 
@@ -40,7 +48,9 @@ object Bucketed {
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
       .bucketSpec
       .getOrElse(throw new IllegalArgumentException(s"$table is not bucketed"))
-    val w = df.write.mode("append").format("parquet")
+    val w = df.repartition(spec.numBuckets,
+        spec.bucketColumnNames.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("append").format("parquet")
       .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
         spec.bucketColumnNames.tail: _*)
     (if (spec.sortColumnNames.nonEmpty)
