@@ -37,10 +37,17 @@ object Queries {
         S2Grid.coverDiamond(clat, clon, r, level).map(c => (c, k, clat, clon, r))
       }).toDF("cell", "region_id", "clat", "clon", "rr")
 
-  // Spread.scan repairs the single-task scan of the sandbox's one-file
-  // tables (guide §2.5) — identity at production split counts
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    graft.sources.Spread.scan(s.read.parquet(s"$dir/$name.parquet"))
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // Spread.scan (guide §2.5) applied ONLY where the bench showed the scan
+  // side carries expensive per-row work (regex/md5/vector math): for
+  // cheap-scan or aggregate-first queries the extra exchange costs more
+  // than the single-task scan and defeats map-side combining (measured:
+  // a blanket spread taxed ~50 cheap queries +0.2-0.9 s each while the
+  // scan-heavy set below gained 1-9 s)
+  private def tSp(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.sources.Spread.scan(t(s, dir, name))
 
   // ---- shared synthetic-geo SQL fragments -------------------------------
   private val ptsCte = s"WITH pts AS (${SynthGeo.pointsSql})"
@@ -308,7 +315,7 @@ object Queries {
     // and the unused canonicalization chain drops out of the scan.
     "q_geo_pipeline" -> Q(
       (s, d) => {
-        val docs = t(s, d, "documents").select(
+        val docs = tSp(s, d, "documents").select(
           col("doc_id"), col("lang"), col("n_chars"),
           graft.ops.UrlOps.messyUrl(
             expr("doc_id div 4"), col("doc_id")).as("url"),
@@ -353,7 +360,7 @@ object Queries {
       (s, d) => {
         // blocklist test on the RAW url (hostOfRaw ≡ hostOf∘normalize, one
         // regex) so blocked rows never pay the canonicalization chain
-        val pages = t(s, d, "documents").select(
+        val pages = tSp(s, d, "documents").select(
           col("doc_id"), col("lang"), col("n_chars"),
           graft.ops.UrlOps.messyUrl(
             expr("doc_id div 4"), col("doc_id")).as("u"))
@@ -1537,7 +1544,7 @@ object Queries {
     // lateral ranges over the split token list.
     "q_skipgram" -> Q(
       (s, d) => graft.text.SkipGram
-        .pairCounts(t(s, d, "documents"), col("text"), window = 2)
+        .pairCounts(tSp(s, d, "documents"), col("text"), window = 2)
         .orderBy("center", "context"),
       Some("""WITH toks AS (SELECT list_filter(string_split(text, ' '),
                   x -> x <> '') AS l FROM documents),
@@ -2043,7 +2050,7 @@ object Queries {
     // shuffle equi-join on (w1,w2) — the LM table is never broadcast.
     "q_lm_ppl" -> Q(
       (s, d) => graft.text.LangModel.perplexityBuckets(
-          t(s, d, "documents"), "doc_id", "text", col("lang") === "en",
+          tSp(s, d, "documents"), "doc_id", "text", col("lang") === "en",
           headMaxUnats = 3375000L, middleMaxUnats = 3425000L)
         .orderBy("doc_id"),
       Some("""WITH t AS (SELECT doc_id, lang, string_split(text,' ') AS w FROM documents),
@@ -2809,9 +2816,9 @@ object Queries {
     // components
     "q_dedup_keep" -> Q(
       (s, d) => Dedup.keepRepresentatives(
-          t(s, d, "documents"), "doc_id",
+          tSp(s, d, "documents"), "doc_id",
           Dedup.jaccardPairsExact(
-            t(s, d, "documents"), "doc_id", "text", shingleN = 3, threshold = 0.6))
+            tSp(s, d, "documents"), "doc_id", "text", shingleN = 3, threshold = 0.6))
         .orderBy("doc_id"),
       Some("""WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
               x AS (SELECT doc_id, w, unnest(range(1, greatest(len(w)-1, 2))) AS i FROM t),
@@ -2955,7 +2962,7 @@ object Queries {
     // docs with the eval side as the only driver-adjacent data
     "q_decontaminate" -> Q(
       (s, d) => Dedup.decontaminate(
-          t(s, d, "documents"), "doc_id", "text",
+          tSp(s, d, "documents"), "doc_id", "text",
           col("doc_id") < 32, n = 4)
         .orderBy("doc_id"),
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -3072,7 +3079,7 @@ object Queries {
     // aggregate on the 8-byte hash, hit join on that constant-width key,
     // per-doc interval union — the oracle replays it on the gram strings
     "q_dup_spans" -> Q(
-      (s, d) => Dedup.dupSpans(t(s, d, "documents"), "doc_id", "text", n = 5)
+      (s, d) => Dedup.dupSpans(tSp(s, d, "documents"), "doc_id", "text", n = 5)
         .orderBy("doc_id"),
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
               x AS (SELECT doc_id, unnest(range(1, len(w) - 3)) AS i, w
@@ -3097,7 +3104,7 @@ object Queries {
     "q_corpus_clean" -> Q(
       (s, d) => {
         val toks = split(col("text"), " ")
-        val docs = t(s, d, "documents")
+        val docs = tSp(s, d, "documents")
         // persisted: four consumers read the filter cascade (pair prefix,
         // pair verify sets, closure vertices, token-count join) — without
         // the cache each would re-run the langId scoring scan
@@ -3222,7 +3229,7 @@ object Queries {
     "q_dedup_simhash" -> Q(
       (s, d) => {
         import s.implicits._
-        val docs = t(s, d, "documents")
+        val docs = tSp(s, d, "documents")
           .select(col("doc_id"),
             filter(split(col("text"), " "), x => length(x) > lit(0)).as("toks"))
           .filter(size(col("toks")) > 0)
@@ -3291,7 +3298,7 @@ object Queries {
     // the REMOVED docs with their cluster. Pair work is n²/nlist, the
     // cluster join is an equi-join, components are alternating-star rounds
     "q_semdedup" -> Q(
-      (s, d) => Similarity.semDeDup(t(s, d, "embeddings"), "vec_id", "embedding",
+      (s, d) => Similarity.semDeDup(tSp(s, d, "embeddings"), "vec_id", "embedding",
           threshold = 0.35, nlist = 16, iters = 0,
           seedHash = Similarity.md5SeedHash)
         .orderBy("vec_id"),
@@ -3337,7 +3344,7 @@ object Queries {
     // exact brute-force nearest neighbors over embeddings (cosine)
     "q_nn_exact" -> Q(
       (s, d) => Similarity
-        .bruteForceTopK(t(s, d, "embeddings"), "vec_id", "embedding", 3)
+        .bruteForceTopK(tSp(s, d, "embeddings"), "vec_id", "embedding", 3)
         .orderBy("vec_id", "rank"),
       Some("""SELECT vec_id, rank, nbr_id FROM (
                 SELECT a.vec_id, b.vec_id AS nbr_id,
@@ -3355,7 +3362,7 @@ object Queries {
     // the exactness proof at the gate.
     "q_nn_blocked" -> Q(
       (s, d) => Similarity
-        .exactTopK(t(s, d, "embeddings"), "vec_id", "embedding", 3)
+        .exactTopK(tSp(s, d, "embeddings"), "vec_id", "embedding", 3)
         .orderBy("vec_id", "rank"),
       Some("""SELECT vec_id, rank, nbr_id FROM (
                 SELECT a.vec_id, b.vec_id AS nbr_id,
@@ -3373,7 +3380,7 @@ object Queries {
     // auto-nBits scale path keeps its recall-vs-scan spec.
     "q_ann_topk" -> Q(
       (s, d) => Similarity
-        .annTopK(t(s, d, "embeddings"), "vec_id", "embedding", 3, nBits = 4)
+        .annTopK(tSp(s, d, "embeddings"), "vec_id", "embedding", 3, nBits = 4)
         .orderBy("vec_id", "rank"),
       Some(s"""WITH h(b, d, w) AS (VALUES $annPlanesSql),
               comp AS (
@@ -3558,7 +3565,7 @@ object Queries {
     // The oracle replays the identical packing with a window frame.
     "q_winnow" -> Q(
       (s, d) => graft.text.Winnow.fingerprints(
-          t(s, d, "documents"), col("doc_id"), col("text"), k = 4, w = 5)
+          tSp(s, d, "documents"), col("doc_id"), col("text"), k = 4, w = 5)
         .orderBy("id", "pos"),
       Some("""WITH toks AS (SELECT doc_id,
                   list_filter(string_split(text, ' '), x -> x <> '') AS l
@@ -3584,7 +3591,7 @@ object Queries {
     // rebuilds the derived corpus and replays the whole selection+join.
     "q_winnow_pairs" -> Q(
       (s, d) => {
-        val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val base = tSp(s, d, "documents").select(col("doc_id"), col("text"))
         val anchors = base.select(col("doc_id").as("aid"), col("text").as("atext"))
         val derived = base.withColumn("aid", expr("doc_id div 3 * 3"))
           .join(anchors, "aid")
@@ -3723,7 +3730,7 @@ object Queries {
     // oracle is the bare inequality join the tiled plan replaces.
     "q_range_join" -> Q(
       (s, d) => {
-        val iv = t(s, d, "documents").select(
+        val iv = tSp(s, d, "documents").select(
             col("doc_id").as("interval_id"),
             (lit(1704067200L) + (col("doc_id") % 96) * 900L).as("start_s"),
             (lit(1704067200L) + (col("doc_id") % 96) * 900L
@@ -3838,7 +3845,7 @@ object Queries {
     "q_dbscan" -> Q(
       (s, d) => {
         val id = col("event_id")
-        val pts = t(s, d, "events").select(id.as("id"),
+        val pts = tSp(s, d, "events").select(id.as("id"),
           (graft.text.TextFns.hash48(concat(lit("x:"), id.cast("string")))
             % 10000 / lit(100.0)).as("x"),
           (graft.text.TextFns.hash48(concat(lit("y:"), id.cast("string")))
@@ -3881,7 +3888,7 @@ object Queries {
     "q_dbscan_dense" -> Q(
       (s, d) => {
         val id = col("event_id")
-        val pts = t(s, d, "events").select(id.as("id"),
+        val pts = tSp(s, d, "events").select(id.as("id"),
           (graft.text.TextFns.hash48(concat(lit("x:"), id.cast("string")))
             % 10000 / lit(100.0)).as("x"),
           (graft.text.TextFns.hash48(concat(lit("y:"), id.cast("string")))
@@ -4033,7 +4040,7 @@ object Queries {
     "q_ripley" -> Q(
       (s, d) => {
         val id = col("event_id")
-        val pts = t(s, d, "events").select(id.as("id"),
+        val pts = tSp(s, d, "events").select(id.as("id"),
           (graft.text.TextFns.hash48(concat(lit("x:"), id.cast("string")))
             % 10000 / lit(100.0)).as("x"),
           (graft.text.TextFns.hash48(concat(lit("y:"), id.cast("string")))
@@ -4204,7 +4211,7 @@ object Queries {
     // multiply-only exact-quantile cutoff rule.
     "q_ccnet_bucket" -> Q(
       (s, d) => graft.text.LangModel.ccnetBuckets(
-          t(s, d, "documents"), "doc_id", "text", "lang",
+          tSp(s, d, "documents"), "doc_id", "text", "lang",
           col("doc_id") % 10 === 0)
         .orderBy("doc_id"),
       Some("""WITH t AS (SELECT doc_id, lang, doc_id % 10 = 0 AS is_ref,

@@ -27,7 +27,7 @@ object Media {
     * (seeded splitmix over byte index) — binary column + typed metadata. */
   def synth(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    graft.sources.Spread.scan(spark.read.parquet(s"$sfDir/documents.parquet"))
+    spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("n_chars"))
       .as[(Long, Long)]
       .map { case (id, n) =>
@@ -65,7 +65,7 @@ object Media {
     * lengths as [[synth]]. */
   def synthMd5(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    graft.sources.Spread.scan(spark.read.parquet(s"$sfDir/documents.parquet"))
+    spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("n_chars"))
       .as[(Long, Long)]
       .map { case (id, n) =>
@@ -138,7 +138,7 @@ object Media {
 
   /** Deterministic synthetic video table (duration derives from n_chars). */
   def synthVideo(spark: SparkSession, sfDir: String): DataFrame =
-    graft.sources.Spread.scan(spark.read.parquet(s"$sfDir/documents.parquet"))
+    spark.read.parquet(s"$sfDir/documents.parquet")
       .select(
         col("doc_id"),
         (lit(1000L) + col("n_chars") % 60 * 1000L).as("duration_ms"),
@@ -175,7 +175,7 @@ object Media {
   def synthPixels(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val n = PhRows * PhCols
-    graft.sources.Spread.scan(spark.read.parquet(s"$sfDir/documents.parquet"))
+    spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id")).as[Long]
       .map { id =>
         val md = java.security.MessageDigest.getInstance("MD5")

@@ -19,7 +19,7 @@ object Pages {
 
   /** documents -> pages(url, warc_ts, html, text, lang). */
   def fromDocuments(spark: SparkSession, sfDir: String): DataFrame =
-    Spread.scan(spark.read.parquet(s"$sfDir/documents.parquet"))
+    spark.read.parquet(s"$sfDir/documents.parquet")
       .select(
         concat(lit("https://synth.example/doc/"), col("doc_id")).as("url"),
         to_timestamp(lit("2024-01-01 00:00:00")).as("warc_ts"),
@@ -44,7 +44,7 @@ object Pages {
     * the Spark side must recover it from the bytes with real regex
     * extraction (WebGraph.hostEdges). */
   def fromDocumentsLinked(spark: SparkSession, sfDir: String, n: Long): DataFrame =
-    linkedPagesFrom(Spread.scan(spark.read.parquet(s"$sfDir/documents.parquet")), n)
+    linkedPagesFrom(spark.read.parquet(s"$sfDir/documents.parquet"), n)
 
   /** The same linked-page synthesis as a pure column map over any
     * documents-shaped frame — batch OR streaming (the streaming link

@@ -23,7 +23,7 @@ object SynthGeo {
   /** Points from events: x = ((event_id*7919) % 10000)/100. */
   def points(spark: SparkSession, sfDir: String): Dataset[IdPoint] = {
     import spark.implicits._
-    graft.sources.Spread.scan(spark.read.parquet(s"$sfDir/events.parquet"))
+    spark.read.parquet(s"$sfDir/events.parquet")
       .select(
         col("event_id").as("id"),
         (col("event_id") * lit(7919L) % lit(10000L) / lit(100.0)).as("x"),
@@ -124,7 +124,7 @@ object SynthGeo {
     * id%3 row band (so the y-overlap with that row's zones is exactly 4). */
   def parcelParams(spark: SparkSession, sfDir: String): Dataset[(Long, Double, Double)] = {
     import spark.implicits._
-    graft.sources.Spread.scan(spark.read.parquet(s"$sfDir/events.parquet"))
+    spark.read.parquet(s"$sfDir/events.parquet")
       .select(
         col("event_id").as("id"),
         (col("event_id") * lit(7919L) % lit(9000L) / lit(100.0)).as("px0"),
@@ -165,7 +165,7 @@ object SynthGeo {
 
   /** Geotags from events: lat = ((event_id*7919)%17600)/100 - 88.005. */
   def geoTags(spark: SparkSession, sfDir: String): DataFrame =
-    graft.sources.Spread.scan(spark.read.parquet(s"$sfDir/events.parquet"))
+    spark.read.parquet(s"$sfDir/events.parquet")
       .select(
         col("event_id").as("id"),
         latColOf(col("event_id")).as("lat"),
