@@ -3730,7 +3730,7 @@ object Queries {
     // oracle is the bare inequality join the tiled plan replaces.
     "q_range_join" -> Q(
       (s, d) => {
-        val iv = tSp(s, d, "documents").select(
+        val iv = t(s, d, "documents").select(
             col("doc_id").as("interval_id"),
             (lit(1704067200L) + (col("doc_id") % 96) * 900L).as("start_s"),
             (lit(1704067200L) + (col("doc_id") % 96) * 900L

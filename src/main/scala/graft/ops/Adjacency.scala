@@ -72,10 +72,8 @@ object Adjacency {
     * pointer-jump rounds). Rebuilding the frame from the checkpointed RDD
     * resets to the conservative default estimate each round (runtime join
     * strategy stays AQE-decided, so no planning quality is lost). */
-  private def ckFresh(df: DataFrame): DataFrame = {
-    val ck = df.localCheckpoint()
-    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
-  }
+  private def ckFresh(df: DataFrame): DataFrame =
+    org.apache.spark.sql.GraftRddBridge.freshStatsCopy(df.localCheckpoint())
 
   /** Connected components via the ALTERNATING-STAR algorithm (the
     * two-phase scheme of Kiveris et al., "Connected Components in

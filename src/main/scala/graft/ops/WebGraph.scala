@@ -578,10 +578,8 @@ object WebGraph {
     // multiplies them into a planner-killing BigInteger (the failure
     // Adjacency.ckFresh documents) — rebuild each checkpoint from its RDD
     // so every iteration starts from the conservative default estimate.
-    def ck(df: DataFrame): DataFrame = {
-      val c = df.localCheckpoint()
-      spark.createDataFrame(c.rdd, c.schema)
-    }
+    def ck(df: DataFrame): DataFrame =
+      org.apache.spark.sql.GraftRddBridge.freshStatsCopy(df.localCheckpoint())
     // checkpoint + row count riding the SAME materialization (the
     // alternating-star ckCount idiom): retries only inflate the count,
     // zero is exact — so emptiness decisions cost no extra action
