@@ -215,9 +215,10 @@ object UrlOps {
     * 20 rounds, and each round is ONE equi-join exchange of constant-width
     * rows (same discipline as Adjacency.connectedComponents, which this
     * operator's directed cousin). Lineage is cut per round
-    * (localCheckpoint) so the plan never grows; convergence is detected
-    * by the same join's match count (an aggregate on the round's own
-    * output, no extra scan of the edge table).
+    * (localCheckpoint) so the plan never grows; the moved-row count rides
+    * that materialization as an accumulator (no per-round count action —
+    * a zero is exact under task retries, a nonzero inflation only buys an
+    * idempotent extra round, and the final resolved flag never reads it).
     *
     * CONTRACT: the edge set must be acyclic (real crawlers break redirect
     * loops at fetch time; a loop here would ping-pong forever). The
@@ -237,24 +238,37 @@ object UrlOps {
     require(multi.isEmpty,
       s"resolveRedirects needs a functional graph (one dst per src); " +
         s"offending srcs: ${multi.map(_.get(0)).mkString(",")}")
+    val spark = edges.sparkSession
     var st = uniq.select(col("src"), col("dst").as("cur"), lit(1L).as("hops"))
       .localCheckpoint()
     var live = 1L
     var iter = 0
     while (live > 0 && iter < maxIters) {
-      val nxt = st.as("a").join(
-          st.select(col("src").as("b_src"), col("cur").as("b_cur"),
-            col("hops").as("b_hops")),
-          col("a.cur") === col("b_src"), "left")
-        .select(col("a.src"),
-          coalesce(col("b_cur"), col("a.cur")).as("cur"),
-          (col("a.hops") + coalesce(col("b_hops"), lit(0L))).as("hops"),
-          col("b_src").isNotNull.as("moved"))
-        .localCheckpoint()
+      // the moved-count rides the checkpoint materialization as an
+      // accumulator (the components-loop idiom: retries can only inflate
+      // it, a zero is exact), so no separate count action per round
+      val acc = spark.sparkContext.longAccumulator(s"redirects_live_$iter")
+      val nxt = {
+        val joined = st.as("a").join(
+            st.select(col("src").as("b_src"), col("cur").as("b_cur"),
+              col("hops").as("b_hops")),
+            col("a.cur") === col("b_src"), "left")
+          .select(col("a.src"),
+            coalesce(col("b_cur"), col("a.cur")).as("cur"),
+            (col("a.hops") + coalesce(col("b_hops"), lit(0L))).as("hops"),
+            col("b_src").isNotNull.as("moved"))
+        val outSchema = org.apache.spark.sql.types.StructType(
+          joined.schema.fields.dropRight(1))
+        joined.map { r =>
+          if (r.getBoolean(3)) acc.add(1L)
+          org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2))
+        }(org.apache.spark.sql.Encoders.row(outSchema))
+          .localCheckpoint()
+      }
       // a row that jumped this round might still point at a redirecting
       // src; a row that did NOT jump is terminal (its cur had no entry)
-      live = nxt.filter(col("moved")).count()
-      st = nxt.drop("moved")
+      live = acc.value
+      st = nxt
       iter += 1
     }
     // per-row resolution flag: exact even when maxIters cut a loop short —

@@ -439,6 +439,12 @@ object WebGraph {
     * guards pathological chains and FAILS LOUDLY rather than returning a
     * non-core subgraph. */
   def kCore(rawEdges: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
+    // convergence stays on EXACT per-round counts (not the accumulator
+    // idiom of the components loop): here the count comparison IS the
+    // final answer's correctness condition and has no exact backstop
+    // probe behind it, so a retry-inflated reading could declare a
+    // non-fixpoint subgraph converged. Two small jobs per round is the
+    // price of the guarantee.
     var und = rawEdges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))

@@ -135,6 +135,17 @@ object Dbscan {
       .agg(count(lit(1)).as("m"), min(col("id")).as("snid"))
       .select(col("cx"), col("cy"),
         (col("m") >= lit(minPts.toLong)).as("dense"), col("snid"))
+    // density dispatch (r06, the AQE principle applied to the grid
+    // constant): when NO cell reaches minPts, the contraction machinery
+    // has zero supernodes to contract and every point takes the sparse
+    // path over the FINER s-grid's 25-cell window — strictly more probe
+    // volume than [[dbscan]]'s ε-grid 3×3 for an identical (spec- and
+    // oracle-pinned) result. One cheap aggregate decides; hotspot-skewed
+    // inputs (the regime this operator exists for — see ScaleDbscan)
+    // keep the contraction path.
+    val nDense = cellStats0.filter(col("dense"))
+      .agg(count(lit(1))).head().getLong(0)
+    if (nDense == 0L) return dbscan(points, eps, minPts)
     val tagged = graft.CacheBin.persist(points
       .select(col("id"), col("x"), col("y"),
         floor(col("x") / lit(s)).cast("long").as("cx"),
