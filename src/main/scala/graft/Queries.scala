@@ -359,7 +359,12 @@ object Queries {
     "q_geo_incr" -> Q(
       (s, d) => {
         // blocklist test on the RAW url (hostOfRaw ≡ hostOf∘normalize, one
-        // regex) so blocked rows never pay the canonicalization chain
+        // regex) so blocked rows never pay the canonicalization chain.
+        // NOT persisted: an r06 A/B (pages cache vs recompute) measured a
+        // wash locally — the base/batch branches' duplicate messyUrl+host
+        // work is one regex pass, while the cache materialization races
+        // the concurrent broadcast-build jobs and would pin a corpus-wide
+        // projection at production scale
         val pages = tSp(s, d, "documents").select(
           col("doc_id"), col("lang"), col("n_chars"),
           graft.ops.UrlOps.messyUrl(
@@ -3836,8 +3841,9 @@ object Queries {
               ORDER BY imp_id, clk_id""")),
 
     // grid-bucketed DBSCAN over md5-synthesized page geotags: candidate
-    // pairs from ONE ε-cell equi-join (3×3 literal-offset explode on the
-    // probe side — each ordered pair exactly once), map-side-combined
+    // pairs from ONE ε-cell equi-join (forward-half literal-offset explode
+    // on the probe side — each unordered pair exactly once, mirrored after
+    // the join), map-side-combined
     // degree agg, alternating-star components over CORE points only, border =
     // min core-neighbor label (deterministic refinement of the textbook's
     // scan-order rule). Oracle replays the same ε-graph + recursive
@@ -3884,7 +3890,10 @@ object Queries {
     // side eps/1.5 with >= minPts points are all-core supernodes — no
     // intra-cell pair volume, degree agg over sparse probes only, component
     // graph one vertex per dense cell. EXACT rewrite: gated on the SAME
-    // recursive min-label oracle as q_dbscan, same input.
+    // recursive min-label oracle as q_dbscan, same input. r06: a
+    // cost-model dispatch (candidate-pair volume from cell occupancy, no
+    // tuned constants) picks between the contraction and the plain ε-grid
+    // plan — both exact, result identical either way.
     "q_dbscan_dense" -> Q(
       (s, d) => {
         val id = col("event_id")

@@ -55,8 +55,11 @@ object ScaleDbscan {
     val t0 = System.nanoTime()
     val pts = if (hotspot) hotspotDf(spark, n, cores * 2)
       else pointsDf(spark, n, cores * 2)
-    val out = if (dense) graft.spatial.Dbscan.dbscanDense(pts, eps, minPts)
-      else graft.spatial.Dbscan.dbscan(pts, eps, minPts)
+    // dense=true means "measure the CONTRACTION plan" — force it so the
+    // cost-model dispatch cannot route the sweep to the plain plan
+    val out = if (dense)
+      graft.spatial.Dbscan.dbscanDense(pts, eps, minPts, forceContraction = true)
+    else graft.spatial.Dbscan.dbscan(pts, eps, minPts)
     val row = out.agg(
       sum(when(col("role") === "core", 1L).otherwise(0L)),
       sum(when(col("role") === "border", 1L).otherwise(0L)),

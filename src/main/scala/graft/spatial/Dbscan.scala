@@ -12,11 +12,15 @@ import org.apache.spark.sql.functions._
   *
   * Plan shape, built for 10^12 points:
   *  - candidate pairs come from ONE equi-join on ε-grid cells: the probe
-  *    side replicates each point into its 3×3 neighbor cells (a constant
-  *    9× explode — literal offsets, stays in codegen), the build side keeps
-  *    each point in its home cell, so every ordered pair within ε appears
-  *    EXACTLY once (the neighbor's home cell is unique) — no distinct, and
-  *    per-cell width is density-bounded, constant at fixed point density.
+  *    side replicates each point into the FORWARD HALF of its 3×3
+  *    neighborhood (home cell + 4 lexicographically-forward neighbors — a
+  *    constant 5× explode, literal offsets, stays in codegen), the build
+  *    side keeps each point in its home cell, so every UNORDERED pair
+  *    within ε appears EXACTLY once (same-cell pairs deduplicated by
+  *    ia < ib; for distinct cells exactly one offset direction is
+  *    forward) — no distinct, per-cell width density-bounded, and the
+  *    ordered neighbor stream is a mirror PROJECTION of the cached pair
+  *    set, so the join shuffles and computes half the candidates.
   *  - neighbor counts are one map-side-combined groupBy on the pair stream.
   *  - core flags never leave the executors; the ε-graph restricted to core
   *    points feeds the alternating-star components
@@ -43,19 +47,28 @@ object Dbscan {
     val cy = floor(col("y") / lit(eps)).cast("long")
     val home = points.select(col("id").as("ib"), col("x").as("bx"),
       col("y").as("by"), cx.as("cx"), cy.as("cy"))
-    // 3×3 replication as a literal-array explode (codegen-safe, same trick
-    // as the SimHash combination blocks)
-    val offsets = array((for (dx <- -1 to 1; dy <- -1 to 1)
-      yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
+    // half-window replication (r06, guide §2.3 — shuffle fewer bytes): the
+    // join produces each UNORDERED pair exactly once and the ordered
+    // neighbor stream is recovered by mirroring the (cached) result, so
+    // the probe side replicates into 5 cells instead of 9 — the home cell
+    // (same-cell pairs, deduplicated by ia < ib) plus the lexicographically
+    // FORWARD half of the 8 neighbors: for any two DISTINCT Chebyshev-1
+    // cells exactly one of the two offset directions (δ vs −δ) is forward,
+    // so every cross-cell pair lands in exactly one probe row's join cell.
+    // Literal-array explode as before (codegen-safe, the SimHash trick).
+    val offsets = array(Seq((0L, 0L), (0L, 1L), (1L, -1L), (1L, 0L), (1L, 1L))
+      .map { case (dx, dy) =>
+        struct(lit(dx).as("dx"), lit(dy).as("dy")) }: _*)
     // window prune (r06): a probe row whose MINIMUM possible distance to
     // the target cell's rectangle already exceeds ε cannot produce a pair
-    // — point-to-interval distance per axis is two subtractions, and for
-    // corner cells it drops ~a third of probe rows before the join
-    // (exactness: only provably-empty candidates are dropped)
+    // — point-to-interval distance per axis is two subtractions
+    // (exactness: only provably-empty candidates are dropped; the home
+    // cell passes trivially at distance 0)
     val probe = points
       .select(col("id").as("ia"), col("x").as("ax"), col("y").as("ay"),
         cx.as("pcx"), cy.as("pcy"), explode(offsets).as("o"))
       .select(col("ia"), col("ax"), col("ay"),
+        (col("o.dx") === 0L && col("o.dy") === 0L).as("same"),
         (col("pcx") + col("o.dx")).as("cx"), (col("pcy") + col("o.dy")).as("cy"))
       .where {
         val dxm = greatest(lit(0.0), col("cx") * lit(eps) - col("ax"),
@@ -66,22 +79,32 @@ object Dbscan {
       }
     val dist2 = (col("ax") - col("bx")) * (col("ax") - col("bx")) +
       (col("ay") - col("by")) * (col("ay") - col("by"))
-    // ordered pairs (ia, ib), each exactly once; persisted — three
-    // consumers (degree agg, core-core edges, border assignment)
-    val pairs = graft.CacheBin.persist(
+    // unordered pairs, each exactly once; persisted — every consumer reads
+    // the cache, the mirror below is a projection of it (NOT a re-join)
+    val unordered = graft.CacheBin.persist(
       probe.join(home, Seq("cx", "cy"))
-        .where(col("ia") =!= col("ib") && dist2 <= lit(eps2))
+        .where((!col("same") || col("ia") < col("ib")) &&
+          col("ia") =!= col("ib") && dist2 <= lit(eps2))
         .select(col("ia"), col("ib")))
+    // ordered neighbor stream (both directions) for degree counts and
+    // border assignment — ONE cache scan with a 2-way explode, not a
+    // self-union (whose two branches would each scan/compute the cache)
+    val pairs = unordered
+      .select(explode(array(
+        struct(col("ia"), col("ib")),
+        struct(col("ib").as("ia"), col("ia").as("ib")))).as("p"))
+      .select(col("p.ia").as("ia"), col("p.ib").as("ib"))
     val deg = pairs.groupBy(col("ia").as("id")).agg(count(lit(1)).as("nn"))
     val core = points.select(col("id"))
       .join(deg, Seq("id"), "left")
       .where(coalesce(col("nn"), lit(0L)) + lit(1L) >= lit(minPts.toLong))
       .select(col("id"))
     val coreB = graft.CacheBin.persist(core)
-    // ε-graph restricted to core endpoints (each undirected edge appears in
-    // both orders in `pairs`; components only need one, ia < ib)
-    val coreEdges = pairs
-      .where(col("ia") < col("ib"))
+    // ε-graph restricted to core endpoints: `unordered` already holds each
+    // undirected edge exactly once — normalize to id order for components
+    val coreEdges = unordered
+      .select(least(col("ia"), col("ib")).as("ia"),
+        greatest(col("ia"), col("ib")).as("ib"))
       .join(coreB.withColumnRenamed("id", "ia"), Seq("ia"), "left_semi")
       .join(coreB.withColumnRenamed("id", "ib"), Seq("ib"), "left_semi")
       .select(col("ia").as("a"), col("ib").as("b"))
@@ -120,32 +143,63 @@ object Dbscan {
     * (via the contracted graph's smaller diameter) the round count.
     *
     * Exactness: the candidate window is Chebyshev ≤ 2 in the s-grid
-    * (25 literal offsets; ε = 1.5s so an axis gap > 2 cells means
-    * distance > 2s = 1.33ε) — every ε-pair appears exactly once per
-    * direction (the home cell is unique). Output is row-identical to
+    * (ε = 1.5s so an axis gap > 2 cells means distance > 2s = 1.33ε) —
+    * the per-point sparse-probe stream covers all 25 offsets (sparse
+    * points need their full neighbor lists), while the dense↔dense
+    * supernode stream probes only the 12 forward offsets and normalizes
+    * with least/greatest (each witness pair exactly once). Output is
+    * row-identical to
     * [[dbscan]]: same roles, same min-core-id clusters, same min-label
     * border rule (q_dbscan_dense is gated on the SAME oracle replay).
     */
-  def dbscanDense(points: DataFrame, eps: Double, minPts: Int): DataFrame = {
+  /** @param forceContraction skip the cost-model dispatch and always run
+    *   the contraction plan — a test/operations hook (the specs use it to
+    *   pin the contraction machinery on clouds the dispatch would route
+    *   to the plain plan; both routes are result-identical) */
+  def dbscanDense(points: DataFrame, eps: Double, minPts: Int,
+      forceContraction: Boolean = false): DataFrame = {
     val eps2 = eps * eps
     val s = eps / 1.5
-    val cellStats0 = points
+    // ONE pass over the points builds BOTH grids' occupancy: each point
+    // has exactly one (s-cell, ε-cell) combo (≤4 combo rows per s-cell
+    // where the coarser ε boundary crosses it), so the combo rollup
+    // re-aggregates into the s-grid stats the contraction needs AND the
+    // ε-grid stats the dispatch needs without a second corpus scan
+    val combo = graft.CacheBin.persist(points
       .groupBy(floor(col("x") / lit(s)).cast("long").as("cx"),
-        floor(col("y") / lit(s)).cast("long").as("cy"))
-      .agg(count(lit(1)).as("m"), min(col("id")).as("snid"))
-      .select(col("cx"), col("cy"),
-        (col("m") >= lit(minPts.toLong)).as("dense"), col("snid"))
-    // density dispatch (r06, the AQE principle applied to the grid
-    // constant): when NO cell reaches minPts, the contraction machinery
-    // has zero supernodes to contract and every point takes the sparse
-    // path over the FINER s-grid's 25-cell window — strictly more probe
-    // volume than [[dbscan]]'s ε-grid 3×3 for an identical (spec- and
-    // oracle-pinned) result. One cheap aggregate decides; hotspot-skewed
-    // inputs (the regime this operator exists for — see ScaleDbscan)
-    // keep the contraction path.
-    val nDense = cellStats0.filter(col("dense"))
-      .agg(count(lit(1))).head().getLong(0)
-    if (nDense == 0L) return dbscan(points, eps, minPts)
+        floor(col("y") / lit(s)).cast("long").as("cy"),
+        floor(col("x") / lit(eps)).cast("long").as("ex"),
+        floor(col("y") / lit(eps)).cast("long").as("ey"))
+      .agg(count(lit(1)).as("m"), min(col("id")).as("snid")))
+    val cellStatsM = combo.groupBy("cx", "cy")
+      .agg(sum("m").as("m"), min("snid").as("snid"))
+    val cellStats0 = cellStatsM.select(col("cx"), col("cy"),
+      (col("m") >= lit(minPts.toLong)).as("dense"), col("snid"))
+    // ---- plan dispatch (r06, the AQE principle: pick between two EXACT,
+    // oracle-pinned plans by the work each would do — runtime stats, no
+    // tuned constants). The dispatch compares the candidate-pair volume
+    // (join-condition evaluations before the rectangle prune) each plan
+    // generates, computed EXACTLY from cell occupancy with decimal sums
+    // (order-independent, overflow-safe at any scale):
+    //  * dense plan: sparse points probe the full Chebyshev-2 s-grid
+    //    window (Σ_{a sparse} m_a·Σ_{b∈25win(a)} m_b) plus the
+    //    dense↔dense forward-half witness stream
+    //    (Σ_{a dense} m_a·Σ_{b dense ∈ fwd12(a)} m_b);
+    //  * plain plan ([[dbscan]]): ε-grid forward-half window
+    //    (Σ m_a·m_b over cell pairs with b−a ∈ {0}∪fwd4).
+    // Either branch returns the identical row set (DbscanDenseSpec pins
+    // dense ≡ plain on four cloud shapes), so the choice can never change
+    // the result — only the plan. Uniform sub/near-critical data picks
+    // the plain ε-grid (its 3×3 window beats the finer s-grid's 25-cell
+    // sparse probes); hotspot-skewed data picks the contraction (the
+    // intra-cell m² term the plain estimate carries is exactly what the
+    // supernodes never materialize). The estimator is join-free and
+    // occupancy-sized — one exploded union, one groupBy, one scalar
+    // aggregate, one action (see [[pairVolumeEstimates]]).
+    if (!forceContraction) {
+      val (denseEst, plainEst) = pairVolumeEstimates(combo, minPts)
+      if (plainEst.compareTo(denseEst) <= 0) return dbscan(points, eps, minPts)
+    }
     val tagged = graft.CacheBin.persist(points
       .select(col("id"), col("x"), col("y"),
         floor(col("x") / lit(s)).cast("long").as("cx"),
@@ -183,19 +237,29 @@ object Dbscan {
       .groupBy(col("ia")).agg(count(lit(1)).as("nn"))
       .where(col("nn") + lit(1L) >= lit(minPts.toLong))
       .select(col("ia").as("id")))
-    // B) dense↔dense supernode witness edges: dense probe into the window,
-    // intra-cell pairs excluded BY CONSTRUCTION (home != build cell),
-    // collapsed to one edge per supernode pair before anything shuffles on
+    // B) dense↔dense supernode witness edges: dense probe into the
+    // lexicographically FORWARD half of the Chebyshev-2 window (12 of 24
+    // neighbor cells, r06 guide §2.3 — for any two DISTINCT cells exactly
+    // one offset direction is forward, so every cross-cell witness pair is
+    // generated exactly once and snid order is recovered by
+    // least/greatest); intra-cell pairs excluded BY CONSTRUCTION (home !=
+    // build cell), collapsed to one edge per supernode pair before
+    // anything shuffles on. Distinct dense cells have disjoint point sets,
+    // so asnid != bsnid always.
+    val fwdOffsets = array((for {
+      dx <- -2L to 2L; dy <- -2L to 2L
+      if dx > 0L || (dx == 0L && dy > 0L)
+    } yield struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)
     val dd = tagged.where(col("dense"))
       .select(col("x").as("ax"), col("y").as("ay"), col("snid").as("asnid"),
-        col("cx").as("hx"), col("cy").as("hy"), explode(offsets).as("o"))
-      .where(col("o.dx") =!= 0L || col("o.dy") =!= 0L)
+        col("cx").as("hx"), col("cy").as("hy"), explode(fwdOffsets).as("o"))
       .select(col("ax"), col("ay"), col("asnid"),
         (col("hx") + col("o.dx")).as("cx"), (col("hy") + col("o.dy")).as("cy"))
       .where(cellPrune(col("ax"), col("ay")))
       .join(build.where(col("bdense")), Seq("cx", "cy"))
-      .where(col("asnid") < col("bsnid") && dist2 <= lit(eps2))
-      .groupBy(col("asnid").as("a"), col("bsnid").as("b")).agg(count(lit(1)))
+      .where(dist2 <= lit(eps2))
+      .groupBy(least(col("asnid"), col("bsnid")).as("a"),
+        greatest(col("asnid"), col("bsnid")).as("b")).agg(count(lit(1)))
       .select(col("a"), col("b"))
     // sparse-core ↔ sparse-core / ↔ dense-supernode edges from stream A
     val sFrom = spairs.join(sparseCore.withColumnRenamed("id", "ia"),
@@ -234,5 +298,78 @@ object Dbscan {
       .join(assigned.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), lit("noise").as("role"), lit(-1L).as("cluster"))
     assigned.unionByName(noise)
+  }
+
+  /** Candidate-pair volume each [[dbscanDense]] plan would evaluate,
+    * computed EXACTLY from the (s-cell, ε-cell) occupancy rollup `combo`
+    * ((cx, cy, ex, ey, m, ...)) — the cost model behind the plan
+    * dispatch. Returns (densePlanVolume, plainPlanVolume).
+    *
+    * Join-free: a window pair sum Σ_{(a,b): b−a ∈ W} m_a·m_b decomposes
+    * per TARGET cell t as m_t · (Σ_{δ∈W} m_{t−δ}), so each source cell
+    * EMITS its mass into its window targets, one groupBy collects the
+    * per-target source sums next to the target's own mass (the δ=0
+    * emission doubles as the self marker), and one scalar aggregate
+    * multiplies and totals — one exchange chain, one action, no joins.
+    * Decimal arithmetic end to end: order-independent (a deterministic
+    * plan choice at any parallelism) and overflow-safe at 10^12 points.
+    * Volumes counted exactly as the plans generate candidates:
+    *  - dense plan: sparse sources emit into all 25 Chebyshev-2 targets
+    *    (the spairs stream probes every build cell), dense sources emit
+    *    into the 12 forward targets counted only when the target is
+    *    dense (the dd witness stream);
+    *  - plain plan: every ε-cell emits into its {0}∪fwd4 targets
+    *    ([[dbscan]]'s half-window probe). */
+  private[spatial] def pairVolumeEstimates(combo: DataFrame, minPts: Int)
+      : (java.math.BigDecimal, java.math.BigDecimal) = {
+    val dec = "decimal(38,0)"
+    // s-grid emissions need the per-CELL dense flag, which no single
+    // combo slice can decide — roll up to s-cells first (cell-sized)
+    val sCells = combo.groupBy("cx", "cy").agg(sum("m").as("m"))
+      .select(col("cx"), col("cy"), col("m"),
+        (col("m") >= lit(minPts.toLong)).as("dense"))
+    val cheb2 = array((for {
+      dx <- -2L to 2L; dy <- -2L to 2L
+    } yield struct(lit(dx).as("dx"), lit(dy).as("dy"),
+      lit(dx > 0L || (dx == 0L && dy > 0L)).as("fwd"))): _*)
+    val zero = lit(0L)
+    val sEmit = sCells
+      .select(col("cx"), col("cy"), col("m"), col("dense"),
+        explode(cheb2).as("o"))
+      .select(lit("s").as("g"),
+        (col("cx") + col("o.dx")).as("tx"), (col("cy") + col("o.dy")).as("ty"),
+        when(!col("dense"), col("m")).otherwise(zero).as("cs"),
+        when(col("dense") && col("o.fwd"), col("m")).otherwise(zero).as("cd"),
+        when(col("o.dx") === 0L && col("o.dy") === 0L, col("m"))
+          .otherwise(zero).as("tm"),
+        when(col("o.dx") === 0L && col("o.dy") === 0L && col("dense"), lit(1L))
+          .otherwise(zero).as("td"))
+    val fwd5 = array(Seq((0L, 0L), (0L, 1L), (1L, -1L), (1L, 0L), (1L, 1L))
+      .map { case (dx, dy) =>
+        struct(lit(dx).as("dx"), lit(dy).as("dy")) }: _*)
+    // ε-grid emissions come straight off combo rows — masses are additive
+    // across an ε-cell's combo slices, including the δ=0 self emissions
+    val eEmit = combo
+      .select(col("ex"), col("ey"), col("m"), explode(fwd5).as("o"))
+      .select(lit("e").as("g"),
+        (col("ex") + col("o.dx")).as("tx"), (col("ey") + col("o.dy")).as("ty"),
+        col("m").as("cs"), zero.as("cd"),
+        when(col("o.dx") === 0L && col("o.dy") === 0L, col("m"))
+          .otherwise(zero).as("tm"),
+        zero.as("td"))
+    val perTarget = sEmit.unionByName(eEmit)
+      .groupBy("g", "tx", "ty")
+      .agg(sum("cs").as("ss"), sum("cd").as("sd"),
+        sum("tm").as("tm"), max("td").as("td"))
+    val r = perTarget.agg(
+      coalesce(sum(when(col("g") === "s",
+        col("tm").cast(dec) * col("ss").cast(dec) +
+          when(col("td") === 1L, col("tm").cast(dec) * col("sd").cast(dec))
+            .otherwise(lit(0).cast(dec)))), lit(0).cast(dec)).as("de"),
+      coalesce(sum(when(col("g") === "e",
+        col("tm").cast(dec) * col("ss").cast(dec))), lit(0).cast(dec)).as("pe"))
+      .head()
+    (new java.math.BigDecimal(r.getDecimal(0).toBigInteger),
+      new java.math.BigDecimal(r.getDecimal(1).toBigInteger))
   }
 }

@@ -21,6 +21,12 @@ class DbscanDenseSpec extends AnyFunSuite {
     val b = Dbscan.dbscanDense(pts, eps, minPts)
       .as[(Long, String, Long)].collect().toSet
     graft.CacheBin.drain()
+    // the contraction machinery itself must ALSO match, even on clouds the
+    // cost-model dispatch would route to the plain plan
+    val c = Dbscan.dbscanDense(pts, eps, minPts, forceContraction = true)
+      .as[(Long, String, Long)].collect().toSet
+    graft.CacheBin.drain()
+    assert(c === a)
     (a, b)
   }
 
@@ -73,6 +79,48 @@ class DbscanDenseSpec extends AnyFunSuite {
     graft.CacheBin.drain()
     assert(c === b)
     assert(a.exists(_._2 == "core") && a.exists(_._2 == "noise"))
+  }
+
+  test("pairVolumeEstimates matches brute-force cell-pair volumes") {
+    import spark.implicits._
+    val eps = 1.0; val minPts = 3; val s = eps / 1.5
+    // a dense clump (5 points in one s-cell), a sparse neighborhood, and
+    // a far singleton — exercises every estimator term
+    val pts = (Seq(
+      (1L, 0.1, 0.1), (2L, 0.2, 0.1), (3L, 0.3, 0.2), (4L, 0.15, 0.3),
+      (5L, 0.25, 0.25),
+      (10L, 0.9, 0.1), (11L, 1.5, 0.4), (12L, 0.8, 1.2),
+      (20L, 7.0, 7.0))).toDF("id", "x", "y")
+    val combo = pts.groupBy(
+      floor(col("x") / lit(s)).cast("long").as("cx"),
+      floor(col("y") / lit(s)).cast("long").as("cy"),
+      floor(col("x") / lit(eps)).cast("long").as("ex"),
+      floor(col("y") / lit(eps)).cast("long").as("ey"))
+      .agg(count(lit(1)).as("m"), min(col("id")).as("snid"))
+    val (de, pe) = Dbscan.pairVolumeEstimates(combo, minPts)
+    graft.CacheBin.drain()
+    // brute force over the same grids
+    val raw = pts.as[(Long, Double, Double)].collect()
+    def cellsOf(side: Double) = raw
+      .groupBy { case (_, x, y) =>
+        (math.floor(x / side).toLong, math.floor(y / side).toLong) }
+      .map { case (k, v) => k -> v.length.toLong }
+    val sc = cellsOf(s); val ec = cellsOf(eps)
+    val dense = sc.filter(_._2 >= minPts).keySet
+    val cheb2 = for { dx <- -2L to 2L; dy <- -2L to 2L } yield (dx, dy)
+    val fwd12 = cheb2.filter { case (dx, dy) => dx > 0 || (dx == 0 && dy > 0) }
+    val fwd5 = Seq((0L, 0L), (0L, 1L), (1L, -1L), (1L, 0L), (1L, 1L))
+    def at(m: Map[(Long, Long), Long], c: (Long, Long), d: (Long, Long)) =
+      m.getOrElse((c._1 + d._1, c._2 + d._2), 0L)
+    val deBrute = BigInt(sc.collect { case (c, m) if !dense(c) =>
+        m * cheb2.map(at(sc, c, _)).sum }.sum) +
+      BigInt(sc.collect { case (c, m) if dense(c) =>
+        m * fwd12.filter(d => dense((c._1 + d._1, c._2 + d._2)))
+          .map(at(sc, c, _)).sum }.sum)
+    val peBrute = BigInt(ec.map { case (c, m) =>
+      m * fwd5.map(at(ec, c, _)).sum }.sum)
+    assert(BigInt(de.toBigInteger) === deBrute)
+    assert(BigInt(pe.toBigInteger) === peBrute)
   }
 
   test("cell-boundary pairs at Chebyshev distance 2 in the s-grid are found") {
