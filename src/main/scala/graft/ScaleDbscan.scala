@@ -80,11 +80,17 @@ object ScaleDbscan {
     val minPts = 4
     if (sys.env.get("SPARK_GRAFT_DBSCAN_MODE").contains("compare")) {
       val cores = sys.env.getOrElse("SPARK_GRAFT_DBSCAN_CORES", "32").toInt
+      System.err.println(s"[scale-dbscan] warmup n=${n / 8}")
       timed(cores, n / 8, eps, minPts) // warmup
       val out = Seq(false, true).flatMap { hot =>
         val runs = Seq(false, true).map { dense =>
-          (if (dense) "dense" else "baseline") ->
-            Seq.fill(2)(timed(cores, n, eps, minPts, dense, hot)).minBy(_.sec)
+          val r = Seq.fill(2) {
+            System.err.println(s"[scale-dbscan] run hotspot=$hot dense=$dense n=$n")
+            timed(cores, n, eps, minPts, dense, hot)
+          }.minBy(_.sec)
+          System.err.println(s"[scale-dbscan] done hotspot=$hot dense=$dense " +
+            f"sec=${r.sec}%.2f core=${r.nCore} border=${r.nBorder} noise=${r.nNoise}")
+          (if (dense) "dense" else "baseline") -> r
         }
         val inv = runs.map(_._2)
           .map(r => (r.nCore, r.nBorder, r.nNoise, r.checksum)).distinct
@@ -104,8 +110,14 @@ object ScaleDbscan {
     }
     val pair = sys.env.getOrElse("SPARK_GRAFT_PAIR", "8,32")
       .split(",").map(_.trim.toInt).toSeq
-    timed(pair.head, n / 8, eps, minPts) // warmup
-    val runs = pair.map(c => c -> Seq.fill(2)(timed(c, n, eps, minPts)).minBy(_.sec))
+    // SPARK_GRAFT_DBSCAN_HOTSPOT=1 sweeps the CONTRACTION plan on the
+    // hotspot-skewed cloud — the regime where the plain baseline's
+    // all-pairs clump volume no longer fits this sandbox at full n (the
+    // 250k compare battery covers both variants on both clouds)
+    val hot = sys.env.contains("SPARK_GRAFT_DBSCAN_HOTSPOT")
+    timed(pair.head, n / 8, eps, minPts, dense = hot, hotspot = hot) // warmup
+    val runs = pair.map(c => c ->
+      Seq.fill(2)(timed(c, n, eps, minPts, dense = hot, hotspot = hot)).minBy(_.sec))
     val checks = runs.map(_._2)
       .map(r => (r.nCore, r.nBorder, r.nNoise, r.checksum)).distinct
     require(checks.size == 1,

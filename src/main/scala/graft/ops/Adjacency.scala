@@ -2,7 +2,6 @@ package graft.ops
 
 import scala.collection.mutable
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.geom.{Geom, Pt}
 import graft.layers.Building
@@ -101,13 +100,17 @@ object Adjacency {
     *
     * Both steps preserve connectivity exactly (every emitted edge joins
     * two already-connected nodes; every dropped edge is re-implied via m),
-    * and labels are min-ids — deterministic at any parallelism. Each round
-    * is exactly THREE fixed-width (16-byte) exchanges on ≤ 2|E| rows (one
-    * hash-partition per star phase whose neighborhood min is an unordered
-    * in-partition window — the phase's aggregate and re-attachment share
-    * the one exchange — plus the canonical distinct); |E| contracts toward
-    * one edge per non-root vertex so late rounds are cheap; lineage is cut
-    * and Catalyst stats reset per round (ckFresh).
+    * and labels are min-ids — deterministic at any parallelism. Each star
+    * phase is a map-side-combined per-key MIN aggregate (its exchange
+    * carries node-sized partials) plus a re-attach equi-join (AQE
+    * broadcast at node scale, skew-splittable at corpus scale); the only
+    * edge-sized exchange per round is the canonical distinct. The
+    * neighborhood min is deliberately NOT a window sharing the phase
+    * exchange: WindowExec buffers whole partitions, and a star root's
+    * partition is component-sized — the formulation OOMed at 2M points
+    * (skew handling exists for joins and aggregates, not windows).
+    * |E| contracts toward one edge per non-root vertex so late rounds are
+    * cheap; lineage is cut and Catalyst stats reset per round (ckFresh).
     * Convergence = consecutive edge sets equal. The per-round edge count
     * rides the checkpoint materialization as an accumulator (ONE job per
     * round, no separate count action); when consecutive counts match, an
@@ -163,28 +166,33 @@ object Adjacency {
     var stable = prevCnt == 0L
     while (!stable && it < maxIter) {
       it += 1
-      // Each star phase is ONE exchange: the neighborhood minimum is an
-      // unordered window over the partitioning the phase needs anyway, so
-      // the aggregate+re-attach join of the textbook formulation (two
-      // extra exchanges and an intermediate distinct per phase) collapses
-      // into a single hash-partition + in-partition min (guide §2.4 —
-      // operations keyed the same way share one exchange).
+      // Each star phase computes its neighborhood minimum as a per-key
+      // HASH AGGREGATE (map-side combined — the exchange moves node-sized
+      // partials, not edges) re-attached by an equi-join that AQE
+      // broadcasts at node scale and skew-splits at corpus scale. A
+      // mid-r06 formulation computed the same minimum as an unordered
+      // WINDOW sharing the phase's exchange (one fewer pipeline) — and
+      // OOMed ScaleDbscan's 2M-point giant component: WindowExec BUFFERS
+      // each partition, and once stars form the component root's
+      // partition is component-sized. Aggregates and joins are the two
+      // operators Spark can skew-handle (guide §2.5 — windows it cannot);
+      // the big side is never sorted or buffered here.
       val sym = e.select(col("u").as("a"), col("v").as("b"))
         .union(e.select(col("v").as("a"), col("u").as("b")))
       // large-star: m = min(closed neighborhood of a); larger neighbors
       // re-attach to m. Duplicate (u, v) rows (two a's sharing both m and
-      // a larger neighbor) are harmless — min() below ignores them and
-      // the canonical distinct collapses them before the count.
+      // a larger neighbor) are harmless — the canonical distinct collapses
+      // them before the count.
       val e1 = sym
-        .withColumn("m", least(col("a"),
-          min(col("b")).over(Window.partitionBy("a"))))
+        .join(sym.groupBy("a").agg(min(col("b")).as("nb")), Seq("a"))
+        .withColumn("m", least(col("a"), col("nb")))
         .where(col("b") > col("a"))
         .select(col("b").as("u"), col("m").as("v"))
         .where(col("u") =!= col("v"))
       // small-star over the hi→lo orientation (every neighbor here < u,
       // so m = min(N⁻(u)); the smaller neighbors and u itself re-attach)
       val (e2, cnt, h) = ckCount(e1
-        .withColumn("m", min(col("v")).over(Window.partitionBy("u")))
+        .join(e1.groupBy("u").agg(min(col("v")).as("m")), Seq("u"))
         .select(explode(array(
           struct(col("v").as("n"), col("m").as("m")),
           struct(col("u").as("n"), col("m").as("m")))).as("s"))

@@ -1,28 +1,32 @@
 package graft.ops
 import org.scalatest.funsuite.AnyFunSuite
-/** Plan-shape guard for the alternating-star round (r06 form): each star
-  * phase computes its neighborhood minimum as an UNORDERED WINDOW over the
-  * partitioning the phase needs anyway, so one round is exactly THREE
-  * exchanges — hash(a) for the large star, hash(u) for the small star, and
-  * the canonical distinct — with no aggregate+re-attach join pair left
-  * anywhere (the pre-r06 shape paid ~6 exchanges per round). */
+/** Plan-shape guard for the alternating-star round (late-r06 form): each
+  * star phase computes its neighborhood minimum as a map-side-combined
+  * per-key AGGREGATE re-attached by an equi-join (AQE-broadcast here,
+  * skew-splittable SMJ at corpus scale), so the only edge-sized shuffle
+  * per round is the canonical distinct — three shuffle stages total, two
+  * of them node-sized aggregate partials. Crucially there must be NO
+  * Window operator anywhere in the round: a mid-r06 formulation computed
+  * the same min as an unordered window sharing the phase exchange, and
+  * WindowExec's whole-partition buffering OOMed on the component root's
+  * component-sized partition at 2M-point DBSCAN scale (Spark can
+  * skew-handle joins and aggregates; it cannot split a window partition). */
 class AltStarPlanSpec extends AnyFunSuite {
   lazy val spark = graft.TestSpark.spark
-  test("one alternating-star round is exactly three exchanges, no joins") {
+  test("one alternating-star round: three shuffle stages, no Window operator") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.expressions.Window
     val e = (0L until 99L).map(i => (i + 1, i)).toDF("u", "v").localCheckpoint()
     val sym = e.select(col("u").as("a"), col("v").as("b"))
       .union(e.select(col("v").as("a"), col("u").as("b")))
     val e1 = sym
-      .withColumn("m", least(col("a"),
-        min(col("b")).over(Window.partitionBy("a"))))
+      .join(sym.groupBy("a").agg(min(col("b")).as("nb")), Seq("a"))
+      .withColumn("m", least(col("a"), col("nb")))
       .where(col("b") > col("a"))
       .select(col("b").as("u"), col("m").as("v"))
       .where(col("u") =!= col("v"))
     val e2 = e1
-      .withColumn("m", min(col("v")).over(Window.partitionBy("u")))
+      .join(e1.groupBy("u").agg(min(col("v")).as("m")), Seq("u"))
       .select(explode(array(
         struct(col("v").as("n"), col("m").as("m")),
         struct(col("u").as("n"), col("m").as("m")))).as("s"))
@@ -35,7 +39,9 @@ class AltStarPlanSpec extends AnyFunSuite {
     // AQE prints initial AND final plans: count executed shuffle stages
     val nExchanges = "ShuffleQueryStage".r.findAllIn(plan).size
     assert(nExchanges == 3, s"expected 3 shuffle stages, got $nExchanges:\n$plan")
-    assert(!plan.contains("Join"), s"no join should remain in a star round:\n$plan")
-    assert("Window".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("Window"),
+      s"a star round must never buffer a partition through WindowExec:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"the re-attach joins should be AQE-broadcast at node scale:\n$plan")
   }
 }

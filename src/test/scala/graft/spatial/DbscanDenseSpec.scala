@@ -123,6 +123,34 @@ class DbscanDenseSpec extends AnyFunSuite {
     assert(BigInt(pe.toBigInteger) === peBrute)
   }
 
+  test("cost dispatch directionality: contraction on hotspot skew, plain grid on sparse uniform") {
+    import spark.implicits._
+    val eps = 0.5; val minPts = 5; val s = eps / 1.5
+    def comboOf(pts: org.apache.spark.sql.DataFrame) = pts.groupBy(
+      floor(col("x") / lit(s)).cast("long").as("cx"),
+      floor(col("y") / lit(s)).cast("long").as("cy"),
+      floor(col("x") / lit(eps)).cast("long").as("ex"),
+      floor(col("y") / lit(eps)).cast("long").as("ey"))
+      .agg(count(lit(1)).as("m"), min(col("id")).as("snid"))
+    // the hotspot cloud from the equality test: 3 tight 60-point clumps —
+    // the plain plan's estimate carries their intra-cell 60² mass, the
+    // contraction's does not → dense must be estimated cheaper
+    val hot = (for {
+      (hx, hy, base) <- Seq((0.0, 0.0, 100L), (3.0, 0.0, 300L), (50.0, 50.0, 500L))
+      i <- 0 until 60
+    } yield (base + i, hx + (i % 8) * 0.02, hy + (i / 8) * 0.02)).toDF("id", "x", "y")
+    val (deHot, peHot) = Dbscan.pairVolumeEstimates(comboOf(hot), minPts)
+    graft.CacheBin.drain()
+    assert(deHot.compareTo(peHot) < 0)
+    // a spread-out cloud with no dense cell: the 25-cell s-window strictly
+    // dominates the 3×3 ε-window → plain must be estimated cheaper
+    val sparse = (0 until 40).map(i => (i.toLong, (i % 8) * 0.9, (i / 8) * 0.9))
+      .toDF("id", "x", "y")
+    val (deSp, peSp) = Dbscan.pairVolumeEstimates(comboOf(sparse), minPts)
+    graft.CacheBin.drain()
+    assert(peSp.compareTo(deSp) < 0)
+  }
+
   test("cell-boundary pairs at Chebyshev distance 2 in the s-grid are found") {
     import spark.implicits._
     // eps=1.0, s=2/3: points 0.99 apart on one axis land 2 s-cells apart
